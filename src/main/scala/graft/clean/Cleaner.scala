@@ -1,0 +1,135 @@
+package graft.clean
+
+import graft.html._
+import graft.url.PyUrl
+
+/**
+ * The reference's per-page cleaning pipeline, pass order pinned to
+ * `clean_and_normalize_content` (/root/reference/processing/content_processor.py:20-41):
+ *
+ *   1. normalize_html_structure — drop empty tags (core/scraper.py:187-196)
+ *   2. normalize_character_encoding — html.unescape per text node (:202-207)
+ *   3. normalize_urls — absolutize `a[href]`, strip `utm_*` (:209-220)
+ *   4. basic_content_cleaning — drop comments + `display:none` (:222-231)
+ *   5. text = normalize_whitespace(soup.get_text()) (:198-200 via
+ *      content_processor.py:29) — Unicode `\s+` → " ", then strip.
+ *
+ * Every quirk is intentional:
+ *  - pass 1 iterates a PRE-ORDER SNAPSHOT of all elements, so a parent
+ *    emptied by the removal of its children SURVIVES the pass (it was
+ *    checked first); void tags (img/br/hr) are always empty → removed;
+ *  - emptiness = get_text(strip=True) == "" AND no element descendants,
+ *    so a tag containing only a comment is "empty" and goes;
+ *  - pass 2 runs BEFORE comment/hidden removal — entity decoding cannot
+ *    resurrect markup (text stays text), but `&nbsp;` becomes U+00A0 which
+ *    the final UNICODE `\s+` collapse folds into a single space;
+ *  - pass 3 touches only `<a href>`: urljoin against the page url, then
+ *    parse_qs(keep_blank_values=True) / drop `utm_*` / urlencode(doseq);
+ *  - pass 4's hidden-subtree predicate is `re.search("display:\\s*none")`
+ *    on the inline style value only.
+ */
+object Cleaner {
+
+  /** Python's Unicode `\\s` set exactly (str.isspace semantics): ASCII ws,
+    * VT, FS/GS/RS/US (1C-1F), NEL, NBSP, OGHAM, EN QUAD..HAIR SPACE, LS, PS,
+    * NNBSP, MMSP, IDEOGRAPHIC SPACE. Java's `\\s` (even with
+    * UNICODE_CHARACTER_CLASS) omits 1C-1F -- SURVEY.md hard-part #2. */
+  private val unicodeWs = java.util.regex.Pattern.compile(
+    "[\\t\\n\\x0B\\f\\r\\x1C-\\x1F \\x85\\xA0\\u1680\\u2000-\\u200A\\u2028\\u2029\\u202F\\u205F\\u3000]+")
+
+  /** `normalize_whitespace` (core/scraper.py:198-200). */
+  def normalizeWhitespace(text: String): String =
+    pyStrip(unicodeWs.matcher(text).replaceAll(" "))
+
+  /** Python str.strip() -- same whitespace set. */
+  private def pyStrip(s: String): String = {
+    var a = 0
+    var b = s.length
+    while (a < b && isPyWs(s.charAt(a))) a += 1
+    while (b > a && isPyWs(s.charAt(b - 1))) b -= 1
+    s.substring(a, b)
+  }
+
+  private def isPyWs(c: Char): Boolean =
+    (c >= 0x09 && c <= 0x0d) || c == ' ' || (c >= 0x1c && c <= 0x1f) ||
+      c == 0x85 || Character.getType(c) == Character.SPACE_SEPARATOR ||
+      c == 0x2028 || c == 0x2029
+
+  /** Pass 1: `normalize_html_structure` (core/scraper.py:187-196). */
+  def removeEmptyTags(doc: Document): Unit = {
+    val snapshot = doc.descendantElements // pre-order, materialized first
+    snapshot.foreach { tag =>
+      if (tag.parent != null && tag.getTextStripped.isEmpty && tag.descendantElements.isEmpty)
+        tag.extract()
+    }
+  }
+
+  /** Pass 2: `normalize_character_encoding` (core/scraper.py:202-207).
+    * Applied to plain text nodes (script/style contents included). */
+  def unescapeTextNodes(doc: Document): Unit = {
+    doc.descendants.foreach {
+      case t: Text => t.data = Entities.unescape(t.data)
+      case _       =>
+    }
+  }
+
+  /** Pass 3: `normalize_urls` (core/scraper.py:209-220). */
+  def absolutizeHrefs(doc: Document, baseUrl: String): Unit = {
+    doc.descendantElements.foreach { el =>
+      if (el.name == "a") el.attr("href").foreach { href =>
+        var abs = PyUrl.urljoin(baseUrl, href)
+        val parsed = PyUrl.urlparse(abs)
+        val qd = PyUrl.parseQs(parsed.query, keepBlankValues = true)
+        val filtered = qd.filterNot { case (k, _) => k.startsWith("utm_") }
+        abs = PyUrl.urlunparse(parsed.copy(query = PyUrl.urlencodeSeq(filtered)))
+        el.setAttr("href", abs)
+      }
+    }
+  }
+
+  private val displayNone =
+    java.util.regex.Pattern.compile("display:\\s*none")
+
+  /** Pass 4: `basic_content_cleaning` (core/scraper.py:222-231). */
+  def removeCommentsAndHidden(doc: Document): Unit = {
+    doc.descendants.foreach {
+      case c: Comment => c.extract()
+      case _          =>
+    }
+    doc.descendantElements.foreach { el =>
+      if (el.parent != null)
+        el.attr("style").foreach { st =>
+          if (displayNone.matcher(st).find()) el.extract()
+        }
+    }
+  }
+
+  final case class CleanResult(text: String, cleanedDoc: Document)
+
+  /** In-place cleaning of an already-parsed DOM (the pipeline parses ONCE,
+    * extracts metadata/links/anchors from the raw tree — the reference does
+    * the same for links, link_extractor.py:17 re-parses raw content — then
+    * cleans). Returns the byte-contract text. */
+  def cleanDocument(doc: Document, url: String): String = {
+    removeEmptyTags(doc)
+    unescapeTextNodes(doc)
+    absolutizeHrefs(doc, url)
+    removeCommentsAndHidden(doc)
+    normalizeWhitespace(doc.getText)
+  }
+
+  /** Full `clean_and_normalize_content` order; returns the byte-contract
+    * text plus the cleaned DOM (for sanitize stages). */
+  def cleanAndNormalize(htmlContent: String, url: String): CleanResult = {
+    val doc = HtmlParser.parse(htmlContent)
+    CleanResult(cleanDocument(doc, url), doc)
+  }
+
+  def cleanAndNormalizeBytes(html: Array[Byte], url: String): CleanResult =
+    cleanAndNormalize(HtmlParser.decode(html), url)
+
+  /** Plain-text payloads (`text/plain` branch, core/scraper.py:515-517):
+    * stored verbatim by the reference; text contract = whitespace-normalized
+    * body (the shared `normalize_whitespace` treatment). */
+  def cleanPlainText(body: String): String = normalizeWhitespace(body)
+}

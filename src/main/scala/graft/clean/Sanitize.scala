@@ -1,0 +1,164 @@
+package graft.clean
+
+import graft.html._
+import graft.url.PyUrl
+import scala.collection.mutable.ArrayBuffer
+
+/**
+ * `process_html_content` (/root/reference/processing/content_processor.py:114-124):
+ * runs AFTER clean_and_normalize on the cleaned DOM and shapes the stored
+ * `cleaned_html` only (never the byte-contract `text`). Pass order pinned:
+ * preserve_latex → preserve_math_content → preserve_code_blocks →
+ * svg→img → iframe-svg→img.
+ */
+object Sanitize {
+
+  /** Python re.sub with a literal-group replacement (no $-escape surprises). */
+  private def reSub(p: java.util.regex.Pattern, s: String,
+                    pre: String, post: String): String = {
+    val m = p.matcher(s)
+    val sb = new java.lang.StringBuilder
+    var last = 0
+    while (m.find()) {
+      sb.append(s, last, m.start()).append(pre).append(m.group(1)).append(post)
+      last = m.end()
+    }
+    sb.append(s, last, s.length)
+    sb.toString
+  }
+
+  import java.util.regex.{Pattern => P}
+  private val mathInline = P.compile("\\$(.+?)\\$")
+  private val mathBlock  = P.compile("\\$\\$(.+?)\\$\\$", P.DOTALL)
+  private val katexInline = P.compile("\\\\(.+?)\\\\")
+  private val katexBlock  = P.compile("\\\\\\[(.+?)\\\\\\]", P.DOTALL)
+
+  /** `preserve_mathjax` (core/scraper.py:360-365) — inline BEFORE block,
+    * exactly as the reference (yes, `$$x$$` is consumed by the inline rule
+    * first; that mangling is part of the contract). */
+  def preserveMathjax(content: String): String = {
+    val c1 = reSub(mathInline, content, "<span class=\"math-inline\">", "</span>")
+    reSub(mathBlock, c1, "<div class=\"math-block\">", "</div>")
+  }
+
+  /** `preserve_katex` (core/scraper.py:367-372). */
+  def preserveKatex(content: String): String = {
+    val c1 = reSub(katexInline, content, "<span class=\"katex-inline\">", "</span>")
+    reSub(katexBlock, c1, "<div class=\"katex-block\">", "</div>")
+  }
+
+  private def setString(el: Element, s: String): Unit = {
+    el.children.foreach(_.parent = null)
+    el.children.clear()
+    el.append(new Text(s))
+  }
+
+  /** `preserve_latex` (core/scraper.py:374-377). */
+  def preserveLatex(doc: Document): Unit = {
+    doc.findAll("script").foreach { el =>
+      if (el.attr("type").contains("math/tex")) {
+        val cls = (el.classes :+ "preserved-latex").mkString(" ")
+        el.setAttr("class", cls)
+        val s = el.getText // .string of a raw-text script
+        setString(el, "$$" + s + "$$")
+      }
+    }
+  }
+
+  private val mathClasses =
+    Set("math-inline", "math-block", "MathJax", "katex-inline", "katex-block")
+
+  /** `preserve_math_content` (content_processor.py:125-128): the element's
+    * OWN serialization is regex-rewritten and becomes its string content —
+    * twice (mathjax result re-serialized, then katex applied). */
+  def preserveMathContent(doc: Document): Unit = {
+    doc.findAll(Set("script", "span", "div")).foreach { el =>
+      if (el.classes.exists(mathClasses.contains)) {
+        setString(el, preserveMathjax(Serializer.serialize(el)))
+        setString(el, preserveKatex(Serializer.serialize(el)))
+      }
+    }
+  }
+
+  /** `preserve_code_blocks` (content_processor.py:130-132): bleach whitelist
+    * {pre, code}, no attributes — the serialized block is re-tokenized,
+    * allowed tags kept bare, all other markup entity-escaped, and the result
+    * becomes the element's string content. */
+  def preserveCodeBlocks(doc: Document): Unit = {
+    doc.findAll(Set("pre", "code")).foreach { el =>
+      setString(el, bleachClean(Serializer.serialize(el), Set("pre", "code")))
+    }
+  }
+
+  /** Minimal bleach.clean(tags=allowed, attributes none, strip=False):
+    * allowed tags serialized without attributes, disallowed tags escaped. */
+  def bleachClean(htmlFragment: String, allowed: Set[String]): String = {
+    val doc = HtmlParser.parse(htmlFragment)
+    val sb = new java.lang.StringBuilder
+    def walk(n: Node): Unit = n match {
+      case t: Text => sb.append(Serializer.escapeText(t.data))
+      case c: Comment => // bleach strips comments by default
+      case e: Document => e.children.foreach(walk)
+      case e: Element =>
+        if (allowed.contains(e.name)) {
+          sb.append('<').append(e.name).append('>')
+          e.children.foreach(walk)
+          sb.append("</").append(e.name).append('>')
+        } else {
+          sb.append("&lt;").append(e.name).append("&gt;")
+          e.children.foreach(walk)
+          sb.append("&lt;/").append(e.name).append("&gt;")
+        }
+      case _ =>
+    }
+    walk(doc)
+    sb.toString
+  }
+
+  /** `extract_and_convert_svgs` (core/scraper.py:394-407) — structural part:
+    * each `<svg>` replaced by `<img src="diagram_{i}.png"/>` (rasterization
+    * is out of the snapshot contract; SURVEY §2.3). Returns count. */
+  def convertSvgs(doc: Document): Int = {
+    val svgs = doc.findAll("svg")
+    svgs.zipWithIndex.foreach { case (svg, i) =>
+      val img = new Element("img")
+      img.isVoid = true
+      img.attrs += (("src", s"diagram_$i.png"))
+      if (svg.parent != null) svg.parent.replaceChild(svg, img)
+    }
+    svgs.length
+  }
+
+  /** `extract_and_convert_iframe_svgs` (core/scraper.py:467-479) — iframes
+    * with a src are replaced by `<img src="diagram_{i}.png"/>` when the
+    * (closed-world) fetch+convert would succeed; we replicate the structural
+    * replacement for `.svg` sources only. */
+  def convertIframeSvgs(doc: Document, baseUrl: String): Int = {
+    var replaced = 0
+    // reference enumerates ALL iframe[src]; only convertible (svg) ones are
+    // replaced, named by their enumerate index (collisions with convertSvgs
+    // outputs are the reference's own behavior)
+    doc.findAll("iframe").filter(_.hasAttr("src")).zipWithIndex.foreach {
+      case (ifr, idx) =>
+        val src = ifr.attr("src").get
+        val full = PyUrl.urljoin(baseUrl, src)
+        if (full.endsWith(".svg") && ifr.parent != null) {
+          val img = new Element("img")
+          img.isVoid = true
+          img.attrs += (("src", s"diagram_$idx.png"))
+          ifr.parent.replaceChild(ifr, img)
+          replaced += 1
+        }
+    }
+    replaced
+  }
+
+  /** Full `process_html_content` pass order. */
+  def processHtmlContent(doc: Document, url: String): Unit = {
+    preserveLatex(doc)
+    preserveMathContent(doc)
+    preserveCodeBlocks(doc)
+    convertSvgs(doc)
+    convertIframeSvgs(doc, url)
+  }
+}

@@ -1,0 +1,181 @@
+package graft.html
+
+import scala.collection.mutable.ArrayBuffer
+
+/**
+ * Lightweight mutable DOM — the Spark-side stand-in for the reference's
+ * per-page BeautifulSoup tree (/root/reference/processing/content_processor.py:22).
+ * Transient per-row inside `mapPartitions`; never stored, never encoded.
+ *
+ * Node kinds mirror bs4: Tag, NavigableString, Comment, Doctype,
+ * ProcessingInstruction. `getText` concatenates plain text nodes only
+ * (comments / doctypes / PIs excluded, matching modern bs4 defaults);
+ * `script`/`style` contents are plain text nodes and ARE included
+ * (SURVEY.md F6).
+ */
+sealed trait Node {
+  var parent: Element = _
+  /** Detach from parent (bs4 `extract()`). */
+  def extract(): Unit = {
+    if (parent != null) {
+      val i = parent.children.indexWhere(_ eq this)
+      if (i >= 0) parent.children.remove(i)
+      parent = null
+    }
+  }
+}
+
+final class Text(var data: String) extends Node
+final class Comment(var data: String) extends Node
+final class Doctype(var data: String) extends Node
+final class ProcIns(var data: String) extends Node
+
+class Element(val name: String) extends Node {
+  /** Attribute (name, value) pairs in insertion order; values fully decoded. */
+  val attrs = ArrayBuffer.empty[(String, String)]
+  val children = ArrayBuffer.empty[Node]
+  var isVoid: Boolean = false
+
+  def attr(key: String): Option[String] = attrs.find(_._1 == key).map(_._2)
+  def hasAttr(key: String): Boolean = attrs.exists(_._1 == key)
+  def setAttr(key: String, value: String): Unit = {
+    val i = attrs.indexWhere(_._1 == key)
+    if (i >= 0) attrs(i) = (key, value) else attrs += ((key, value))
+  }
+
+  /** Whitespace-split tokens of the `class` attribute (bs4 multi-valued). */
+  def classes: Seq[String] =
+    attr("class").map(_.split("\\s+").filter(_.nonEmpty).toSeq).getOrElse(Nil)
+
+  def append(n: Node): Unit = { n.parent = this; children += n }
+
+  def replaceChild(oldN: Node, newN: Node): Unit = {
+    val i = children.indexWhere(_ eq oldN)
+    if (i >= 0) { newN.parent = this; children(i) = newN; oldN.parent = null }
+  }
+
+  /** All descendant elements, document (pre-)order — bs4 `find_all()`. */
+  def descendantElements: Vector[Element] = {
+    val out = Vector.newBuilder[Element]
+    def walk(e: Element): Unit = e.children.foreach {
+      case c: Element => out += c; walk(c)
+      case _ =>
+    }
+    walk(this)
+    out.result()
+  }
+
+  /** All descendant nodes (any kind), document order. */
+  def descendants: Vector[Node] = {
+    val out = Vector.newBuilder[Node]
+    def walk(e: Element): Unit = e.children.foreach { c =>
+      out += c
+      c match { case ce: Element => walk(ce); case _ => }
+    }
+    walk(this)
+    out.result()
+  }
+
+  /** bs4 `get_text()`: concatenation of plain-text descendants, no separator. */
+  def getText: String = {
+    val sb = new java.lang.StringBuilder
+    def walk(e: Element): Unit = e.children.foreach {
+      case t: Text    => sb.append(t.data)
+      case c: Element => walk(c)
+      case _          =>
+    }
+    walk(this)
+    sb.toString
+  }
+
+  /** bs4 `get_text(strip=True)`: each string stripped, empties dropped. */
+  def getTextStripped: String = {
+    val sb = new java.lang.StringBuilder
+    def walk(e: Element): Unit = e.children.foreach {
+      case t: Text    => sb.append(t.data.trim)
+      case c: Element => walk(c)
+      case _          =>
+    }
+    walk(this)
+    sb.toString
+  }
+
+  def findAll(tag: String): Vector[Element] =
+    descendantElements.filter(_.name == tag)
+
+  def findAll(tags: Set[String]): Vector[Element] =
+    descendantElements.filter(e => tags.contains(e.name))
+
+  def findFirst(tag: String): Option[Element] =
+    descendantElements.find(_.name == tag)
+}
+
+/** Document root (bs4 `BeautifulSoup` object — the unnamed "[document]"). */
+final class Document extends Element("[document]")
+
+object Serializer {
+  /** bs4 minimal formatter: escape &, <, > in text. */
+  def escapeText(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length + 16)
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '&' => sb.append("&amp;")
+        case '<' => sb.append("&lt;")
+        case '>' => sb.append("&gt;")
+        case c   => sb.append(c)
+      }
+      i += 1
+    }
+    sb.toString
+  }
+
+  private def escapeAttr(s: String, escapeDquote: Boolean): String = {
+    val sb = new java.lang.StringBuilder(s.length + 16)
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '&' => sb.append("&amp;")
+        case '<' => sb.append("&lt;")
+        case '>' => sb.append("&gt;")
+        case '"' if escapeDquote => sb.append("&quot;")
+        case c   => sb.append(c)
+      }
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** bs4 `quoted_attribute_value`: prefer double quotes; a value containing
+    * a double quote (and no single quote) is wrapped in single quotes. */
+  private def renderAttrValue(v: String): String = {
+    if (v.contains('"') && !v.contains('\'')) "'" + escapeAttr(v, escapeDquote = false) + "'"
+    else "\"" + escapeAttr(v, escapeDquote = true) + "\""
+  }
+
+  /** bs4 `str(soup)` with the default minimal formatter. */
+  def serialize(node: Node): String = {
+    val sb = new java.lang.StringBuilder(1024)
+    render(node, sb)
+    sb.toString
+  }
+
+  private def render(node: Node, sb: java.lang.StringBuilder): Unit = node match {
+    case t: Text    => sb.append(escapeText(t.data))
+    case c: Comment => sb.append("<!--").append(c.data).append("-->")
+    case d: Doctype => sb.append("<!DOCTYPE ").append(d.data).append(">")
+    case p: ProcIns => sb.append("<?").append(p.data).append(">")
+    case e: Document => e.children.foreach(render(_, sb))
+    case e: Element =>
+      sb.append('<').append(e.name)
+      e.attrs.foreach { case (k, v) =>
+        sb.append(' ').append(k).append('=').append(renderAttrValue(v))
+      }
+      if (e.isVoid && e.children.isEmpty) sb.append("/>")
+      else {
+        sb.append('>')
+        e.children.foreach(render(_, sb))
+        sb.append("</").append(e.name).append('>')
+      }
+  }
+}

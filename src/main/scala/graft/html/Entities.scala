@@ -1,0 +1,173 @@
+package graft.html
+
+/**
+ * HTML character-reference decoding with Python `html.unescape` semantics
+ * (the reference applies `html.unescape` per text node:
+ * /root/reference/core/scraper.py:202-207, and the stdlib `html.parser`
+ * performs the same conversion for data/attribute values at parse time).
+ *
+ * Semantics pinned:
+ *  - `&name;` — full HTML5 named-reference lookup (curated table below).
+ *  - `&name` without `;` — only the HTML5 "legacy" (Latin-1 era) subset
+ *    resolves; otherwise the longest matching *prefix* from the legacy set
+ *    is substituted and the remainder kept (Python `_replace_charref`).
+ *  - `&#NNN;` / `&#xHH;` — numeric, with the HTML5 windows-1252 remapping
+ *    of 0x80-0x9F, U+0000→U+FFFD, surrogates/out-of-range→U+FFFD, and the
+ *    "invalid codepoint" set dropped entirely (Python `html._invalid_*`).
+ */
+object Entities {
+
+  /** Legacy names valid WITHOUT a trailing semicolon (HTML5 spec list). */
+  private val legacy: Map[String, String] = Map(
+    "AElig" -> "Æ", "AMP" -> "&", "Aacute" -> "Á", "Acirc" -> "Â",
+    "Agrave" -> "À", "Aring" -> "Å", "Atilde" -> "Ã", "Auml" -> "Ä",
+    "COPY" -> "©", "Ccedil" -> "Ç", "ETH" -> "Ð", "Eacute" -> "É",
+    "Ecirc" -> "Ê", "Egrave" -> "È", "Euml" -> "Ë", "GT" -> ">",
+    "Iacute" -> "Í", "Icirc" -> "Î", "Igrave" -> "Ì", "Iuml" -> "Ï",
+    "LT" -> "<", "Ntilde" -> "Ñ", "Oacute" -> "Ó", "Ocirc" -> "Ô",
+    "Ograve" -> "Ò", "Oslash" -> "Ø", "Otilde" -> "Õ", "Ouml" -> "Ö",
+    "QUOT" -> "\"", "REG" -> "®", "THORN" -> "Þ", "Uacute" -> "Ú",
+    "Ucirc" -> "Û", "Ugrave" -> "Ù", "Uuml" -> "Ü", "Yacute" -> "Ý",
+    "aacute" -> "á", "acirc" -> "â", "acute" -> "´", "aelig" -> "æ",
+    "agrave" -> "à", "amp" -> "&", "aring" -> "å", "atilde" -> "ã",
+    "auml" -> "ä", "brvbar" -> "¦", "ccedil" -> "ç", "cedil" -> "¸",
+    "cent" -> "¢", "copy" -> "©", "curren" -> "¤", "deg" -> "°",
+    "divide" -> "÷", "eacute" -> "é", "ecirc" -> "ê", "egrave" -> "è",
+    "eth" -> "ð", "euml" -> "ë", "frac12" -> "½", "frac14" -> "¼",
+    "frac34" -> "¾", "gt" -> ">", "iacute" -> "í", "icirc" -> "î",
+    "iexcl" -> "¡", "igrave" -> "ì", "iquest" -> "¿", "iuml" -> "ï",
+    "laquo" -> "«", "lt" -> "<", "macr" -> "¯", "micro" -> "µ",
+    "middot" -> "·", "nbsp" -> " ", "not" -> "¬", "ntilde" -> "ñ",
+    "oacute" -> "ó", "ocirc" -> "ô", "ograve" -> "ò", "ordf" -> "ª",
+    "ordm" -> "º", "oslash" -> "ø", "otilde" -> "õ", "ouml" -> "ö",
+    "para" -> "¶", "plusmn" -> "±", "pound" -> "£", "quot" -> "\"",
+    "raquo" -> "»", "reg" -> "®", "sect" -> "§", "shy" -> "­",
+    "sup1" -> "¹", "sup2" -> "²", "sup3" -> "³", "szlig" -> "ß",
+    "thorn" -> "þ", "times" -> "×", "uacute" -> "ú", "ucirc" -> "û",
+    "ugrave" -> "ù", "uml" -> "¨", "uuml" -> "ü", "yacute" -> "ý",
+    "yen" -> "¥", "yuml" -> "ÿ")
+
+  /** Names requiring the semicolon (curated common subset of the HTML5 table). */
+  private val named: Map[String, String] = legacy ++ Map(
+    "apos" -> "'", "OElig" -> "Œ", "oelig" -> "œ", "Scaron" -> "Š",
+    "scaron" -> "š", "Yuml" -> "Ÿ", "fnof" -> "ƒ", "circ" -> "ˆ",
+    "tilde" -> "˜",
+    // Greek
+    "Alpha" -> "Α", "Beta" -> "Β", "Gamma" -> "Γ", "Delta" -> "Δ",
+    "Epsilon" -> "Ε", "Zeta" -> "Ζ", "Eta" -> "Η", "Theta" -> "Θ",
+    "Iota" -> "Ι", "Kappa" -> "Κ", "Lambda" -> "Λ", "Mu" -> "Μ",
+    "Nu" -> "Ν", "Xi" -> "Ξ", "Omicron" -> "Ο", "Pi" -> "Π",
+    "Rho" -> "Ρ", "Sigma" -> "Σ", "Tau" -> "Τ", "Upsilon" -> "Υ",
+    "Phi" -> "Φ", "Chi" -> "Χ", "Psi" -> "Ψ", "Omega" -> "Ω",
+    "alpha" -> "α", "beta" -> "β", "gamma" -> "γ", "delta" -> "δ",
+    "epsilon" -> "ε", "zeta" -> "ζ", "eta" -> "η", "theta" -> "θ",
+    "iota" -> "ι", "kappa" -> "κ", "lambda" -> "λ", "mu" -> "μ",
+    "nu" -> "ν", "xi" -> "ξ", "omicron" -> "ο", "pi" -> "π",
+    "rho" -> "ρ", "sigmaf" -> "ς", "sigma" -> "σ", "tau" -> "τ",
+    "upsilon" -> "υ", "phi" -> "φ", "chi" -> "χ", "psi" -> "ψ",
+    "omega" -> "ω", "thetasym" -> "ϑ", "upsih" -> "ϒ", "piv" -> "ϖ",
+    // punctuation / typography
+    "ensp" -> " ", "emsp" -> " ", "thinsp" -> " ",
+    "zwnj" -> "‌", "zwj" -> "‍", "lrm" -> "‎", "rlm" -> "‏",
+    "ndash" -> "–", "mdash" -> "—", "lsquo" -> "‘", "rsquo" -> "’",
+    "sbquo" -> "‚", "ldquo" -> "“", "rdquo" -> "”", "bdquo" -> "„",
+    "dagger" -> "†", "Dagger" -> "‡", "bull" -> "•", "hellip" -> "…",
+    "permil" -> "‰", "prime" -> "′", "Prime" -> "″",
+    "lsaquo" -> "‹", "rsaquo" -> "›", "oline" -> "‾", "frasl" -> "⁄",
+    "euro" -> "€", "image" -> "ℑ", "weierp" -> "℘", "real" -> "ℜ",
+    "trade" -> "™", "alefsym" -> "ℵ",
+    // arrows
+    "larr" -> "←", "uarr" -> "↑", "rarr" -> "→", "darr" -> "↓",
+    "harr" -> "↔", "crarr" -> "↵", "lArr" -> "⇐", "uArr" -> "⇑",
+    "rArr" -> "⇒", "dArr" -> "⇓", "hArr" -> "⇔",
+    // math
+    "forall" -> "∀", "part" -> "∂", "exist" -> "∃", "empty" -> "∅",
+    "nabla" -> "∇", "isin" -> "∈", "notin" -> "∉", "ni" -> "∋",
+    "prod" -> "∏", "sum" -> "∑", "minus" -> "−", "lowast" -> "∗",
+    "radic" -> "√", "prop" -> "∝", "infin" -> "∞", "ang" -> "∠",
+    "and" -> "∧", "or" -> "∨", "cap" -> "∩", "cup" -> "∪",
+    "int" -> "∫", "there4" -> "∴", "sim" -> "∼", "cong" -> "≅",
+    "asymp" -> "≈", "ne" -> "≠", "equiv" -> "≡", "le" -> "≤",
+    "ge" -> "≥", "sub" -> "⊂", "sup" -> "⊃", "nsub" -> "⊄",
+    "sube" -> "⊆", "supe" -> "⊇", "oplus" -> "⊕", "otimes" -> "⊗",
+    "perp" -> "⊥", "sdot" -> "⋅",
+    // misc technical / shapes
+    "lceil" -> "⌈", "rceil" -> "⌉", "lfloor" -> "⌊", "rfloor" -> "⌋",
+    "lang" -> "⟨", "rang" -> "⟩", "loz" -> "◊", "spades" -> "♠",
+    "clubs" -> "♣", "hearts" -> "♥", "diams" -> "♦",
+    // letterlike
+    "fnof" -> "ƒ", "ordf" -> "ª")
+
+  /** windows-1252 remapping table for numeric refs 0x80-0x9F (+0x00, 0x0D). */
+  private val invalidCharrefs: Map[Int, String] = Map(
+    0x00 -> "�", 0x0d -> "\r", 0x80 -> "€", 0x81 -> "",
+    0x82 -> "‚", 0x83 -> "ƒ", 0x84 -> "„", 0x85 -> "…",
+    0x86 -> "†", 0x87 -> "‡", 0x88 -> "ˆ", 0x89 -> "‰",
+    0x8a -> "Š", 0x8b -> "‹", 0x8c -> "Œ", 0x8d -> "",
+    0x8e -> "Ž", 0x8f -> "", 0x90 -> "", 0x91 -> "‘",
+    0x92 -> "’", 0x93 -> "“", 0x94 -> "”", 0x95 -> "•",
+    0x96 -> "–", 0x97 -> "—", 0x98 -> "˜", 0x99 -> "™",
+    0x9a -> "š", 0x9b -> "›", 0x9c -> "œ", 0x9d -> "",
+    0x9e -> "ž", 0x9f -> "Ÿ")
+
+  private def isInvalidCodepoint(n: Int): Boolean =
+    (n >= 0x1 && n <= 0x8) || n == 0xb || (n >= 0xe && n <= 0x1f) ||
+    (n >= 0x7f && n <= 0x9f) || (n >= 0xfdd0 && n <= 0xfdef) ||
+    ((n & 0xfffe) == 0xfffe) // ...FFFE / ...FFFF noncharacters
+
+  private def decodeNumeric(body: String): String = {
+    // body like "#123" or "#x1F" (';' already stripped by caller)
+    val n =
+      try {
+        if (body.length > 1 && (body.charAt(1) == 'x' || body.charAt(1) == 'X'))
+          java.lang.Long.parseLong(body.substring(2), 16)
+        else java.lang.Long.parseLong(body.substring(1), 10)
+      } catch { case _: NumberFormatException => return "�" }
+    if (n > 0x10FFFFL) return "�"
+    val i = n.toInt
+    invalidCharrefs.get(i) match {
+      case Some(s) => s
+      case None =>
+        if (i >= 0xD800 && i <= 0xDFFF) "�"
+        else if (isInvalidCodepoint(i)) ""
+        else new String(Character.toChars(i))
+    }
+  }
+
+  // Python html._charref: &(#\d+;? | #[xX][0-9a-fA-F]+;? | [^\t\n\f <&#;]{1,32};?)
+  private val charref = ("&(#[0-9]+;?" +
+    "|#[xX][0-9a-fA-F]+;?" +
+    "|[^\\t\\n\\u000c <&#;]{1,32};?)").r
+
+  private def replaceRef(body: String): String = {
+    if (body.charAt(0) == '#') {
+      decodeNumeric(if (body.endsWith(";")) body.dropRight(1) else body)
+    } else if (body.endsWith(";")) {
+      named.get(body.dropRight(1)) match {
+        case Some(v) => v
+        case None    => longestLegacyPrefix(body)
+      }
+    } else longestLegacyPrefix(body)
+  }
+
+  /** Longest legacy-name prefix match (len-1 down to 2), Python fallback. */
+  private def longestLegacyPrefix(body: String): String = {
+    var x = body.length
+    while (x >= 2) {
+      val p = body.substring(0, x)
+      legacy.get(p) match {
+        case Some(v) => return v + body.substring(x)
+        case None    =>
+      }
+      x -= 1
+    }
+    "&" + body
+  }
+
+  /** Python `html.unescape`. */
+  def unescape(s: String): String = {
+    if (s.indexOf('&') < 0) return s
+    charref.replaceAllIn(s, m =>
+      java.util.regex.Matcher.quoteReplacement(replaceRef(m.group(1))))
+  }
+}

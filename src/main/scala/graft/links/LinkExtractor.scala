@@ -1,0 +1,155 @@
+package graft.links
+
+import graft.html._
+import graft.url.{PyUrl, UrlNormalizer}
+import scala.collection.mutable.{ArrayBuffer, LinkedHashSet}
+
+/** One extracted edge: src page → destination, with classification.
+  * kind ∈ {link, pagination, css, js, image, math}. */
+final case class Edge(dstUrl: String, kind: String, srcTag: String, anchor: String)
+
+/**
+ * Typed-generator surface (SURVEY §2.9): per-page link / pagination / asset
+ * extraction, the `flatMap` equivalent of
+ * /root/reference/processing/link_extractor.py:13-58 and
+ * /root/reference/core/scraper.py:862-895.
+ *
+ * Deviation pinned in SURVEY §2.9: the reference's
+ * `find_all([...], href=True, src=True)` literally requires BOTH attributes
+ * (a latent bug that would extract nothing); the inventory maps the intended
+ * "href or src" semantics, which we implement.
+ */
+object LinkExtractor {
+
+  private val mediaTags = Set("a", "img", "video", "audio", "source", "iframe")
+
+  import java.util.regex.{Pattern => P}
+  private val numbered = P.compile("^\\d+$")
+  private val nextPrev = P.compile(
+    "Next|Previous|Próximo|Anterior|Prev|Next Page|Previous Page", P.CASE_INSENSITIVE)
+  private val firstLast = P.compile("First|Last|Primeira|Última", P.CASE_INSENSITIVE)
+  private val loadMore = P.compile(
+    "Load More|Show More|Ver Mais|Carregar Mais", P.CASE_INSENSITIVE)
+
+  /** bs4 text-filter semantics: the element's `.string` (single text child),
+    * no match when fragmented. `^\d+$` is anchored; the rest use `search`. */
+  private def anchorString(a: Element): Option[String] =
+    a.children.toList match {
+      case (t: Text) :: Nil => Some(t.data)
+      case _                => None
+    }
+
+  /** `extract_pagination_links` (link_extractor.py:33-58): urljoined, NOT
+    * normalized, NOT validity-filtered (reference behavior). */
+  def paginationLinks(doc: Document, baseUrl: String): Seq[String] = {
+    val out = LinkedHashSet.empty[String]
+    doc.findAll("a").foreach { a =>
+      if (a.hasAttr("href")) anchorString(a).foreach { s =>
+        val isPag = numbered.matcher(s).find() || nextPrev.matcher(s).find() ||
+          firstLast.matcher(s).find() || loadMore.matcher(s).find()
+        if (isPag) out += PyUrl.urljoin(baseUrl, a.attr("href").get)
+      }
+    }
+    out.toSeq
+  }
+
+  /** `extract_links` (link_extractor.py:13-31): normalized + validity-filtered
+    * content links. Returns (links, pagination). */
+  def extractLinks(doc: Document, url: String, baseDomain: String,
+                   startPath: String): (Seq[String], Seq[String]) = {
+    val pagination = paginationLinks(doc, url)
+    val links = LinkedHashSet.empty[String]
+    doc.descendantElements.foreach { el =>
+      if (mediaTags.contains(el.name)) {
+        val hrefOrSrc = el.attr("href").orElse(el.attr("src"))
+        hrefOrSrc.foreach { h =>
+          try {
+            val normalized = UrlNormalizer.normalize(PyUrl.urljoin(url, h))
+            if (UrlNormalizer.isValidLink(normalized, baseDomain, startPath))
+              links += normalized
+          } catch { case _: Exception => } // extract_links swallows per-link errors
+        }
+      }
+    }
+    (links.toSeq, pagination)
+  }
+
+  /** All raw edges for the links table (dedup/joins downstream are
+    * relational): every href/src of the media tags, urljoined + normalized,
+    * with pagination / asset classification. */
+  def edges(doc: Document, url: String): Seq[Edge] = {
+    val out = ArrayBuffer.empty[Edge]
+    val pagination = paginationLinks(doc, url).toSet
+    doc.descendantElements.foreach { el =>
+      val attrVal = el.attr("href").orElse(el.attr("src"))
+      if (mediaTags.contains(el.name)) attrVal.foreach { h =>
+        val joined = PyUrl.urljoin(url, h)
+        val normalized =
+          try UrlNormalizer.normalize(joined) catch { case _: Exception => joined }
+        val anchor = {
+          val i = joined.indexOf('#')
+          if (i >= 0) joined.substring(i + 1) else ""
+        }
+        val kind = if (pagination.contains(joined)) "pagination" else "link"
+        out += Edge(normalized, kind, el.name, anchor)
+      }
+    }
+    out ++= assetEdges(doc, url)
+    out.toSeq
+  }
+
+  private val mathjaxConfig = P.compile("MathJax\\.Hub\\.Config\\((.*?)\\)", P.DOTALL)
+
+  /** `extract_asset_links` (core/scraper.py:862-895) as edges. The reference
+    * would TypeError on `script.string` None (external scripts); intended
+    * semantics (skip bodyless scripts) implemented, deviation documented. */
+  def assetEdges(doc: Document, baseUrl: String): Seq[Edge] = {
+    val out = ArrayBuffer.empty[Edge]
+    doc.findAll("link").foreach { l =>
+      if (l.attr("rel").exists(_.split("\\s+").contains("stylesheet")))
+        l.attr("href").foreach(h => out += Edge(PyUrl.urljoin(baseUrl, h), "css", "link", ""))
+    }
+    doc.findAll("script").foreach { s =>
+      s.attr("src") match {
+        case Some(src) => out += Edge(PyUrl.urljoin(baseUrl, src), "js", "script", "")
+        case None =>
+          val body = s.getText
+          if (body.contains("MathJax.Hub.Config")) {
+            val m = mathjaxConfig.matcher(body)
+            if (m.find()) {
+              parseMathjaxExtensions(m.group(1)).foreach { ext =>
+                out += Edge(PyUrl.urljoin(baseUrl, s"mathjax/extensions/$ext.js"), "math", "script", "")
+              }
+              out += Edge(PyUrl.urljoin(baseUrl, "mathjax/MathJax.js"), "js", "script", "")
+            }
+          }
+      }
+    }
+    doc.findAll("img").foreach { i =>
+      i.attr("src").foreach(src => out += Edge(PyUrl.urljoin(baseUrl, src), "image", "img", ""))
+    }
+    out.toSeq
+  }
+
+  /** json.loads(config)['extensions'] — minimal JSON array-of-strings pull
+    * for the `extensions` key (full JSON parse unnecessary for the contract). */
+  private[links] def parseMathjaxExtensions(config: String): Seq[String] = {
+    val extKey = P.compile("\"extensions\"\\s*:\\s*\\[([^\\]]*)\\]").matcher(config)
+    if (!extKey.find()) return Nil
+    val items = P.compile("\"((?:[^\"\\\\]|\\\\.)*)\"").matcher(extKey.group(1))
+    val out = ArrayBuffer.empty[String]
+    while (items.find()) out += items.group(1).replace("\\\"", "\"").replace("\\\\", "\\")
+    out.toSeq
+  }
+
+  /** Anchor ids for the anchor-existence join (core/scraper.py:791-796):
+    * every `id` attribute value plus `<a name=...>` values. */
+  def anchorIds(doc: Document): Seq[String] = {
+    val out = LinkedHashSet.empty[String]
+    doc.descendantElements.foreach { el =>
+      el.attr("id").foreach(out += _)
+      if (el.name == "a") el.attr("name").foreach(out += _)
+    }
+    out.toSeq
+  }
+}

@@ -1,0 +1,278 @@
+package graft.textstats
+
+import scala.collection.mutable
+
+/**
+ * Pure text-analysis primitives for the training-data pipeline operators
+ * (dedup, quality filtering, language ID, fingerprinting). All deterministic;
+ * used from Catalyst built-ins where possible and from typed maps otherwise.
+ * The reference's langdetect call (/root/reference/core/scraper.py:270-275)
+ * is RNG-seeded, so the byte contract passes the input `lang` column through;
+ * this trigram classifier is the deterministic recompute option.
+ */
+object TextAnalysis {
+
+  // ---------- language ID (character n-gram heuristic) ----------
+
+  /** Tiny trigram/stopword profile per language — deterministic heuristic,
+    * not a model. Covers the synthetic corpus languages. */
+  private val profiles: Map[String, Set[String]] = Map(
+    "en" -> Set(" the ", " and ", " of ", " to ", " in ", " is ", " that ", " it ", " for ", " with "),
+    "de" -> Set(" der ", " die ", " und ", " das ", " ist ", " nicht ", " ein ", " mit ", " für ", " von "),
+    "fr" -> Set(" le ", " la ", " les ", " des ", " est ", " une ", " dans ", " pour ", " que ", " avec "),
+    "es" -> Set(" el ", " la ", " los ", " las ", " es ", " una ", " para ", " que ", " con ", " del "),
+    "pt" -> Set(" o ", " a ", " os ", " as ", " é ", " uma ", " para ", " que ", " com ", " não "),
+    "it" -> Set(" il ", " la ", " che ", " di ", " è ", " una ", " per ", " con ", " del ", " non "))
+
+  /** Deterministic language guess; "und" when nothing matches. */
+  def detectLanguage(text: String): String = {
+    if (text == null || text.isEmpty) return "und"
+    val hay = " " + text.toLowerCase.replaceAll("[^\\p{L}]+", " ") + " "
+    var best = "und"
+    var bestScore = 0
+    profiles.foreach { case (lang, words) =>
+      var score = 0
+      words.foreach { w =>
+        var idx = hay.indexOf(w)
+        while (idx >= 0) { score += 1; idx = hay.indexOf(w, idx + 1) }
+      }
+      if (score > bestScore || (score == bestScore && score > 0 && lang < best)) {
+        best = lang; bestScore = score
+      }
+    }
+    best
+  }
+
+  // ---------- tokenization ----------
+
+  /** Whitespace token count. */
+  def wsTokenCount(text: String): Int =
+    if (text == null || text.trim.isEmpty) 0 else text.trim.split("\\s+").length
+
+  private val bpeish = java.util.regex.Pattern.compile(
+    "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]")
+
+  /** BPE-ish token count: letter runs, single digits, single punctuation —
+    * a deterministic proxy for subword tokenizers. */
+  def bpeishTokenCount(text: String): Int = {
+    if (text == null) return 0
+    val m = bpeish.matcher(text)
+    var n = 0
+    while (m.find()) n += 1
+    n
+  }
+
+  // ---------- quality scoring ----------
+
+  final case class Quality(nChars: Int, nTokens: Int, meanTokenLen: Double,
+                           punctRatio: Double, stopwordRatio: Double,
+                           upperRatio: Double, digitRatio: Double,
+                           score: Double)
+
+  private val stopwords = Set("the", "and", "of", "to", "in", "is", "that",
+    "it", "for", "with", "as", "on", "was", "at", "by", "an", "be", "this",
+    "are", "or", "from", "not", "but", "have", "had", "has")
+
+  /** Heuristic document quality: length / punctuation / stopword / case
+    * ratios folded into [0,1]. Deterministic; tuned for webtext filtering. */
+  def quality(text: String): Quality = {
+    if (text == null || text.isEmpty)
+      return Quality(0, 0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
+    val n = text.length
+    var punct = 0
+    var upper = 0
+    var digit = 0
+    var i = 0
+    while (i < n) {
+      val c = text.charAt(i)
+      if (!Character.isLetterOrDigit(c) && !Character.isWhitespace(c)) punct += 1
+      if (Character.isUpperCase(c)) upper += 1
+      if (Character.isDigit(c)) digit += 1
+      i += 1
+    }
+    val toks = text.trim.split("\\s+").filter(_.nonEmpty)
+    val nTok = toks.length
+    val meanLen = if (nTok == 0) 0.0 else toks.map(_.length).sum.toDouble / nTok
+    val stopRatio =
+      if (nTok == 0) 0.0
+      else toks.count(t => stopwords.contains(t.toLowerCase.replaceAll("[^a-z]", ""))).toDouble / nTok
+    val punctRatio = punct.toDouble / n
+    val upperRatio = upper.toDouble / n
+    val digitRatio = digit.toDouble / n
+    // fold: reward stopwords + sane token length, punish punct/digit/upper excess
+    val lenScore = math.min(1.0, nTok / 50.0)
+    val tokLenScore = if (meanLen >= 3 && meanLen <= 10) 1.0 else 0.5
+    val score = math.max(0.0, math.min(1.0,
+      0.3 * lenScore + 0.2 * tokLenScore + 0.3 * math.min(1.0, stopRatio * 5) +
+        0.2 * (1.0 - math.min(1.0, punctRatio * 4 + digitRatio * 2))))
+    Quality(n, nTok, meanLen, punctRatio, stopRatio, upperRatio, digitRatio, score)
+  }
+
+  // ---------- hashing / fingerprints ----------
+
+  /** Polynomial rolling-hash document fingerprint (deterministic, 64-bit). */
+  def fingerprint(text: String): Long = {
+    var h = 1125899906842597L
+    var i = 0
+    while (i < text.length) { h = 31 * h + text.charAt(i); i += 1 }
+    h
+  }
+
+  /** Karp-Rabin rolling hashes of character k-grams (winnowing base). */
+  def rollingHashes(text: String, k: Int): Array[Long] = {
+    if (text.length < k) return Array.empty
+    val B = 1000003L
+    var pow = 1L
+    var i = 0
+    while (i < k - 1) { pow *= B; i += 1 }
+    val out = new Array[Long](text.length - k + 1)
+    var h = 0L
+    i = 0
+    while (i < k) { h = h * B + text.charAt(i); i += 1 }
+    out(0) = h
+    i = k
+    while (i < text.length) {
+      h = (h - text.charAt(i - k) * pow) * B + text.charAt(i)
+      out(i - k + 1) = h
+      i += 1
+    }
+    out
+  }
+
+  /** Winnowing (Schleimer et al.): min hash per window of w consecutive
+    * k-gram hashes — the compact doc fingerprint set. */
+  def winnow(text: String, k: Int = 8, w: Int = 4): Array[Long] = {
+    val hs = rollingHashes(text, k)
+    if (hs.isEmpty) return Array.empty
+    if (hs.length <= w) return Array(hs.min)
+    val picked = mutable.LinkedHashSet.empty[Long]
+    var i = 0
+    while (i + w <= hs.length) {
+      var m = hs(i)
+      var j = i + 1
+      while (j < i + w) { if (hs(j) <= m) m = hs(j); j += 1 }
+      picked += m
+      i += 1
+    }
+    picked.toArray
+  }
+
+  /** Word n-gram shingles (lowercased, punctuation-stripped). */
+  def shingles(text: String, n: Int): Seq[String] = {
+    val toks = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+    if (toks.length < n) {
+      if (toks.isEmpty) Nil else Seq(toks.mkString(" "))
+    } else
+      (0 to toks.length - n).map(i => toks.slice(i, i + n).mkString(" "))
+  }
+
+  private def mix64(z0: Long): Long = {
+    var z = z0
+    z = (z ^ (z >>> 33)) * 0xff51afd7ed558ccdL
+    z = (z ^ (z >>> 33)) * 0xc4ceb9fe1a85ec53L
+    z ^ (z >>> 33)
+  }
+
+  def hash64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) { h = (h ^ s.charAt(i)) * 0x100000001b3L; i += 1 }
+    mix64(h)
+  }
+
+  /** MinHash signature over shingles: numPerm independent permutations via
+    * seeded affine rehash of one base hash (standard 1-hash trick). */
+  def minhash(text: String, n: Int = 3, numPerm: Int = 64): Array[Long] = {
+    val sh = shingles(text, n)
+    val sig = Array.fill(numPerm)(Long.MaxValue)
+    sh.foreach { s =>
+      val base = hash64(s)
+      var p = 0
+      while (p < numPerm) {
+        val h = mix64(base + 0x9e3779b97f4a7c15L * (p + 1))
+        if (h < sig(p)) sig(p) = h
+        p += 1
+      }
+    }
+    sig
+  }
+
+  /** LSH band keys: signature split into bands, each band hashed → bucket. */
+  def lshBands(sig: Array[Long], bands: Int): Array[Long] = {
+    val rows = sig.length / bands
+    Array.tabulate(bands) { b =>
+      var h = 0xcbf29ce484222325L ^ b
+      var r = 0
+      while (r < rows) { h = (h ^ sig(b * rows + r)) * 0x100000001b3L; r += 1 }
+      mix64(h)
+    }
+  }
+
+  /** 64-bit SimHash over shingle hashes. */
+  def simhash(text: String, n: Int = 3): Long = {
+    val counts = new Array[Int](64)
+    shingles(text, n).foreach { s =>
+      val h = hash64(s)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  /** Exact n-gram Jaccard similarity. */
+  def jaccard(a: String, b: String, n: Int = 3): Double = {
+    val sa = shingles(a, n).toSet
+    val sb = shingles(b, n).toSet
+    if (sa.isEmpty && sb.isEmpty) 1.0
+    else {
+      val inter = sa.intersect(sb).size
+      inter.toDouble / (sa.size + sb.size - inter)
+    }
+  }
+
+  // ---------- vector math (similarity search) ----------
+
+  def dot(a: Array[Float], b: Array[Float]): Double = {
+    var s = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { s += a(i).toDouble * b(i); i += 1 }
+    s
+  }
+
+  def norm(a: Array[Float]): Double = math.sqrt(dot(a, a))
+
+  def cosine(a: Array[Float], b: Array[Float]): Double = {
+    val na = norm(a)
+    val nb = norm(b)
+    if (na == 0.0 || nb == 0.0) 0.0 else dot(a, b) / (na * nb)
+  }
+
+  /** Random-hyperplane LSH bucket for a vector: sign bits of seeded
+    * pseudo-random projections (deterministic, no RNG object). */
+  def rhpBucket(v: Array[Float], bits: Int, seed: Long): Long = {
+    var out = 0L
+    var b = 0
+    while (b < bits) {
+      var s = 0.0
+      var i = 0
+      while (i < v.length) {
+        // deterministic pseudo-gaussian-ish weight in [-1,1)
+        val w = (mix64(seed + b * 1000003L + i).toDouble / Long.MaxValue)
+        s += w * v(i)
+        i += 1
+      }
+      if (s >= 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+}

@@ -1,0 +1,276 @@
+package graft.url
+
+import scala.collection.mutable.ArrayBuffer
+
+/**
+ * Semantic port of the `urllib.parse` behaviors the reference relies on
+ * (urlparse/urlunparse/urljoin/quote/unquote/parse_qsl/parse_qs/urlencode) —
+ * pinned against CPython 3.10 semantics, since the byte-identity contract
+ * (normalized URLs embedded in cleaned HTML and the links table) flows
+ * through these functions (/root/reference/processing/utils.py:14-87,
+ * /root/reference/core/scraper.py:209-220).
+ */
+object PyUrl {
+
+  /** `urlparse` 6-tuple. */
+  final case class Parts(scheme: String, netloc: String, path: String,
+                         params: String, query: String, fragment: String) {
+    /** `parsed.hostname`: lowercased host, no port/userinfo/brackets. */
+    def hostname: String = {
+      var h = netloc
+      val at = h.lastIndexOf('@')
+      if (at >= 0) h = h.substring(at + 1)
+      if (h.startsWith("[")) {
+        val close = h.indexOf(']')
+        if (close >= 0) return h.substring(1, close).toLowerCase
+      }
+      val colon = h.indexOf(':')
+      if (colon >= 0) h = h.substring(0, colon)
+      h.toLowerCase
+    }
+
+    /** `parsed.port`: None when absent or non-numeric (fixtures avoid the
+      * CPython ValueError edge). */
+    def port: Option[Int] = {
+      var h = netloc
+      val at = h.lastIndexOf('@')
+      if (at >= 0) h = h.substring(at + 1)
+      val close = if (h.startsWith("[")) h.indexOf(']') else -1
+      val colon = h.indexOf(':', math.max(close, 0))
+      if (colon < 0) None
+      else {
+        val p = h.substring(colon + 1)
+        if (p.nonEmpty && p.forall(_.isDigit)) Some(p.toInt) else None
+      }
+    }
+  }
+
+  private def isSchemeChar(c: Char): Boolean =
+    c.isLetterOrDigit || c == '+' || c == '-' || c == '.'
+
+  /** CPython `urlparse` (allow_fragments=True). */
+  def urlparse(url: String, defaultScheme: String = ""): Parts = {
+    var rest = url
+    var scheme = defaultScheme
+    val colon = rest.indexOf(':')
+    if (colon > 0) {
+      val cand = rest.substring(0, colon)
+      if (cand.charAt(0).isLetter && cand.forall(isSchemeChar)) {
+        scheme = cand.toLowerCase
+        rest = rest.substring(colon + 1)
+      }
+    }
+    var netloc = ""
+    if (rest.startsWith("//")) {
+      var j = 2
+      while (j < rest.length && rest.charAt(j) != '/' && rest.charAt(j) != '?' && rest.charAt(j) != '#') j += 1
+      netloc = rest.substring(2, j)
+      rest = rest.substring(j)
+    }
+    var fragment = ""
+    val hash = rest.indexOf('#')
+    if (hash >= 0) { fragment = rest.substring(hash + 1); rest = rest.substring(0, hash) }
+    var query = ""
+    val qm = rest.indexOf('?')
+    if (qm >= 0) { query = rest.substring(qm + 1); rest = rest.substring(0, qm) }
+    // _splitparams: ';' in the last path segment
+    var params = ""
+    var path = rest
+    val semiFrom = if (rest.contains('/')) rest.lastIndexOf('/') else 0
+    val semi = rest.indexOf(';', semiFrom)
+    if (semi >= 0) { params = rest.substring(semi + 1); path = rest.substring(0, semi) }
+    Parts(scheme, netloc, path, params, query, fragment)
+  }
+
+  /** CPython `urlunparse`. */
+  def urlunparse(p: Parts): String = {
+    var url = p.path
+    if (p.params.nonEmpty) url = url + ";" + p.params
+    if (p.netloc.nonEmpty || url.startsWith("//")) {
+      if (url.nonEmpty && !url.startsWith("/")) url = "/" + url
+      url = "//" + p.netloc + url
+    }
+    if (p.scheme.nonEmpty) url = p.scheme + ":" + url
+    if (p.query.nonEmpty) url = url + "?" + p.query
+    if (p.fragment.nonEmpty) url = url + "#" + p.fragment
+    url
+  }
+
+  /** `urldefrag`: url without fragment. */
+  def urldefrag(url: String): String = {
+    val hash = url.indexOf('#')
+    if (hash < 0) url
+    else {
+      val p = urlparse(url)
+      urlunparse(p.copy(fragment = ""))
+    }
+  }
+
+  private val usesRelative = Set("", "ftp", "http", "gopher", "nntp", "imap",
+    "wais", "file", "https", "shttp", "mms", "prospero", "rtsp", "rtspu",
+    "sftp", "svn", "svn+ssh", "ws", "wss")
+  private val usesNetloc = Set("", "ftp", "http", "gopher", "nntp", "telnet",
+    "imap", "wais", "file", "mms", "https", "shttp", "snews", "prospero",
+    "rtsp", "rtspu", "rsync", "svn", "svn+ssh", "sftp", "nfs", "git",
+    "git+ssh", "ws", "wss")
+
+  /** CPython `urljoin`. */
+  def urljoin(base: String, url: String): String = {
+    if (base.isEmpty) return url
+    if (url.isEmpty) return base
+    val b = urlparse(base)
+    val u = urlparse(url, b.scheme)
+    if (u.scheme != b.scheme || !usesRelative.contains(u.scheme)) return url
+    var netloc = u.netloc
+    if (usesNetloc.contains(u.scheme)) {
+      if (u.netloc.nonEmpty)
+        return urlunparse(Parts(u.scheme, u.netloc, u.path, u.params, u.query, u.fragment))
+      netloc = b.netloc
+    }
+    if (u.path.isEmpty && u.params.isEmpty) {
+      val query = if (u.query.isEmpty) b.query else u.query
+      return urlunparse(Parts(u.scheme, netloc, b.path, b.params, query, u.fragment))
+    }
+    val baseParts = ArrayBuffer(splitKeepAll(b.path, '/'): _*)
+    if (baseParts.nonEmpty && baseParts.last != "") baseParts.remove(baseParts.length - 1)
+    val segments: ArrayBuffer[String] =
+      if (u.path.startsWith("/")) ArrayBuffer(splitKeepAll(u.path, '/'): _*)
+      else {
+        val s = baseParts ++ splitKeepAll(u.path, '/')
+        // segments[1:-1] = filter(None, segments[1:-1])
+        if (s.length > 2) {
+          val mid = s.slice(1, s.length - 1).filter(_.nonEmpty)
+          val out = ArrayBuffer(s.head)
+          out ++= mid
+          out += s.last
+          out
+        } else s
+      }
+    val resolved = ArrayBuffer.empty[String]
+    segments.foreach {
+      case ".." => if (resolved.nonEmpty) resolved.remove(resolved.length - 1)
+      case "."  =>
+      case seg  => resolved += seg
+    }
+    if (segments.nonEmpty && (segments.last == "." || segments.last == ".."))
+      resolved += ""
+    val joined = resolved.mkString("/")
+    urlunparse(Parts(u.scheme, netloc, if (joined.isEmpty) "/" else joined,
+      u.params, u.query, u.fragment))
+  }
+
+  /** Python str.split(sep) — keeps empty strings (unlike Java split). */
+  def splitKeepAll(s: String, sep: Char): Seq[String] = {
+    val out = ArrayBuffer.empty[String]
+    var start = 0
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == sep) { out += s.substring(start, i); start = i + 1 }
+      i += 1
+    }
+    out += s.substring(start)
+    out.toSeq
+  }
+
+  private val alwaysSafe: Set[Char] =
+    (('a' to 'z') ++ ('A' to 'Z') ++ ('0' to '9') ++ "_.-~").toSet
+
+  private val hex = "0123456789ABCDEF"
+
+  /** CPython `quote(s, safe)`: UTF-8 %-encode outside always_safe+safe. */
+  def quote(s: String, safe: String = "/"): String = {
+    val safeSet = alwaysSafe ++ safe.toSet
+    val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val sb = new java.lang.StringBuilder(bytes.length + 16)
+    bytes.foreach { b =>
+      val c = (b & 0xff).toChar
+      if (b >= 0 && safeSet.contains(c)) sb.append(c)
+      else sb.append('%').append(hex((b >> 4) & 0xf)).append(hex(b & 0xf))
+    }
+    sb.toString
+  }
+
+  /** CPython `quote_plus`. */
+  def quotePlus(s: String): String = {
+    if (s.contains(' ')) quote(s, " ").replace(' ', '+') else quote(s, "")
+  }
+
+  /** CPython `unquote` (utf-8, errors='replace'); '+' NOT converted. */
+  def unquote(s: String): String = {
+    if (!s.contains('%')) return s
+    val sb = new java.lang.StringBuilder(s.length)
+    val buf = new java.io.ByteArrayOutputStream()
+    def flush(): Unit = {
+      if (buf.size() > 0) {
+        val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+          .onMalformedInput(java.nio.charset.CodingErrorAction.REPLACE)
+          .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPLACE)
+        sb.append(dec.decode(java.nio.ByteBuffer.wrap(buf.toByteArray)).toString)
+        buf.reset()
+      }
+    }
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && isHex(s, i + 1) && isHex(s, i + 2)) {
+        buf.write(Integer.parseInt(s.substring(i + 1, i + 3), 16))
+        i += 3
+      } else {
+        flush()
+        sb.append(c)
+        i += 1
+      }
+    }
+    flush()
+    sb.toString
+  }
+
+  private def isHex(s: String, i: Int): Boolean =
+    i < s.length && {
+      val c = s.charAt(i)
+      (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')
+    }
+
+  /** CPython `unquote_plus`. */
+  def unquotePlus(s: String): String = unquote(s.replace('+', ' '))
+
+  /** CPython `parse_qsl` (3.10: '&' separator only). */
+  def parseQsl(qs: String, keepBlankValues: Boolean = false): Seq[(String, String)] = {
+    val out = ArrayBuffer.empty[(String, String)]
+    qs.split("&", -1).foreach { nv =>
+      if (nv.nonEmpty) {
+        val eq = nv.indexOf('=')
+        if (eq < 0) {
+          if (keepBlankValues) out += ((unquotePlus(nv), ""))
+        } else {
+          val v = nv.substring(eq + 1)
+          if (v.nonEmpty || keepBlankValues)
+            out += ((unquotePlus(nv.substring(0, eq)), unquotePlus(v)))
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  /** CPython `parse_qs`: grouped dict, first-occurrence key order. */
+  def parseQs(qs: String, keepBlankValues: Boolean = false): Seq[(String, Seq[String])] = {
+    val order = ArrayBuffer.empty[String]
+    val m = scala.collection.mutable.Map.empty[String, ArrayBuffer[String]]
+    parseQsl(qs, keepBlankValues).foreach { case (k, v) =>
+      m.get(k) match {
+        case Some(buf) => buf += v
+        case None      => order += k; m(k) = ArrayBuffer(v)
+      }
+    }
+    order.map(k => (k, m(k).toSeq)).toSeq
+  }
+
+  /** CPython `urlencode` over pairs (no doseq). */
+  def urlencode(pairs: Seq[(String, String)]): String =
+    pairs.map { case (k, v) => quotePlus(k) + "=" + quotePlus(v) }.mkString("&")
+
+  /** CPython `urlencode(..., doseq=True)` over grouped pairs. */
+  def urlencodeSeq(grouped: Seq[(String, Seq[String])]): String =
+    grouped.flatMap { case (k, vs) => vs.map(v => quotePlus(k) + "=" + quotePlus(v)) }
+      .mkString("&")
+}

@@ -1,0 +1,123 @@
+package graft.url
+
+import scala.collection.mutable.ArrayBuffer
+
+/**
+ * Port of the reference's `normalize_url`
+ * (/root/reference/processing/utils.py:14-87) and `is_session_id`
+ * (/root/reference/processing/utils.py:101-112). Pure, deterministic,
+ * UDF-free — invoked from typed `Dataset.map` / `mapPartitions` only.
+ *
+ * Quirks pinned deliberately (byte contract):
+ *  - protocol-relative `//…` becomes `http://…`;
+ *  - shortener expansion is identity (network-era; fixtures never use them);
+ *  - `www.`-fix uses Python's global `str.replace` semantics
+ *    (`'www.' + netloc.replace('www.','')`);
+ *  - default-port strip REPLACES netloc with `parsed.hostname`, silently
+ *    discarding the www/IDNA fixes — reference order is replicated as-is;
+ *  - dot-segment resolution can pop the leading empty segment
+ *    (`/..` → path "" → "/");
+ *  - `//+` collapsed in the path; trailing-slash policy keyed off
+ *    `os.path.splitext` extension presence;
+ *  - path is unquoted then requoted with `safe='/:@&=+$,'`;
+ *  - query: `parse_qsl` (blank values dropped), session-id and empty-value
+ *    params dropped, remaining `(k,v)` pairs sorted, re-encoded with
+ *    `quote_plus`; fragment dropped.
+ */
+object UrlNormalizer {
+
+  private val sessionIdPatterns: Seq[java.util.regex.Pattern] = Seq(
+    "^(session|sid)$", ".*sessionid.*", "^(s|sess)$", ".*phpsessid.*",
+    ".*jsessionid.*", ".*aspsessionid.*", ".*cfid.*", ".*cftoken.*"
+  ).map(p => java.util.regex.Pattern.compile(p, java.util.regex.Pattern.CASE_INSENSITIVE))
+
+  /** Python `re.match` (anchored at start only) with IGNORECASE. */
+  def isSessionId(param: String): Boolean =
+    sessionIdPatterns.exists(p => p.matcher(param).lookingAt())
+
+  /** IDNA encode of a netloc, mirroring `netloc.encode('idna')`
+    * (IDNA2003, same family as java.net.IDN). ASCII netlocs pass through. */
+  private def idnaEncode(netloc: String): String = {
+    if (netloc.forall(_ < 128)) netloc
+    else
+      try java.net.IDN.toASCII(netloc)
+      catch { case _: Exception => netloc } // reference logs a warning and keeps it
+  }
+
+  /** os.path.splitext extension ("" when none). */
+  private def splitextExt(path: String): String = {
+    val slash = path.lastIndexOf('/')
+    val base = path.substring(slash + 1)
+    val dot = base.lastIndexOf('.')
+    // ext only if some non-dot char precedes the last dot (os.path.splitext)
+    if (dot <= 0 || !base.substring(0, dot).exists(_ != '.')) "" else base.substring(dot)
+  }
+
+  def normalize(url0: String): String = {
+    var url = url0
+    if (url.startsWith("//")) url = "http:" + url
+    // expand_shortened_url: network-era; identity here (utils.py:89-99)
+    url = PyUrl.urldefrag(url)
+    val parsed = PyUrl.urlparse(url)
+
+    val scheme = parsed.scheme.toLowerCase
+    var netloc = parsed.netloc.toLowerCase
+    netloc = idnaEncode(netloc)
+
+    if (netloc.startsWith("www."))
+      netloc = "www." + netloc.replace("www.", "")
+    else if (netloc.startsWith("www1.") || netloc.startsWith("www2."))
+      netloc = "www." + netloc.substring(5)
+
+    val port = parsed.port
+    if ((scheme == "http" && port.contains(80)) || (scheme == "https" && port.contains(443)))
+      netloc = parsed.hostname
+
+    var path = parsed.path
+    // dot-segment resolution over raw '/'-split (utils.py:44-54)
+    val resolved = ArrayBuffer.empty[String]
+    PyUrl.splitKeepAll(path, '/').foreach {
+      case "."  =>
+      case ".." => if (resolved.nonEmpty) resolved.remove(resolved.length - 1)
+      case seg  => resolved += seg
+    }
+    path = resolved.mkString("/")
+    path = path.replaceAll("//+", "/")
+
+    if (path.nonEmpty) {
+      val ext = splitextExt(path)
+      path =
+        if (ext.isEmpty) stripTrailing(path, '/') + "/"
+        else stripTrailing(path, '/')
+    } else path = "/"
+
+    path = PyUrl.unquote(path)
+    path = PyUrl.quote(path, safe = "/:@&=+$,")
+
+    var query = parsed.query
+    if (query.nonEmpty) {
+      val params = PyUrl.parseQsl(query)
+        .filter { case (k, v) => v.nonEmpty && !isSessionId(k) }
+        .sorted
+      query = PyUrl.urlencode(params)
+    }
+
+    PyUrl.urlunparse(PyUrl.Parts(scheme, netloc, path, parsed.params, query, ""))
+  }
+
+  /** Python str.rstrip('/'). */
+  private def stripTrailing(s: String, c: Char): String = {
+    var end = s.length
+    while (end > 0 && s.charAt(end - 1) == c) end -= 1
+    s.substring(0, end)
+  }
+
+  /** `is_valid_link` relational core (/root/reference/core/scraper.py:379-392):
+    * scheme ∈ {http,https} ∧ host == baseDomain ∧ path startswith startPath.
+    * Canonical-hop recursion is resolved relationally upstream (SURVEY §2.4). */
+  def isValidLink(normalizedUrl: String, baseDomain: String, startPath: String): Boolean = {
+    val p = PyUrl.urlparse(normalizedUrl)
+    (p.scheme == "http" || p.scheme == "https") &&
+      p.netloc == baseDomain && p.path.startsWith(startPath)
+  }
+}

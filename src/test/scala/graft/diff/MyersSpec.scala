@@ -1,0 +1,58 @@
+package graft.diff
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.GoldenJson
+import scala.jdk.CollectionConverters._
+
+class MyersSpec extends AnyFunSuite {
+
+  private def opOf(n: com.fasterxml.jackson.databind.JsonNode): DiffOp = {
+    def s(f: String): String = if (n.has(f)) n.get(f).asText else null
+    DiffOp(n.get("operation").asText, s("content"), s("old_content"), s("new_content"))
+  }
+
+  test("myers_diff ops match CPython golden corpus (F16)") {
+    GoldenJson.load("myers.json").foreach { c =>
+      assume(!c.has("error"))
+      val ops = Myers.generateOps(c.get("old").asText, c.get("new").asText)
+      val expected = c.get("ops").elements().asScala.toSeq.map(opOf)
+      assert(ops == expected, s"old=${c.get("old").asText}")
+    }
+  }
+
+  test("optimized chunked diff matches CPython golden corpus") {
+    GoldenJson.load("chunked_diff.json").foreach { c =>
+      assume(!c.has("error"))
+      val chunks = Myers.optimizedChunks(
+        c.get("old").asText, c.get("new").asText, c.get("chunkSize").asInt)
+      val expected = c.get("chunks").elements().asScala.toSeq.map { ch =>
+        ChunkDiff(ch.get("chunk_index").asInt,
+          ch.get("operations").elements().asScala.toSeq.map(opOf))
+      }
+      assert(chunks == expected)
+    }
+  }
+
+  test("apply(ops) matches CPython reconstruction") {
+    GoldenJson.load("apply_diff.json").foreach { c =>
+      val ops = Myers.generateOps(c.get("old").asText, c.get("new").asText)
+      assert(Myers.applyOps(ops) == c.get("applied").asText)
+    }
+  }
+
+  test("diff of identical content is empty (reference quirk)") {
+    assert(Myers.generateOps("a\nb\nc", "a\nb\nc").isEmpty)
+  }
+
+  test("chunk_content slices exactly") {
+    assert(Myers.chunkContent("abcdefghij", 4) == Vector("abcd", "efgh", "ij"))
+    assert(Myers.chunkContent("", 4) == Vector())
+  }
+
+  test("splitlines matches Python semantics") {
+    assert(Myers.splitlines("a\nb\r\nc\rd") == Vector("a", "b", "c", "d"))
+    assert(Myers.splitlines("a\n") == Vector("a"))
+    assert(Myers.splitlines("") == Vector())
+    assert(Myers.splitlines("one") == Vector("one"))
+  }
+}

@@ -1,0 +1,107 @@
+package graft.textstats
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Gen, Prop, Test => ScTest}
+
+class TextAnalysisSpec extends AnyFunSuite {
+
+  private def check(prop: Prop): Unit = {
+    val res = ScTest.check(ScTest.Parameters.default.withMinSuccessfulTests(100), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("language heuristic separates obvious cases") {
+    assert(TextAnalysis.detectLanguage("the cat and the dog is in the house that it built") == "en")
+    assert(TextAnalysis.detectLanguage("der Hund und die Katze ist nicht in das Haus") == "de")
+    assert(TextAnalysis.detectLanguage("le chat est dans la maison avec les autres pour que") == "fr")
+    assert(TextAnalysis.detectLanguage("") == "und")
+    assert(TextAnalysis.detectLanguage("zzz qqq xxx") == "und")
+  }
+
+  test("token counts") {
+    assert(TextAnalysis.wsTokenCount("  a b   c ") == 3)
+    assert(TextAnalysis.wsTokenCount("") == 0)
+    assert(TextAnalysis.bpeishTokenCount("hello, world 42") == 5) // hello , world 4 2
+  }
+
+  test("quality score ranges and ordering") {
+    val good = TextAnalysis.quality("The quick brown fox jumps over the lazy dog and then " +
+      "it ran into the forest with many other animals that live there happily.")
+    val junk = TextAnalysis.quality("@@@ ### $$$ %%% ^^^ &&& *** 123 456 789 !!!")
+    assert(good.score > junk.score)
+    assert(good.score >= 0.0 && good.score <= 1.0)
+    assert(junk.score >= 0.0 && junk.score <= 1.0)
+  }
+
+  test("fingerprint deterministic, input-sensitive") {
+    assert(TextAnalysis.fingerprint("abc") == TextAnalysis.fingerprint("abc"))
+    assert(TextAnalysis.fingerprint("abc") != TextAnalysis.fingerprint("abd"))
+  }
+
+  test("winnowing: identical docs share fingerprints; disjoint docs do not") {
+    val a = TextAnalysis.winnow("the quick brown fox jumps over the lazy dog", 8, 4)
+    val b = TextAnalysis.winnow("the quick brown fox jumps over the lazy dog", 8, 4)
+    assert(a.sameElements(b))
+    val c = TextAnalysis.winnow("zzzzz yyyyy xxxxx wwwww vvvvv uuuuu", 8, 4)
+    assert(a.intersect(c).isEmpty)
+  }
+
+  test("shingles") {
+    assert(TextAnalysis.shingles("A b, c d", 2) == Seq("a b", "b c", "c d"))
+    assert(TextAnalysis.shingles("one", 3) == Seq("one"))
+    assert(TextAnalysis.shingles("", 3) == Nil)
+  }
+
+  test("minhash similarity tracks jaccard (near-dup signal)") {
+    val d1 = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val d2 = "the quick brown fox jumps over the lazy dog near the river bank tonight"
+    val d3 = "completely different content about spark catalyst optimizer internals"
+    val s1 = TextAnalysis.minhash(d1)
+    val s2 = TextAnalysis.minhash(d2)
+    val s3 = TextAnalysis.minhash(d3)
+    def sim(a: Array[Long], b: Array[Long]) =
+      a.zip(b).count { case (x, y) => x == y }.toDouble / a.length
+    assert(sim(s1, s2) > 0.5)
+    assert(sim(s1, s3) < 0.2)
+  }
+
+  test("lsh bands: near-dups share at least one band; self shares all") {
+    val d1 = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val b1 = TextAnalysis.lshBands(TextAnalysis.minhash(d1), 16)
+    val b1b = TextAnalysis.lshBands(TextAnalysis.minhash(d1), 16)
+    assert(b1.sameElements(b1b))
+  }
+
+  test("simhash hamming distance small for near-dups, large for distinct") {
+    val d1 = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val d2 = "the quick brown fox jumps over the lazy dog near the river bank tonight"
+    val d3 = "completely different content about spark catalyst optimizer internals and shuffles"
+    val h12 = TextAnalysis.hamming64(TextAnalysis.simhash(d1), TextAnalysis.simhash(d2))
+    val h13 = TextAnalysis.hamming64(TextAnalysis.simhash(d1), TextAnalysis.simhash(d3))
+    assert(h12 < h13)
+    assert(h12 <= 16)
+  }
+
+  test("jaccard exact") {
+    assert(TextAnalysis.jaccard("a b c d", "a b c d", 2) == 1.0)
+    assert(TextAnalysis.jaccard("a b c", "x y z", 2) == 0.0)
+  }
+
+  test("cosine properties") {
+    val v1 = Array(1f, 2f, 3f)
+    val v2 = Array(2f, 4f, 6f)
+    assert(math.abs(TextAnalysis.cosine(v1, v2) - 1.0) < 1e-9)
+    assert(TextAnalysis.cosine(v1, Array(0f, 0f, 0f)) == 0.0)
+    check(Prop.forAll(Gen.listOfN(8, Gen.chooseNum(-5f, 5f))) { l =>
+      val v = l.toArray
+      val c = TextAnalysis.cosine(v, v)
+      TextAnalysis.norm(v) == 0.0 || math.abs(c - 1.0) < 1e-6
+    })
+  }
+
+  test("rhp bucket deterministic") {
+    val v = Array(0.5f, -1f, 2f, 0.1f)
+    assert(TextAnalysis.rhpBucket(v, 8, 42L) == TextAnalysis.rhpBucket(v, 8, 42L))
+    assert(TextAnalysis.rhpBucket(v, 8, 42L) != TextAnalysis.rhpBucket(v.map(-_), 8, 42L))
+  }
+}
