@@ -1,13 +1,332 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, Similarity}
+import graft.pipeline.{Extract, PagesGen}
+
+/**
+ * Driver contract (SURVEY §5.3): every SQL-expressible operator from the
+ * SURVEY §2 inventory exposed as a named query over the /root/testdata
+ * parquet tables, with a DuckDB-equivalent oracle; the extraction byte
+ * contract itself (not SQL-expressible) is exposed as rows-only queries
+ * over the deterministic synthetic pages table and verified by the golden
+ * suites in sbt test.
+ *
+ * Determinism rules: every computed double is round()ed identically on both
+ * sides; every top-k has a total tie-break; timestamps run under UTC.
+ */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Flagship: full extraction pipeline over a self-generated pages table
+    * (no external data); driver smoke-checks rows > 0. */
+  def entry(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Extract.extract(Extract.latestPerUrl(PagesGen.pages(spark, 200L)))
+      .map(_.doc)
+      .select($"url", $"content_sha256", $"content_kind", $"url_bucket",
+        length($"text").as("text_len"), $"parse_failed")
+      .toDF()
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- aggregations (SURVEY §2.5) ----
+    "q_agg_pricing" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_price"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          count(lit(1)).as("cnt"))
+    }),
+    "q_update_frequency" -> ((s, dir) => {
+      t(s, dir, "events").groupBy(col("user_id"))
+        .agg(count(lit(1)).as("cnt"),
+          datediff(to_date(max(col("ts"))), to_date(min(col("ts")))).as("span_days"))
+        .withColumn("rate", round(col("cnt") / (col("span_days") + lit(1)), 4))
+    }),
+    "q_rollup_integrity" -> ((s, dir) => {
+      t(s, dir, "orders").groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("total"),
+          sum(when(col("o_totalprice") > 150000, 1L).otherwise(0L)).as("big_orders"),
+          sum(when(col("o_orderstatus") === "O", 1L).otherwise(0L)).as("open_orders"),
+          countDistinct(col("o_custkey")).as("n_cust"))
+    }),
+    "q_hourly_events" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 4).as("sum_value"))
+    }),
+
+    // ---- dedup-to-latest / windows (SURVEY §2.5/2.6) ----
+    "q_latest_per_key" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      t(s, dir, "orders").withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+    }),
+    "q_window_rank" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("value").desc, col("event_id"))
+      t(s, dir, "events").filter(col("event_type") === "purchase")
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("user_id"), col("event_id"), col("value"), col("rnk"))
+    }),
+
+    // ---- joins (SURVEY §2.4) ----
+    "q_changed_rows" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val prev = li.filter(col("l_linenumber") === 1)
+        .groupBy(col("l_orderkey")).agg(round(sum(col("l_quantity")), 2).as("old_qty"))
+      val cur = li.filter(col("l_linenumber") === 2)
+        .groupBy(col("l_orderkey")).agg(round(sum(col("l_quantity")), 2).as("new_qty"))
+      cur.join(prev, Seq("l_orderkey"), "left_outer")
+        .filter(col("old_qty").isNull || col("old_qty") =!= col("new_qty"))
+        .select(col("l_orderkey"), col("new_qty"), col("old_qty"))
+    }),
+    "q_anti_visited" -> ((s, dir) => {
+      val done = t(s, dir, "lineitem").filter(col("l_linenumber") === 3)
+        .select(col("l_orderkey"))
+      t(s, dir, "orders").join(done,
+          col("o_orderkey") === col("l_orderkey"), "left_anti")
+        .select(col("o_orderkey"), col("o_orderdate"))
+    }),
+    "q_semi_live" -> ((s, dir) => {
+      val open = t(s, dir, "orders").filter(col("o_orderstatus") === "O")
+      t(s, dir, "customer").join(open,
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+    }),
+    "q_anchor_exists" -> ((s, dir) => {
+      // anchor-existence analog: orders(join key) × broadcast nation dim
+      val nations = t(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+      t(s, dir, "customer")
+        .join(broadcast(nations), col("c_nationkey") === col("n_nationkey"), "left_outer")
+        .select(col("c_custkey"), col("n_name"),
+          col("n_nationkey").isNotNull.as("target_exists"))
+    }),
+
+    // ---- sorts / top-k (SURVEY §2.7) ----
+    "q_topk_priority" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .withColumn("priority_score",
+          round(lit(1.0) + lit(0.3) * least(col("o_totalprice") / 200000.0, lit(1.0)) +
+            when(col("o_orderpriority").startsWith("1"), 0.2).otherwise(0.0), 6))
+        .orderBy(col("priority_score").desc, col("o_orderkey"))
+        .limit(20)
+        .select(col("o_orderkey"), col("o_totalprice"), col("priority_score"))
+    }),
+
+    // ---- set ops (SURVEY §2.8) ----
+    "q_union_distinct" -> ((s, dir) => {
+      t(s, dir, "orders").select(col("o_custkey").as("key"))
+        .union(t(s, dir, "customer").select(col("c_custkey").as("key")))
+        .distinct()
+    }),
+
+    // ---- training-data ops: documents table ----
+    "q_dedup_exact" -> ((s, dir) =>
+      Dedup.exactGroups(t(s, dir, "documents"), "doc_id", "text")),
+    "q_token_counts" -> ((s, dir) => {
+      t(s, dir, "documents").select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).as("n_tokens"),
+        length(col("text")).as("n_chars_calc"))
+    }),
+    "q_quality_docs" -> ((s, dir) => {
+      t(s, dir, "documents").select(col("doc_id"),
+        round(length(regexp_replace(col("text"), "[^a-z ]", "")).cast("double") /
+          length(col("text")), 4).as("alpha_ratio"),
+        round(length(regexp_replace(col("text"), " ", "")).cast("double") /
+          size(split(trim(col("text")), "\\s+")), 4).as("mean_token_len"))
+    }),
+    "q_lang_stats" -> ((s, dir) => {
+      t(s, dir, "documents").groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), round(avg(col("n_chars")), 4).as("avg_chars"),
+          max(col("n_chars")).as("max_chars"))
+    }),
+
+    // ---- similarity search: embeddings table ----
+    "q_cosine_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      Similarity.bruteForceTopK(emb.filter(col("vec_id") =!= 0), "vec_id", "embedding", q, 10)
+    }),
+
+    // ---- rows-only (non-SQL-expressible; driver records rows>0) ----
+    "q_extract_docs" -> ((s, _) => entry(s)),
+    "q_extract_links" -> ((s, _) => {
+      import s.implicits._
+      Extract.extract(Extract.latestPerUrl(PagesGen.pages(s, 100L)))
+        .flatMap(_.links).toDF()
+    }),
+    "q_snapshot_diff_ops" -> ((s, _) => {
+      import s.implicits._
+      // Myers diff between the two snapshots of every changed url (F16)
+      val pages = PagesGen.pages(s, 100L)
+      val byUrl = pages.map(p => (p.url, p.warc_ts.getTime,
+          new String(p.html, java.nio.charset.StandardCharsets.UTF_8)))
+        .toDF("url", "ts", "content")
+      val pairs = byUrl.groupBy($"url").agg(
+          min(struct($"ts", $"content")).as("old"),
+          max(struct($"ts", $"content")).as("new"))
+        .filter($"old.ts" =!= $"new.ts" && $"old.content" =!= $"new.content")
+        .select($"url", $"old.content".as("old_c"), $"new.content".as("new_c"))
+      pairs.as[(String, String, String)].map { case (url, o, n) =>
+        // per-row failure isolation: the reference's myers backtrack raises
+        // on some edit scripts (crash parity pinned in MyersSpec)
+        try {
+          val ops = graft.diff.Myers.generateOps(o, n)
+          (url, ops.length, ops.count(_.operation == "replace"),
+            graft.diff.Myers.optimizedChunks(o, n).length, false)
+        } catch {
+          case _: Exception => (url, -1, -1, -1, true)
+        }
+      }.toDF("url", "n_ops", "n_replace", "n_changed_chunks", "diff_failed")
+    }),
+    "q_minhash_lsh_pairs" -> ((s, dir) => {
+      val cands = Dedup.lshCandidatePairs(t(s, dir, "documents"), "doc_id", "text",
+        numPerm = 32, bands = 16)
+      Dedup.verifyJaccard(cands, t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(desc("jaccard"), col("id_a"), col("id_b")).limit(50)
+    }),
+    "q_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 7)
+        .orderBy(col("hamming"), col("id_a"), col("id_b")).limit(50)),
+    "q_doc_fingerprints" -> ((s, dir) =>
+      Dedup.fingerprints(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("id"), col("simhash"), col("n_shingles"))),
+    "q_ann_lsh_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      Similarity.lshTopK(emb.filter(col("vec_id") =!= 0), "vec_id", "embedding",
+        q, 10, bits = 8, nProbes = 4)
+    }),
+    "q_boilerplate_main" -> ((s, _) => {
+      import s.implicits._
+      graft.pipeline.PagesGen.pages(s, 100L)
+        .filter((p: graft.pipeline.PageRow) => p.url.endsWith(".html"))
+        .map { p =>
+          val mc = graft.clean.Boilerplate.mainContentFromHtml(
+            graft.html.HtmlParser.decode(p.html))
+          (p.url, mc.blocks, mc.strippedElements, mc.totalChars)
+        }.toDF("url", "blocks", "stripped_elements", "main_chars")
+    }),
+    "q_media_features" -> ((s, _) => {
+      val media = graft.ops.Multimodal.syntheticMedia(s, 200)
+      graft.ops.Multimodal.withMediaFeatures(media, "payload")
+        .select(col("media_id"), col("media_meta.kind").as("kind"),
+          col("media_meta.width").as("width"), col("media_meta.height").as("height"),
+          round(element_at(col("features"), 1), 5).as("f0"))
+    }),
+    "q_lang_detect" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents").select(col("doc_id"), col("lang"), col("text"))
+        .as[(Long, String, String)]
+        .map { case (id, lang, text) =>
+          (id, lang, graft.textstats.TextAnalysis.detectLanguage(text),
+            graft.textstats.TextAnalysis.bpeishTokenCount(text))
+        }.toDF("doc_id", "lang", "lang_detected", "bpeish_tokens")
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_agg_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity), 2) AS sum_qty,
+        | round(sum(l_extendedprice), 2) AS sum_price,
+        | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+        | round(avg(l_quantity), 4) AS avg_qty,
+        | count(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q_update_frequency" ->
+      """SELECT user_id, cnt, span_days, round(cnt / (span_days + 1), 4) AS rate
+        |FROM (SELECT user_id, count(*) AS cnt,
+        |        date_diff('day', CAST(min(ts) AS DATE), CAST(max(ts) AS DATE)) AS span_days
+        |      FROM events GROUP BY user_id)""".stripMargin,
+    "q_rollup_integrity" ->
+      """SELECT o_orderpriority, count(*) AS total,
+        | CAST(sum(CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END) AS BIGINT) AS big_orders,
+        | CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS open_orders,
+        | count(DISTINCT o_custkey) AS n_cust
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    "q_hourly_events" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+        | count(*) AS cnt, round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_latest_per_key" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice FROM (
+        | SELECT *, row_number() OVER (PARTITION BY o_custkey
+        |   ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders)
+        |WHERE rn = 1""".stripMargin,
+    "q_window_rank" ->
+      """SELECT user_id, event_id, value, rnk FROM (
+        | SELECT user_id, event_id, value, row_number() OVER (
+        |   PARTITION BY user_id ORDER BY value DESC, event_id) AS rnk
+        | FROM events WHERE event_type = 'purchase')
+        |WHERE rnk <= 3""".stripMargin,
+    "q_changed_rows" ->
+      """WITH prev AS (SELECT l_orderkey, round(sum(l_quantity), 2) AS old_qty
+        |              FROM lineitem WHERE l_linenumber = 1 GROUP BY l_orderkey),
+        |     cur AS (SELECT l_orderkey, round(sum(l_quantity), 2) AS new_qty
+        |             FROM lineitem WHERE l_linenumber = 2 GROUP BY l_orderkey)
+        |SELECT cur.l_orderkey, new_qty, old_qty
+        |FROM cur LEFT JOIN prev ON cur.l_orderkey = prev.l_orderkey
+        |WHERE old_qty IS NULL OR old_qty <> new_qty""".stripMargin,
+    "q_anti_visited" ->
+      """SELECT o_orderkey, o_orderdate FROM orders o
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+        |  WHERE l.l_orderkey = o.o_orderkey AND l.l_linenumber = 3)""".stripMargin,
+    "q_semi_live" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')""".stripMargin,
+    "q_anchor_exists" ->
+      """SELECT c_custkey, n_name, n_nationkey IS NOT NULL AS target_exists
+        |FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey""".stripMargin,
+    "q_topk_priority" ->
+      """SELECT o_orderkey, o_totalprice,
+        | round(1.0 + 0.3 * least(o_totalprice / 200000.0, 1.0) +
+        |   CASE WHEN o_orderpriority LIKE '1%' THEN 0.2 ELSE 0.0 END, 6) AS priority_score
+        |FROM orders ORDER BY priority_score DESC, o_orderkey LIMIT 20""".stripMargin,
+    "q_union_distinct" ->
+      """SELECT DISTINCT key FROM (
+        | SELECT o_custkey AS key FROM orders
+        | UNION ALL SELECT c_custkey AS key FROM customer)""".stripMargin,
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS h, min(doc_id) AS keeper, count(*) AS n
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+    "q_token_counts" ->
+      """SELECT doc_id,
+        | len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+        | length(text) AS n_chars_calc
+        |FROM documents""".stripMargin,
+    "q_quality_docs" ->
+      """SELECT doc_id,
+        | round(length(regexp_replace(text, '[^a-z ]', '', 'g')) * 1.0 / length(text), 4) AS alpha_ratio,
+        | round(length(replace(text, ' ', '')) * 1.0 /
+        |   len(regexp_split_to_array(trim(text), '\s+')), 4) AS mean_token_len
+        |FROM documents""".stripMargin,
+    "q_lang_stats" ->
+      """SELECT lang, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars,
+        | max(n_chars) AS max_chars
+        |FROM documents GROUP BY lang""".stripMargin,
+    "q_cosine_topk" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id, round(
+        |   list_dot_product(CAST(embedding AS DOUBLE[]), q.qv) /
+        |   (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) *
+        |    sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos
+        |FROM embeddings, q WHERE vec_id <> 0
+        |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin
+  )
 }

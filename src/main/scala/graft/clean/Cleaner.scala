@@ -37,9 +37,27 @@ object Cleaner {
   private val unicodeWs = java.util.regex.Pattern.compile(
     "[\\t\\n\\x0B\\f\\r\\x1C-\\x1F \\x85\\xA0\\u1680\\u2000-\\u200A\\u2028\\u2029\\u202F\\u205F\\u3000]+")
 
-  /** `normalize_whitespace` (core/scraper.py:198-200). */
-  def normalizeWhitespace(text: String): String =
-    pyStrip(unicodeWs.matcher(text).replaceAll(" "))
+  /** `normalize_whitespace` (core/scraper.py:198-200): every `\s+` run → one
+    * space, then strip. Single-pass scanner — byte-identical to
+    * `re.sub(r'\s+',' ',t).strip()` (the regex equivalent is pinned by the
+    * CPython whitespace goldens). */
+  def normalizeWhitespace(text: String): String = {
+    val n = text.length
+    val sb = new java.lang.StringBuilder(n)
+    var i = 0
+    var pendingSpace = false
+    while (i < n) {
+      val c = text.charAt(i)
+      if (isPyWs(c)) pendingSpace = true
+      else {
+        if (pendingSpace && sb.length > 0) sb.append(' ')
+        pendingSpace = false
+        sb.append(c)
+      }
+      i += 1
+    }
+    sb.toString
+  }
 
   /** Python str.strip() -- same whitespace set. */
   private def pyStrip(s: String): String = {
@@ -55,53 +73,103 @@ object Cleaner {
       c == 0x85 || Character.getType(c) == Character.SPACE_SEPARATOR ||
       c == 0x2028 || c == 0x2029
 
-  /** Pass 1: `normalize_html_structure` (core/scraper.py:187-196). */
+  /** Pass 1: `normalize_html_structure` (core/scraper.py:187-196).
+    * Semantics pinned to bs4: pre-order SNAPSHOT of all elements taken
+    * before any removal; empty ⇔ no element descendant AND every text
+    * descendant strips to "". The emptiness probe early-exits on the first
+    * element child or non-blank text (same answer as the O(subtree)
+    * get_text check, without the quadratic walk). */
   def removeEmptyTags(doc: Document): Unit = {
     val snapshot = doc.descendantElements // pre-order, materialized first
     snapshot.foreach { tag =>
-      if (tag.parent != null && tag.getTextStripped.isEmpty && tag.descendantElements.isEmpty)
-        tag.extract()
+      if (tag.parent != null && isEmptyTag(tag)) tag.extract()
     }
+  }
+
+  private def isEmptyTag(tag: Element): Boolean = {
+    var i = 0
+    val cs = tag.children
+    while (i < cs.length) {
+      cs(i) match {
+        case _: Element => return false // any element descendant ⇒ kept
+        case t: Text    => if (t.data.trim.nonEmpty) return false
+        case _          => // comments/doctypes don't count as text (bs4)
+      }
+      i += 1
+    }
+    true
   }
 
   /** Pass 2: `normalize_character_encoding` (core/scraper.py:202-207).
     * Applied to plain text nodes (script/style contents included). */
   def unescapeTextNodes(doc: Document): Unit = {
-    doc.descendants.foreach {
-      case t: Text => t.data = Entities.unescape(t.data)
-      case _       =>
+    def walk(e: Element): Unit = {
+      var i = 0
+      while (i < e.children.length) {
+        e.children(i) match {
+          case t: Text     => t.data = Entities.unescape(t.data)
+          case c: Element  => walk(c)
+          case _           =>
+        }
+        i += 1
+      }
     }
+    walk(doc)
   }
 
   /** Pass 3: `normalize_urls` (core/scraper.py:209-220). */
   def absolutizeHrefs(doc: Document, baseUrl: String): Unit = {
-    doc.descendantElements.foreach { el =>
-      if (el.name == "a") el.attr("href").foreach { href =>
+    def walk(e: Element): Unit = {
+      if (e.name == "a") e.attr("href").foreach { href =>
         var abs = PyUrl.urljoin(baseUrl, href)
         val parsed = PyUrl.urlparse(abs)
         val qd = PyUrl.parseQs(parsed.query, keepBlankValues = true)
         val filtered = qd.filterNot { case (k, _) => k.startsWith("utm_") }
         abs = PyUrl.urlunparse(parsed.copy(query = PyUrl.urlencodeSeq(filtered)))
-        el.setAttr("href", abs)
+        e.setAttr("href", abs)
+      }
+      var i = 0
+      while (i < e.children.length) {
+        e.children(i) match { case c: Element => walk(c); case _ => }
+        i += 1
       }
     }
+    walk(doc)
   }
 
   private val displayNone =
     java.util.regex.Pattern.compile("display:\\s*none")
 
-  /** Pass 4: `basic_content_cleaning` (core/scraper.py:222-231). */
+  /** Pass 4: `basic_content_cleaning` (core/scraper.py:222-231).
+    * Comments first (all of them), then display:none subtrees — matching
+    * the reference's two find_all passes. In-place removal walks backwards
+    * so sibling indices stay valid. */
   def removeCommentsAndHidden(doc: Document): Unit = {
-    doc.descendants.foreach {
-      case c: Comment => c.extract()
-      case _          =>
-    }
-    doc.descendantElements.foreach { el =>
-      if (el.parent != null)
-        el.attr("style").foreach { st =>
-          if (displayNone.matcher(st).find()) el.extract()
+    def stripComments(e: Element): Unit = {
+      var i = e.children.length - 1
+      while (i >= 0) {
+        e.children(i) match {
+          case c: Comment => c.extract()
+          case el: Element => stripComments(el)
+          case _ =>
         }
+        i -= 1
+      }
     }
+    stripComments(doc)
+    def stripHidden(e: Element): Unit = {
+      var i = e.children.length - 1
+      while (i >= 0) {
+        e.children(i) match {
+          case el: Element =>
+            val hidden = el.attr("style").exists(st => displayNone.matcher(st).find())
+            if (hidden) el.extract() else stripHidden(el)
+          case _ =>
+        }
+        i -= 1
+      }
+    }
+    stripHidden(doc)
   }
 
   final case class CleanResult(text: String, cleanedDoc: Document)

@@ -134,11 +134,6 @@ object Entities {
     }
   }
 
-  // Python html._charref: &(#\d+;? | #[xX][0-9a-fA-F]+;? | [^\t\n\f <&#;]{1,32};?)
-  private val charref = ("&(#[0-9]+;?" +
-    "|#[xX][0-9a-fA-F]+;?" +
-    "|[^\\t\\n\\u000c <&#;]{1,32};?)").r
-
   private def replaceRef(body: String): String = {
     if (body.charAt(0) == '#') {
       decodeNumeric(if (body.endsWith(";")) body.dropRight(1) else body)
@@ -164,10 +159,61 @@ object Entities {
     "&" + body
   }
 
-  /** Python `html.unescape`. */
+  // name chars per Python html._charref: anything except \t \n \f space < & # ;
+  private def isNameChar(c: Char): Boolean =
+    c != '\t' && c != '\n' && c != '' && c != ' ' && c != '<' &&
+      c != '&' && c != '#' && c != ';'
+
+  private def isHexDigit(c: Char): Boolean =
+    (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')
+
+  /** Python `html.unescape` — hand-rolled scanner with identical match
+    * semantics to the stdlib `_charref` regex (hot path: one pass, no
+    * allocation when no reference resolves). */
   def unescape(s: String): String = {
-    if (s.indexOf('&') < 0) return s
-    charref.replaceAllIn(s, m =>
-      java.util.regex.Matcher.quoteReplacement(replaceRef(m.group(1))))
+    var amp = s.indexOf('&')
+    if (amp < 0) return s
+    val n = s.length
+    val sb = new java.lang.StringBuilder(n)
+    var last = 0
+    while (amp >= 0 && amp < n) {
+      var end = -1 // exclusive end of the matched charref (after optional ';')
+      var body: String = null
+      val start = amp + 1
+      if (start < n && s.charAt(start) == '#') {
+        var j = start + 1
+        if (j < n && (s.charAt(j) == 'x' || s.charAt(j) == 'X')) {
+          var k = j + 1
+          while (k < n && isHexDigit(s.charAt(k))) k += 1
+          if (k > j + 1) {
+            end = if (k < n && s.charAt(k) == ';') k + 1 else k
+            body = s.substring(start, end)
+          }
+        } else {
+          var k = j
+          while (k < n && s.charAt(k) >= '0' && s.charAt(k) <= '9') k += 1
+          if (k > j) {
+            end = if (k < n && s.charAt(k) == ';') k + 1 else k
+            body = s.substring(start, end)
+          }
+        }
+      } else {
+        var k = start
+        while (k < n && k - start < 32 && isNameChar(s.charAt(k))) k += 1
+        if (k > start) {
+          end = if (k < n && s.charAt(k) == ';') k + 1 else k
+          body = s.substring(start, end)
+        }
+      }
+      if (body != null) {
+        sb.append(s, last, amp).append(replaceRef(body))
+        last = end
+        amp = s.indexOf('&', end)
+      } else {
+        amp = s.indexOf('&', amp + 1)
+      }
+    }
+    if (last == 0) s
+    else { sb.append(s, last, n); sb.toString }
   }
 }

@@ -74,15 +74,66 @@ object LinkExtractor {
     (links.toSeq, pagination)
   }
 
+  /** One-walk element index for the per-page extractors (meta/link/script/
+    * media tags collected in document order — each extractor would otherwise
+    * re-traverse the tree). */
+  final class PageIndex {
+    val media = ArrayBuffer.empty[Element] // a img video audio source iframe
+    val anchors = ArrayBuffer.empty[Element] // <a> only
+    val linkTags = ArrayBuffer.empty[Element]
+    val scripts = ArrayBuffer.empty[Element]
+    val imgs = ArrayBuffer.empty[Element]
+  }
+
+  def index(doc: Document): PageIndex = {
+    val ix = new PageIndex
+    def walk(e: Element): Unit = {
+      var i = 0
+      while (i < e.children.length) {
+        e.children(i) match {
+          case c: Element =>
+            c.name match {
+              case "a" => ix.media += c; ix.anchors += c
+              case "img" => ix.media += c; ix.imgs += c
+              case "video" | "audio" | "source" | "iframe" => ix.media += c
+              case "link" => ix.linkTags += c
+              case "script" => ix.scripts += c
+              case _ =>
+            }
+            walk(c)
+          case _ =>
+        }
+        i += 1
+      }
+    }
+    walk(doc)
+    ix
+  }
+
+  private def paginationFromAnchors(anchors: collection.Seq[Element],
+                                    baseUrl: String): Seq[String] = {
+    val out = LinkedHashSet.empty[String]
+    anchors.foreach { a =>
+      if (a.hasAttr("href")) anchorString(a).foreach { s =>
+        val isPag = numbered.matcher(s).find() || nextPrev.matcher(s).find() ||
+          firstLast.matcher(s).find() || loadMore.matcher(s).find()
+        if (isPag) out += PyUrl.urljoin(baseUrl, a.attr("href").get)
+      }
+    }
+    out.toSeq
+  }
+
   /** All raw edges for the links table (dedup/joins downstream are
     * relational): every href/src of the media tags, urljoined + normalized,
-    * with pagination / asset classification. */
-  def edges(doc: Document, url: String): Seq[Edge] = {
+    * with pagination / asset classification. Single DOM walk via `index`. */
+  def edges(doc: Document, url: String): Seq[Edge] = edges(index(doc), url)
+
+  def edges(ix: PageIndex, url: String): Seq[Edge] = {
     val out = ArrayBuffer.empty[Edge]
-    val pagination = paginationLinks(doc, url).toSet
-    doc.descendantElements.foreach { el =>
+    val pagination = paginationFromAnchors(ix.anchors, url).toSet
+    ix.media.foreach { el =>
       val attrVal = el.attr("href").orElse(el.attr("src"))
-      if (mediaTags.contains(el.name)) attrVal.foreach { h =>
+      attrVal.foreach { h =>
         val joined = PyUrl.urljoin(url, h)
         val normalized =
           try UrlNormalizer.normalize(joined) catch { case _: Exception => joined }
@@ -94,7 +145,7 @@ object LinkExtractor {
         out += Edge(normalized, kind, el.name, anchor)
       }
     }
-    out ++= assetEdges(doc, url)
+    out ++= assetEdges(ix, url)
     out.toSeq
   }
 
@@ -103,13 +154,16 @@ object LinkExtractor {
   /** `extract_asset_links` (core/scraper.py:862-895) as edges. The reference
     * would TypeError on `script.string` None (external scripts); intended
     * semantics (skip bodyless scripts) implemented, deviation documented. */
-  def assetEdges(doc: Document, baseUrl: String): Seq[Edge] = {
+  def assetEdges(doc: Document, baseUrl: String): Seq[Edge] =
+    assetEdges(index(doc), baseUrl)
+
+  def assetEdges(ix: PageIndex, baseUrl: String): Seq[Edge] = {
     val out = ArrayBuffer.empty[Edge]
-    doc.findAll("link").foreach { l =>
+    ix.linkTags.foreach { l =>
       if (l.attr("rel").exists(_.split("\\s+").contains("stylesheet")))
         l.attr("href").foreach(h => out += Edge(PyUrl.urljoin(baseUrl, h), "css", "link", ""))
     }
-    doc.findAll("script").foreach { s =>
+    ix.scripts.foreach { s =>
       s.attr("src") match {
         case Some(src) => out += Edge(PyUrl.urljoin(baseUrl, src), "js", "script", "")
         case None =>
@@ -125,7 +179,7 @@ object LinkExtractor {
           }
       }
     }
-    doc.findAll("img").foreach { i =>
+    ix.imgs.foreach { i =>
       i.attr("src").foreach(src => out += Edge(PyUrl.urljoin(baseUrl, src), "image", "img", ""))
     }
     out.toSeq
@@ -146,10 +200,20 @@ object LinkExtractor {
     * every `id` attribute value plus `<a name=...>` values. */
   def anchorIds(doc: Document): Seq[String] = {
     val out = LinkedHashSet.empty[String]
-    doc.descendantElements.foreach { el =>
-      el.attr("id").foreach(out += _)
-      if (el.name == "a") el.attr("name").foreach(out += _)
+    def walk(e: Element): Unit = {
+      var i = 0
+      while (i < e.children.length) {
+        e.children(i) match {
+          case el: Element =>
+            el.attr("id").foreach(out += _)
+            if (el.name == "a") el.attr("name").foreach(out += _)
+            walk(el)
+          case _ =>
+        }
+        i += 1
+      }
     }
+    walk(doc)
     out.toSeq
   }
 }

@@ -43,6 +43,18 @@ object MetadataExtractor {
     * fixed pattern list (SURVEY §2.3), date-only inputs get T00:00:00. */
   def parseDateIso(s: String): Option[String] = {
     val v = s.trim
+    // fast paths for the two dominant shapes (avoid the exception chain)
+    if (v.length == 10 && v.charAt(4) == '-' && v.charAt(7) == '-' &&
+        v.forall(c => c.isDigit || c == '-')) {
+      return try Some(v + "T00:00:00").filter(_ =>
+        { java.time.LocalDate.parse(v); true })
+      catch { case _: Exception => None }
+    }
+    if (v.length == 19 && v.charAt(10) == 'T') {
+      try return Some(java.time.LocalDateTime.parse(v)
+        .format(DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss")))
+      catch { case _: Exception => }
+    }
     val formats = Seq(
       "yyyy-MM-dd'T'HH:mm:ssXXX", "yyyy-MM-dd'T'HH:mm:ssX",
       "yyyy-MM-dd'T'HH:mm:ss", "yyyy-MM-dd HH:mm:ss",
@@ -72,7 +84,34 @@ object MetadataExtractor {
   }
 
   def extract(doc: Document): PageMeta = {
-    val metas = doc.findAll("meta")
+    // single walk: metas, json-ld scripts, canonical link, first title
+    val metas = scala.collection.mutable.ArrayBuffer.empty[Element]
+    val ldScripts = scala.collection.mutable.ArrayBuffer.empty[Element]
+    var canonicalEl: Element = null
+    var titleEl: Element = null
+    def walk(e: Element): Unit = {
+      var i = 0
+      while (i < e.children.length) {
+        e.children(i) match {
+          case el: Element =>
+            el.name match {
+              case "meta" => metas += el
+              case "script" =>
+                if (el.attr("type").contains("application/ld+json")) ldScripts += el
+              case "link" =>
+                if (canonicalEl == null &&
+                    el.attr("rel").exists(_.split("\\s+").contains("canonical")) &&
+                    el.attr("href").exists(_.nonEmpty)) canonicalEl = el
+              case "title" => if (titleEl == null) titleEl = el
+              case _ =>
+            }
+            walk(el)
+          case _ =>
+        }
+        i += 1
+      }
+    }
+    walk(doc)
 
     def metaByName(n: String): Option[Element] =
       metas.find(_.attr("name").contains(n))
@@ -106,18 +145,19 @@ object MetadataExtractor {
     val lastModified = lastModifiedRaw.map(raw => parseDateIso(raw).getOrElse(raw))
 
     // structured data: raw <script type="application/ld+json"> bodies
-    val jsonLd = doc.findAll("script").collect {
-      case s if s.attr("type").contains("application/ld+json") => s.getText
-    }
+    val jsonLd = ldScripts.map(_.getText)
 
     // get_canonical_url: <link rel=canonical href>
-    val canonical = doc.findAll("link").collectFirst {
-      case l if l.attr("rel").exists(r =>
-            r.split("\\s+").contains("canonical")) && l.attr("href").exists(_.nonEmpty) =>
-        l.attr("href").get
+    val canonical = Option(canonicalEl).flatMap(_.attr("href"))
+
+    val title = Option(titleEl).flatMap { t =>
+      t.children.toList match {
+        case (txt: Text) :: Nil => Some(txt.data)
+        case _                  => None
+      }
     }
 
-    PageMeta(extractTitle(doc), description, keywords, lastModified,
+    PageMeta(title, description, keywords, lastModified,
       dateMetas.toSeq, authors.toSeq, og.toSeq, jsonLd.toSeq, canonical)
   }
 }

@@ -1,0 +1,101 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Multimodal-column operators: image/audio/video payloads ride as opaque
+ * `binary` columns with typed metadata structs. The DECODE step is a
+ * deterministic stub (image/audio codecs are not available in this
+ * container — FIXTURES/driver contract); everything Spark-side — schema,
+ * batch shape, partitioning, the mapPartitions plumbing a Pandas-UDF/
+ * `mapInPandas` stage would occupy — is real and tested. Swapping the stub
+ * for a real decoder changes ONE function.
+ */
+object Multimodal {
+
+  /** Sniffed media kind from magic bytes (real). */
+  def mediaKind(bytes: Array[Byte]): String = {
+    if (bytes == null || bytes.length < 4) return "unknown"
+    def b(i: Int): Int = bytes(i) & 0xff
+    if (b(0) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') "image/png"
+    else if (b(0) == 0xff && b(1) == 0xd8 && b(2) == 0xff) "image/jpeg"
+    else if (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8') "image/gif"
+    else if (b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F') "audio/wav-or-video/avi"
+    else if (b(0) == 'I' && b(1) == 'D' && b(2) == '3') "audio/mpeg"
+    else if (bytes.length > 8 && b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p') "video/mp4"
+    else if (b(0) == '%' && b(1) == 'P' && b(2) == 'D' && b(3) == 'F') "application/pdf"
+    else "unknown"
+  }
+
+  /** PNG header width/height (real parse of IHDR — deterministic). */
+  def pngDims(bytes: Array[Byte]): Option[(Int, Int)] = {
+    if (bytes == null || bytes.length < 24) return None
+    if (mediaKind(bytes) != "image/png") return None
+    def i32(o: Int): Int =
+      ((bytes(o) & 0xff) << 24) | ((bytes(o + 1) & 0xff) << 16) |
+        ((bytes(o + 2) & 0xff) << 8) | (bytes(o + 3) & 0xff)
+    Some((i32(16), i32(20)))
+  }
+
+  /** STUBBED decode: a real implementation would hand batches to an image
+    * library (mapInPandas / JNI); this deterministic fake derives a fixed-
+    * length feature vector from the payload bytes so the downstream plumbing
+    * (schema, similarity, clustering) is fully exercisable. */
+  def stubDecodeFeatures(bytes: Array[Byte], dim: Int = 16): Array[Float] = {
+    val out = new Array[Float](dim)
+    if (bytes == null) return out
+    var i = 0
+    while (i < bytes.length) {
+      out(i % dim) += (bytes(i) & 0xff) / 255.0f
+      i += 1
+    }
+    val n = math.max(1, bytes.length / dim)
+    var d = 0
+    while (d < dim) { out(d) /= n; d += 1 }
+    out
+  }
+
+  val mediaMetaSchema: StructType = StructType(Seq(
+    StructField("kind", StringType),
+    StructField("n_bytes", LongType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType)))
+
+  /** Attach typed metadata + stub feature vector to a binary media column.
+    * One typed pass; batch-shaped like a mapInPandas stage (iterator in/out,
+    * per-partition amortization). */
+  def withMediaFeatures(df: DataFrame, binCol: String, dim: Int = 16): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("media_meta", mediaMetaSchema),
+      StructField("features", ArrayType(FloatType, containsNull = false))))
+    val idx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](idx)
+        val dims = pngDims(bytes)
+        val meta = Row(mediaKind(bytes),
+          if (bytes == null) 0L else bytes.length.toLong,
+          dims.map(_._1).orNull, dims.map(_._2).orNull)
+        Row.fromSeq(r.toSeq :+ meta :+ stubDecodeFeatures(bytes, dim).toSeq)
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
+  /** Deterministic synthetic media corpus (tiny PNG-headed blobs) for tests
+    * and rows-only queries — no external data. */
+  def syntheticMedia(spark: org.apache.spark.sql.SparkSession, n: Int): DataFrame = {
+    import spark.implicits._
+    val pngSig = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+    (0 until n).map { i =>
+      val w = 16 + (i % 64)
+      val h = 16 + ((i * 7) % 64)
+      val ihdr = Array[Byte](0, 0, 0, 13, 'I', 'H', 'D', 'R',
+        (w >> 24).toByte, (w >> 16).toByte, (w >> 8).toByte, w.toByte,
+        (h >> 24).toByte, (h >> 16).toByte, (h >> 8).toByte, h.toByte)
+      val body = Array.tabulate[Byte](64)(j => ((i * 31 + j * 7) % 251).toByte)
+      (i.toLong, pngSig ++ ihdr ++ body)
+    }.toDF("media_id", "payload")
+  }
+}

@@ -1,0 +1,79 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.textstats.TextAnalysis
+
+/**
+ * Similarity search over an embedding column (`array<float>`).
+ *
+ * - `bruteForceTopK`: exact cosine top-k for a query vector — codegen'd
+ *   Catalyst expressions only (`aggregate`/`zip_with` over the array; no
+ *   UDF), one scan, a single top-k sort. The correctness baseline.
+ * - `lshTopK`: random-hyperplane LSH bucketing (IVF-style scale path) —
+ *   probes the query's bucket plus `nProbes-1` nearest sign-flip buckets;
+ *   at 10^12 rows the scan touches only matching buckets (partition-pruned
+ *   when the table is written partitioned by bucket).
+ */
+object Similarity {
+
+  /** Cosine between an array<float> column and a literal query vector, as a
+    * pure Catalyst expression tree (double math, sequential order — matches
+    * the DuckDB oracle's list-function semantics). */
+  def cosineToQuery(embCol: String, q: Array[Float]): Column = {
+    val qArr = s"array(${q.map(v => s"CAST(${v.toDouble} AS DOUBLE)").mkString(",")})"
+    val dot = s"aggregate(zip_with($embCol, $qArr, (x, y) -> CAST(x AS DOUBLE) * y), 0D, (a, v) -> a + v)"
+    val na = s"sqrt(aggregate($embCol, 0D, (a, v) -> a + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
+    val nb = math.sqrt(q.map(v => v.toDouble * v.toDouble).sum)
+    expr(s"$dot / ($na * CAST($nb AS DOUBLE))")
+  }
+
+  /** Exact top-k by cosine for one query vector. */
+  def bruteForceTopK(emb: DataFrame, idCol: String, embCol: String,
+                     q: Array[Float], k: Int): DataFrame =
+    emb.select(col(idCol), round(cosineToQuery(embCol, q), 6).as("cos"))
+      .orderBy(desc("cos"), col(idCol))
+      .limit(k)
+
+  /** Add the RHP-LSH bucket column (deterministic, seeded). Typed map —
+    * the hyperplane weights are seeded-hash-derived, not expressible as a
+    * Catalyst expression; everything around it stays relational. */
+  def withBucket(emb: DataFrame, embCol: String, bits: Int = 12,
+                 seed: Long = 42L): DataFrame = {
+    val outSchema = org.apache.spark.sql.types.StructType(
+      emb.schema.fields :+ org.apache.spark.sql.types.StructField(
+        "lsh_bucket", org.apache.spark.sql.types.LongType))
+    val idx = emb.schema.fieldIndex(embCol)
+    emb.mapPartitions { rows =>
+      rows.map { r =>
+        val v = r.getSeq[Float](idx).toArray
+        org.apache.spark.sql.Row.fromSeq(
+          r.toSeq :+ TextAnalysis.rhpBucket(v, bits, seed))
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
+  /** ANN: probe the query bucket (+ single-bit-flip neighbors) and rank by
+    * exact cosine within probes. Returns (id, cos, probed_buckets). */
+  def lshTopK(emb: DataFrame, idCol: String, embCol: String, q: Array[Float],
+              k: Int, bits: Int = 12, nProbes: Int = 4, seed: Long = 42L): DataFrame = {
+    val qb = TextAnalysis.rhpBucket(q, bits, seed)
+    val probes: Seq[Long] = qb +: (0 until math.min(nProbes - 1, bits))
+      .map(b => qb ^ (1L << b))
+    val bucketed = withBucket(emb, embCol, bits, seed)
+    bucketed.filter(col("lsh_bucket").isin(probes: _*))
+      .select(col(idCol), round(cosineToQuery(embCol, q), 6).as("cos"))
+      .orderBy(desc("cos"), col(idCol))
+      .limit(k)
+  }
+
+  /** Recall@k of the LSH path vs brute force (diagnostics / tests). */
+  def recallAtK(emb: DataFrame, idCol: String, embCol: String, q: Array[Float],
+                k: Int, bits: Int = 12, nProbes: Int = 4): Double = {
+    val exact = bruteForceTopK(emb, idCol, embCol, q, k)
+      .select(col(idCol)).collect().map(_.get(0)).toSet
+    val approx = lshTopK(emb, idCol, embCol, q, k, bits, nProbes)
+      .select(col(idCol)).collect().map(_.get(0)).toSet
+    if (exact.isEmpty) 1.0 else exact.intersect(approx).size.toDouble / exact.size
+  }
+}

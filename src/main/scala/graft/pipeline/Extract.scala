@@ -1,0 +1,287 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.clean.{Cleaner, Sanitize}
+import graft.html.{HtmlParser, Serializer}
+import graft.links.LinkExtractor
+import graft.meta.MetadataExtractor
+import graft.pdf.PdfText
+import graft.url.PyUrl
+
+/**
+ * The Spark extraction graph (SURVEY §3.1 Spark equivalent):
+ *
+ *   scan pages → validity/blocklist filters (relational, BEFORE the typed
+ *   map so pushdown/pruning stay columnar — SURVEY §4.2) → latest-per-url
+ *   dedup (single url-hash shuffle) → changed-only anti-join vs previous
+ *   snapshot on (url, content_sha256, size) projections — never shuffling
+ *   `html` payloads for the compare — → `mapPartitions` extraction (parser
+ *   state amortized per partition; per-row failure isolation) → writes
+ *   docs_clean / doc_meta / links / metrics / progress.
+ *
+ * Scale notes (100 TB / 10^12 docs):
+ *  - the ONLY payload-bearing shuffle is the latest-per-url window; with
+ *    Iceberg `bucket(url)` layout it disappears (storage-partitioned scan) —
+ *    locally the parquet input is already partitioned by `url_bucket`, and
+ *    `dedupInPartition=true` exploits it;
+ *  - change-detection joins project (url, sha256, size) only — ~60 bytes/row;
+ *  - AQE handles skewed hosts on the links rollups; extraction itself is
+ *    embarrassingly parallel after dedup;
+ *  - resume: `progress` ledger keyed by (run_id, url_bucket); a re-run
+ *    anti-joins completed buckets (idempotent per-bucket dynamic overwrite).
+ */
+object Extract {
+
+  val DefaultBuckets = 16
+
+  /** url-hash bucket — EXACT parity with the SQL `pmod(xxhash64(url), n)`
+    * (same XxHash64, seed 42, over UTF-8 bytes), so typed-map outputs and
+    * relational bucket filters never disagree. */
+  def urlBucket(url: String, numBuckets: Int): Int = {
+    val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+      org.apache.spark.unsafe.types.UTF8String.fromString(url),
+      org.apache.spark.sql.types.StringType, 42L)
+    (((h % numBuckets) + numBuckets) % numBuckets).toInt
+  }
+
+  /** Per-row extraction — pure, total (failures captured, never thrown).
+    * Content kind dispatch mirrors the reference's MIME routing
+    * (core/scraper.py:500-517, core/scraper_core.py:42-44) keyed off content
+    * shape: PDF magic → pdf; leading `<?xml` → xml; url extension fallback. */
+  def extractPage(row: PageRow, numBuckets: Int): ExtractedPage = {
+    val bucket = urlBucket(row.url, numBuckets)
+    def emptyMeta = DocMetaRow(row.url, row.warc_ts, null, null, null, null,
+      Nil, Map.empty, Nil, null, row.lang)
+    val size = if (row.html == null) 0L else row.html.length.toLong
+    val sha = if (row.html == null) null else hexSha256(row.html)
+    try {
+      require(row.html != null, "null html payload")
+      val (kind, text, cleanedHtml, meta, links, anchors) = dispatch(row)
+      ExtractedPage(
+        DocClean(row.url, row.warc_ts, text, cleanedHtml, sha, size, kind,
+          bucket, parse_failed = false, null),
+        meta.getOrElse(emptyMeta),
+        links.map(e => LinkEdge(e.dstUrl, e.kind, e.srcTag, e.anchor,
+          isInternal(row.url, e.dstUrl))),
+        anchors)
+    } catch {
+      case e: Throwable => // failure isolation: row-level, never task-level
+        ExtractedPage(
+          DocClean(row.url, row.warc_ts, null, null, sha, size, "error",
+            bucket, parse_failed = true,
+            s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"),
+          emptyMeta, Nil, Nil)
+    }
+  }
+
+  private val hexChars = "0123456789abcdef".toCharArray
+
+  private def hexSha256(bytes: Array[Byte]): String = {
+    val d = java.security.MessageDigest.getInstance("SHA-256").digest(bytes)
+    val out = new Array[Char](d.length * 2)
+    var i = 0
+    while (i < d.length) {
+      out(i * 2) = hexChars((d(i) >> 4) & 0xf)
+      out(i * 2 + 1) = hexChars(d(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  private def isInternal(src: String, dst: String): Boolean =
+    PyUrl.urlparse(src).netloc == PyUrl.urlparse(dst).netloc
+
+  private def dispatch(row: PageRow): (String, String, String,
+      Option[DocMetaRow], Seq[graft.links.Edge], Seq[String]) = {
+    if (PdfText.isPdf(row.html)) {
+      ("pdf", PdfText.extract(row.html), null, None, Nil, Nil)
+    } else {
+      val content = HtmlParser.decode(row.html)
+      val head = content.take(256)
+      if (head.startsWith("<?xml") && !head.contains("<html")) {
+        // application/xml branch (core/scraper.py:512-514): parsed, stored;
+        // text = whitespace-normalized character data
+        val doc = HtmlParser.parse(content, xmlMode = true)
+        ("xml", Cleaner.normalizeWhitespace(doc.getText),
+          Serializer.serialize(doc), None, Nil, Nil)
+      } else if (!head.contains("<")) {
+        ("text", Cleaner.cleanPlainText(content), null, None, Nil, Nil)
+      } else {
+        // HTML branch — parse ONCE; metadata/links/anchors from the RAW dom
+        // (the reference extracts links from raw content,
+        // link_extractor.py:17; its post-clean metadata/asset extraction is
+        // vacuous because cleaning removes every <meta>/<link> first — the
+        // raw-dom order is the intended semantics, SURVEY §2.3/§2.9)
+        val rawDoc = HtmlParser.parse(content)
+        val m = MetadataExtractor.extract(rawDoc)
+        val edges = LinkExtractor.edges(rawDoc, row.url)
+        val anchors = LinkExtractor.anchorIds(rawDoc)
+        // clean in place (same DOM — extraction already materialized)
+        val text = Cleaner.cleanDocument(rawDoc, row.url)
+        Sanitize.processHtmlContent(rawDoc, row.url)
+        val metaRow = DocMetaRow(row.url, row.warc_ts, m.title.orNull,
+          m.description.orNull, m.keywords.orNull, m.lastModified.orNull,
+          m.authors, m.og.toMap, m.structuredData, m.canonical.orNull, row.lang)
+        ("html", text, Serializer.serialize(rawDoc), Some(metaRow), edges, anchors)
+      }
+    }
+  }
+
+  /** Latest-snapshot-per-url dedup (SURVEY §2.5 latest-hash-per-key),
+    * shuffle-minimized: a url with a single snapshot (the overwhelming
+    * majority of a crawl table) never shuffles its payload — only the
+    * (url, count) keys aggregate (map-side combine, ~40 B/row), urls with
+    * >1 snapshot broadcast back, and just THAT slice takes the window
+    * shuffle. Under an Iceberg bucket(url) layout even that vanishes
+    * (storage-partitioned). Falls back to the plain window when the dup
+    * set is too large to broadcast. */
+  def latestPerUrl(pages: Dataset[PageRow]): Dataset[PageRow] = {
+    import pages.sparkSession.implicits._
+    val dupUrls = pages.groupBy($"url").agg(count(lit(1)).as("__n"))
+      .filter($"__n" > 1).select($"url".as("__dup_url"))
+    val uniques = pages.join(broadcast(dupUrls),
+      pages("url") === $"__dup_url", "left_anti").as[PageRow]
+    val dups = pages.join(broadcast(dupUrls),
+      pages("url") === $"__dup_url", "left_semi").as[PageRow]
+    uniques.union(latestPerUrlWindow(dups))
+  }
+
+  /** Plain window variant (full url-keyed shuffle of the payload). */
+  def latestPerUrlWindow(pages: Dataset[PageRow]): Dataset[PageRow] = {
+    import pages.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"url").orderBy($"warc_ts".desc)
+    pages.withColumn("__rn", row_number().over(w))
+      .filter($"__rn" === 1).drop("__rn").as[PageRow]
+  }
+
+  /** Changed-only filter vs a previous snapshot (SURVEY §2.4 flagship join):
+    * left join on url over (url, sha, size) PROJECTIONS; keep new/changed.
+    * `prev` is docs_clean-shaped (url, content_sha256, size). */
+  def changedOnly(current: Dataset[PageRow], prev: DataFrame): Dataset[PageRow] = {
+    import current.sparkSession.implicits._
+    val prevSlim = prev.select($"url".as("p_url"),
+      $"content_sha256".as("p_sha"), $"size".as("p_size"))
+    val curKeys = current.select($"url", $"warc_ts",
+      sha2($"html", 256).as("c_sha"), length($"html").cast("long").as("c_size"))
+    val changedKeys = curKeys.join(prevSlim, $"url" === $"p_url", "left_outer")
+      .filter($"p_sha".isNull || $"p_sha" =!= $"c_sha" || $"p_size" =!= $"c_size")
+      .select($"url".as("k_url"), $"warc_ts".as("k_ts"))
+    current.join(changedKeys,
+      current("url") === $"k_url" && current("warc_ts") === $"k_ts", "left_semi")
+      .as[PageRow]
+  }
+
+  /** Typed extraction map — object-exec boundary kept narrow: only
+    * (url, warc_ts, html, lang) should reach here (project before). */
+  def extract(pages: Dataset[PageRow], numBuckets: Int = DefaultBuckets): Dataset[ExtractedPage] = {
+    import pages.sparkSession.implicits._
+    pages.mapPartitions { it => it.map(extractPage(_, numBuckets)) }
+  }
+
+  final case class RunSummary(docs: Long, failures: Long, buckets: Int)
+
+  /**
+   * Full job: dedup → (optional changed-only) → extract → write all outputs
+   * under `outDir`, skipping url_buckets already completed in the `progress`
+   * ledger for this `runId` (checkpoint-resume with per-partition lineage).
+   */
+  def run(spark: SparkSession, pages: Dataset[PageRow], outDir: String,
+          runId: String, numBuckets: Int = DefaultBuckets,
+          prevSnapshot: Option[DataFrame] = None,
+          blocklist: Option[Dataset[String]] = None): RunSummary = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    val ledgerPath = s"$outDir/progress"
+    val doneBuckets: Set[Int] =
+      if (!ledgerPath.contains("://") && !new java.io.File(ledgerPath).exists())
+        Set.empty // fresh run, no ledger yet (skip the noisy failed read)
+      else
+        try spark.read.parquet(ledgerPath)
+          .filter($"run_id" === runId && $"status" === "done")
+          .select($"url_bucket").distinct().as[Int].collect().toSet
+        catch { case _: Exception => Set.empty }
+
+    // relational pre-filters FIRST (columnar side of the object boundary)
+    var input = pages
+    blocklist.foreach { bl =>
+      input = input.join(broadcast(bl.toDF("b_url")),
+        input("url") === $"b_url", "left_anti").as[PageRow]
+    }
+    if (doneBuckets.nonEmpty) // only on resume — the extra projection+filter
+      input = input.withColumn("__bucket", // costs a full decode pass otherwise
+        pmod(xxhash64($"url"), lit(numBuckets)).cast("int"))
+        .filter(!$"__bucket".isin(doneBuckets.toSeq: _*))
+        .drop("__bucket").as[PageRow]
+
+    val deduped = latestPerUrl(input)
+    val current = prevSnapshot match {
+      case Some(prev) => changedOnly(deduped, prev)
+      case None       => deduped
+    }
+
+    // ONE parse per page, ONE heavy write: docs_clean carries the meta
+    // struct + links/anchors arrays as extra nested columns; the sidecar
+    // tables derive from the WRITTEN parquet by columnar selects (readers of
+    // docs_clean column-prune the nested extras away). At 100 TB this beats
+    // both RAM-caching the extraction output and re-parsing per output.
+    // repartition on url_bucket before the write: one file per bucket
+    // (bucket-aligned layout for downstream joins; locally it also sidesteps
+    // RawLocalFileSystem's per-file fork+exec chmod storm — task-count ×
+    // bucket-count small files serialize on process spawn otherwise)
+    extract(current, numBuckets)
+      .select(col("doc.*"), col("meta"), col("links"), col("anchors"))
+      .repartition(numBuckets, col("url_bucket"))
+      .write.mode("overwrite").partitionBy("url_bucket")
+      .parquet(s"$outDir/docs_clean")
+
+    val written = spark.read.parquet(s"$outDir/docs_clean")
+    val writtenRun =
+      if (doneBuckets.isEmpty) written
+      else written.filter(!$"url_bucket".isin(doneBuckets.toSeq: _*))
+    // all sidecars partitioned by url_bucket so a resume run's dynamic
+    // overwrite only touches the buckets it processed
+    writtenRun.select($"meta.*", $"url_bucket")
+      .write.mode("overwrite").partitionBy("url_bucket")
+      .parquet(s"$outDir/doc_meta")
+    writtenRun.select($"url".as("src_url"), explode($"links").as("l"), $"url_bucket")
+      .select($"src_url", $"l.*", $"url_bucket")
+      .write.mode("overwrite").partitionBy("url_bucket")
+      .parquet(s"$outDir/links")
+    writtenRun.select($"url", explode($"anchors").as("anchor_id"), $"url_bucket")
+      .write.mode("overwrite").partitionBy("url_bucket")
+      .parquet(s"$outDir/anchors")
+
+    // metrics from the WRITTEN columnar output (no recompute of the
+    // extraction; scans 4 narrow columns). Scoped to the buckets this run
+    // actually processed (done buckets were skipped, their files untouched).
+    val docsCleanAll = spark.read.parquet(s"$outDir/docs_clean")
+    val docsClean =
+      if (doneBuckets.isEmpty) docsCleanAll
+      else docsCleanAll.filter(!$"url_bucket".isin(doneBuckets.toSeq: _*))
+    val metrics = docsClean.groupBy($"url_bucket").agg(
+      count(lit(1)).as("docs_parsed"),
+      sum(when($"parse_failed", 1L).otherwise(0L)).as("parse_failures"),
+      sum($"size").as("input_bytes"),
+      sum(coalesce(length($"text").cast("long"), lit(0L))).as("output_chars"))
+      .withColumn("bytes_stripped", $"input_bytes" - $"output_chars")
+      .withColumn("run_id", lit(runId))
+    metrics.write.mode("overwrite").parquet(s"$outDir/metrics")
+
+    // ledger append: every processed bucket marked done for this run
+    val seq = doneBuckets.size.toLong
+    val ledger = metrics.select(lit(runId).as("run_id"), $"url_bucket",
+      lit("done").as("status"), $"docs_parsed".as("docs"),
+      lit(seq).as("completed_seq"))
+    ledger.write.mode("append").parquet(ledgerPath)
+
+    // summary comes from the already-computed metrics rows (no extra scan)
+    val m = spark.read.parquet(s"$outDir/metrics")
+      .filter($"run_id" === runId)
+      .agg(coalesce(sum($"docs_parsed"), lit(0L)),
+        coalesce(sum($"parse_failures"), lit(0L))).collect()(0)
+    RunSummary(m.getLong(0), m.getLong(1), numBuckets)
+  }
+}

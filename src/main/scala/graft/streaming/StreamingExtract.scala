@@ -1,0 +1,104 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import graft.pipeline.{Extract, PageRow}
+
+/**
+ * Structured-Streaming face of the engine. The reference's "incremental"
+ * mode is snapshot-over-snapshot batch (SURVEY §2.10), so batch is primary —
+ * but the same typed extraction map runs unchanged under `readStream` for
+ * continuous ingestion of new page files/snapshots:
+ *
+ *  - `extractStream`: file-source stream → mapPartitions extraction →
+ *    parquet sink with checkpoint (exactly-once per file);
+ *  - `hostActivity`: watermarked tumbling-window counts per host (event time
+ *    = warc_ts) — the stream analog of the update-frequency agg (§2.5);
+ *  - `dedupStream`: flatMapGroupsWithState keyed by url keeping the last
+ *    seen content hash — emits only new/changed snapshots (the streaming
+ *    form of the §2.4 changed-only join).
+ */
+object StreamingExtract {
+
+  /** File-source stream of pages (new parquet files under `inputDir`). */
+  def readPages(spark: SparkSession, inputDir: String,
+                maxFilesPerTrigger: Int = 8): Dataset[PageRow] = {
+    import spark.implicits._
+    val schema = org.apache.spark.sql.Encoders.product[PageRow].schema
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(inputDir)
+      .select($"url", $"warc_ts", $"html", $"text", $"lang")
+      .as[PageRow]
+  }
+
+  /** Streaming extraction → docs_clean parquet sink (AvailableNow drains the
+    * backlog and stops — the scheduled re-scrape analog). Returns the query. */
+  def extractStream(spark: SparkSession, inputDir: String, outDir: String,
+                    checkpoint: String, availableNow: Boolean = true) = {
+    import spark.implicits._
+    val docs = Extract.extract(readPages(spark, inputDir)).map(_.doc)
+    val writer = docs.writeStream
+      .format("parquet")
+      .option("path", s"$outDir/docs_clean_stream")
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
+  }
+
+  /** Watermarked tumbling-window host activity (event-time agg). */
+  def hostActivity(pages: Dataset[PageRow], windowLen: String = "1 hour",
+                   watermark: String = "2 hours"): DataFrame = {
+    import pages.sparkSession.implicits._
+    pages
+      .withColumn("host", expr("parse_url(url, 'HOST')"))
+      .withWatermark("warc_ts", watermark)
+      .groupBy(window($"warc_ts", windowLen), $"host")
+      .agg(count(lit(1)).as("docs"), sum(length($"html")).as("bytes"))
+  }
+
+  final case class UrlState(lastSha: String)
+  final case class ChangedPage(url: String, warc_ts: java.sql.Timestamp,
+                               sha: String, change: String)
+
+  /** Stateful changed-only filter: per-url last-content-hash state;
+    * emits new/changed snapshots only (mapGroupsWithState surface). */
+  def dedupStream(pages: Dataset[PageRow]): Dataset[ChangedPage] = {
+    import pages.sparkSession.implicits._
+    pages
+      .map(p => (p.url, p.warc_ts, sha256Hex(p.html)))
+      .toDF("url", "warc_ts", "sha")
+      .as[(String, java.sql.Timestamp, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (url: String, rows: Iterator[(String, java.sql.Timestamp, String)],
+         state: GroupState[UrlState]) => {
+          val sorted = rows.toSeq.sortBy(_._2.getTime)
+          val out = scala.collection.mutable.ArrayBuffer.empty[ChangedPage]
+          var last = state.getOption.map(_.lastSha).orNull
+          sorted.foreach { case (_, ts, sha) =>
+            if (last == null) out += ChangedPage(url, ts, sha, "new")
+            else if (last != sha) out += ChangedPage(url, ts, sha, "changed")
+            last = sha
+          }
+          if (last != null) state.update(UrlState(last))
+          out.iterator
+        })
+  }
+
+  private def sha256Hex(bytes: Array[Byte]): String = {
+    if (bytes == null) return null
+    val d = java.security.MessageDigest.getInstance("SHA-256").digest(bytes)
+    val hexChars = "0123456789abcdef"
+    val out = new Array[Char](d.length * 2)
+    var i = 0
+    while (i < d.length) {
+      out(i * 2) = hexChars.charAt((d(i) >> 4) & 0xf)
+      out(i * 2 + 1) = hexChars.charAt(d(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+}

@@ -172,27 +172,51 @@ object PyUrl {
     out.toSeq
   }
 
-  private val alwaysSafe: Set[Char] =
-    (('a' to 'z') ++ ('A' to 'Z') ++ ('0' to '9') ++ "_.-~").toSet
-
   private val hex = "0123456789ABCDEF"
+
+  /** Per-`safe` lookup tables, cached (quote runs per URL in the hot map). */
+  private val safeTables =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Boolean]]()
+
+  private def safeTable(safe: String): Array[Boolean] = {
+    val cached = safeTables.get(safe)
+    if (cached != null) return cached
+    val t = new Array[Boolean](128)
+    var c = 'a'; while (c <= 'z') { t(c) = true; c = (c + 1).toChar }
+    c = 'A'; while (c <= 'Z') { t(c) = true; c = (c + 1).toChar }
+    c = '0'; while (c <= '9') { t(c) = true; c = (c + 1).toChar }
+    "_.-~".foreach(ch => t(ch) = true)
+    safe.foreach(ch => if (ch < 128) t(ch) = true)
+    safeTables.putIfAbsent(safe, t)
+    t
+  }
 
   /** CPython `quote(s, safe)`: UTF-8 %-encode outside always_safe+safe. */
   def quote(s: String, safe: String = "/"): String = {
-    val safeSet = alwaysSafe ++ safe.toSet
+    val t = safeTable(safe)
+    // fast path: nothing to encode
+    var i = 0
+    var clean = true
+    while (clean && i < s.length) {
+      val ch = s.charAt(i)
+      if (ch >= 128 || !t(ch)) clean = false else i += 1
+    }
+    if (clean) return s
     val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val sb = new java.lang.StringBuilder(bytes.length + 16)
-    bytes.foreach { b =>
-      val c = (b & 0xff).toChar
-      if (b >= 0 && safeSet.contains(c)) sb.append(c)
+    var j = 0
+    while (j < bytes.length) {
+      val b = bytes(j)
+      if (b >= 0 && t(b)) sb.append(b.toChar)
       else sb.append('%').append(hex((b >> 4) & 0xf)).append(hex(b & 0xf))
+      j += 1
     }
     sb.toString
   }
 
   /** CPython `quote_plus`. */
   def quotePlus(s: String): String = {
-    if (s.contains(' ')) quote(s, " ").replace(' ', '+') else quote(s, "")
+    if (s.indexOf(' ') >= 0) quote(s, " ").replace(' ', '+') else quote(s, "")
   }
 
   /** CPython `unquote` (utf-8, errors='replace'); '+' NOT converted. */

@@ -44,6 +44,15 @@ class MyersSpec extends AnyFunSuite {
     assert(Myers.generateOps("a\nb\nc", "a\nb\nc").isEmpty)
   }
 
+  test("crash parity: multi-line deletions raise exactly like CPython (KeyError)") {
+    // the reference's backtrack KeyErrors on these (verified under CPython);
+    // callers isolate per-row (generate_diff wraps and re-raises ParsingError)
+    Seq(("a\nb\nc\nd", "a\nb"), ("a\nb\nc", "c"), ("1\n2\n3\n4\n5", "1\n3\n5"))
+      .foreach { case (o, n) =>
+        assertThrows[NoSuchElementException](Myers.generateOps(o, n))
+      }
+  }
+
   test("chunk_content slices exactly") {
     assert(Myers.chunkContent("abcdefghij", 4) == Vector("abcd", "efgh", "ij"))
     assert(Myers.chunkContent("", 4) == Vector())

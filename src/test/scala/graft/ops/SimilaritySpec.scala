@@ -1,0 +1,60 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.pipeline.SparkTestBase
+
+class SimilaritySpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  // deterministic synthetic embeddings: cluster centers + small offsets
+  private def vec(seed: Int, dim: Int = 16): Array[Float] = {
+    Array.tabulate(dim) { d =>
+      val h = (seed * 1000003L + d * 2654435761L)
+      (((h % 1000).toFloat / 1000f) - 0.5f)
+    }
+  }
+  private val q = vec(1)
+  private val emb = {
+    val near = (1 to 5).map { i =>
+      val v = q.clone(); v(i % v.length) += 0.05f; (i.toLong, v.toSeq)
+    }
+    val far = (10 to 50).map(i => (i.toLong, vec(i * 7 + 3).toSeq))
+    (near ++ far).toDF("vec_id", "embedding")
+      .withColumn("embedding", $"embedding".cast("array<float>"))
+  }
+
+  test("brute-force top-k returns the planted near neighbors first") {
+    val top = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 5)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(top == Set(1L, 2L, 3L, 4L, 5L))
+  }
+
+  test("cosine column matches scala-side computation") {
+    val row = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 1).collect()(0)
+    val id = row.getAs[Long]("vec_id")
+    val v = emb.filter($"vec_id" === id).select($"embedding")
+      .as[Seq[Float]].head().toArray
+    val expected = graft.textstats.TextAnalysis.cosine(v, q)
+    assert(math.abs(row.getAs[Double]("cos") - (math.rint(expected * 1e6) / 1e6)) < 1e-9)
+  }
+
+  test("LSH top-k recall vs brute force is high on clustered data") {
+    val recall = Similarity.recallAtK(emb, "vec_id", "embedding", q, 5,
+      bits = 8, nProbes = 6)
+    assert(recall >= 0.6, s"recall=$recall")
+  }
+
+  test("bucketing deterministic and partition-prunable") {
+    val b1 = Similarity.withBucket(emb, "embedding", bits = 8)
+      .select($"vec_id", $"lsh_bucket").as[(Long, Long)].collect().toMap
+    val b2 = Similarity.withBucket(emb, "embedding", bits = 8)
+      .select($"vec_id", $"lsh_bucket").as[(Long, Long)].collect().toMap
+    assert(b1 == b2)
+    // planted near-dups of q mostly share q's bucket
+    val qb = graft.textstats.TextAnalysis.rhpBucket(q, 8, 42L)
+    assert((1 to 5).count(i => b1(i.toLong) == qb) >= 3)
+  }
+}

@@ -1,0 +1,133 @@
+package graft.pipeline
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** End-to-end pipeline over the synthetic pages table (FIXTURES §5.4):
+  * counts, latest-wins dedup, change-detection join, metrics sidecar,
+  * resume idempotence. */
+class ExtractE2ESpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private val N = 200L
+
+  test("generator is deterministic and splittable") {
+    val a = PagesGen.pages(spark, N).collect().sortBy(r => (r.url, r.warc_ts.getTime))
+    val b = PagesGen.pages(spark, N).repartition(7).collect().sortBy(r => (r.url, r.warc_ts.getTime))
+    assert(a.length == b.length)
+    a.zip(b).foreach { case (x, y) =>
+      assert(x.url == y.url && x.warc_ts == y.warc_ts &&
+        java.util.Arrays.equals(x.html, y.html))
+    }
+    // snapshot pairs present
+    assert(a.length > N)
+  }
+
+  test("full run: extracts every kind, zero failures, metrics add up") {
+    val out = Files.createTempDirectory("graft_e2e").toString
+    val summary = Extract.run(spark, PagesGen.pages(spark, N), out, "run1")
+    assert(summary.docs == N) // dedup to latest per url
+    assert(summary.failures == 0)
+
+    val docs = spark.read.parquet(s"$out/docs_clean")
+    val kinds = docs.groupBy($"content_kind").count().as[(String, Long)].collect().toMap
+    assert(kinds.contains("html") && kinds.contains("pdf") &&
+      kinds.contains("xml") && kinds.contains("text"), kinds.toString)
+    assert(docs.filter($"text".isNull || length($"text") === 0).count() == 0)
+
+    // latest-wins: changed pages (i%10==0, i%20!=0) carry the UPDATED marker
+    val changed = docs.filter($"url" === PagesGen.urlOf(10)).select($"text").as[String].head()
+    assert(changed.contains("UPDATED"), changed.take(120))
+
+    // metadata + links + anchors populated for html docs
+    assert(spark.read.parquet(s"$out/doc_meta").filter($"title".isNotNull).count() > 0)
+    val links = spark.read.parquet(s"$out/links")
+    assert(links.filter($"kind" === "pagination").count() > 0)
+    assert(links.filter($"kind" === "css").count() > 0)
+
+    // metrics sidecar consistent with docs_clean
+    val m = spark.read.parquet(s"$out/metrics")
+    assert(m.agg(sum($"docs_parsed")).as[Long].head() == summary.docs)
+    assert(m.agg(sum($"parse_failures")).as[Long].head() == 0)
+    assert(m.select($"url_bucket").distinct().count() == m.count())
+
+    // ledger rows for every bucket
+    val ledger = spark.read.parquet(s"$out/progress")
+    assert(ledger.filter($"status" === "done").count() == m.count())
+  }
+
+  test("dedup keeps exactly the max warc_ts per url") {
+    val pages = PagesGen.pages(spark, 60L)
+    val latest = Extract.latestPerUrl(pages)
+    val expect = pages.groupBy($"url").agg(max($"warc_ts").as("warc_ts"))
+    assert(latest.count() == expect.count())
+    val joined = latest.select($"url", $"warc_ts")
+      .except(expect.select($"url", $"warc_ts"))
+    assert(joined.count() == 0)
+  }
+
+  test("changed-only join drops unchanged re-captures and keeps new/changed") {
+    val out = Files.createTempDirectory("graft_prev").toString
+    // snapshot 1 = first 100 pages (base version only: latest-per-url of i<100)
+    val snap1 = Extract.latestPerUrl(PagesGen.pages(spark, 100L))
+    Extract.run(spark, snap1, out, "prev_run")
+    val prev = spark.read.parquet(s"$out/docs_clean")
+    // snapshot 2 = 150 pages (50 new urls; same content for unchanged)
+    val snap2 = Extract.latestPerUrl(PagesGen.pages(spark, 150L))
+    val changed = Extract.changedOnly(snap2, prev)
+    val changedUrls = changed.select($"url").as[String].collect().toSet
+    // the 50 new urls must all be present
+    (100L until 150L).foreach { i =>
+      val u = snap2.filter($"url".contains(s"page$i.")).select($"url").as[String].collect()
+      u.foreach(x => assert(changedUrls.contains(x), s"missing new url $x"))
+    }
+    // unchanged urls must be absent (identical bytes → same sha/size)
+    assert(!changedUrls.contains(PagesGen.urlOf(1)), "unchanged url not skipped")
+    assert(changed.count() < snap2.count())
+  }
+
+  test("resume: completed buckets are skipped; outputs stay identical") {
+    val out = Files.createTempDirectory("graft_resume").toString
+    val pages = PagesGen.pages(spark, N)
+    Extract.run(spark, pages, out, "runA")
+    val before = spark.read.parquet(s"$out/docs_clean")
+      .select($"url", $"content_sha256").as[(String, String)].collect().toSet
+
+    // simulate interrupt: mark half the buckets done for runB, then run runB
+    val metrics = spark.read.parquet(s"$out/metrics")
+    val half = metrics.select($"url_bucket").as[Int].collect().sorted.take(8)
+    val fake = half.toSeq.toDF("url_bucket")
+      .select(lit("runB").as("run_id"), $"url_bucket", lit("done").as("status"),
+        lit(0L).as("docs"), lit(0L).as("completed_seq"))
+    fake.write.mode("append").parquet(s"$out/progress")
+
+    val s2 = Extract.run(spark, pages, out, "runB")
+    // runB only processed the remaining buckets
+    assert(s2.docs < N)
+    // dynamic partition overwrite preserved the done buckets' output
+    val after = spark.read.parquet(s"$out/docs_clean")
+      .select($"url", $"content_sha256").as[(String, String)].collect().toSet
+    assert(after == before)
+  }
+
+  test("blocklist anti-join removes listed urls") {
+    val out = Files.createTempDirectory("graft_bl").toString
+    val bl = spark.createDataset(Seq(PagesGen.urlOf(3), PagesGen.urlOf(4)))
+    val s = Extract.run(spark, PagesGen.pages(spark, 50L), out, "runBL",
+      blocklist = Some(bl))
+    val urls = spark.read.parquet(s"$out/docs_clean").select($"url").as[String].collect().toSet
+    assert(!urls.contains(PagesGen.urlOf(3)) && !urls.contains(PagesGen.urlOf(4)))
+  }
+
+  test("parse failure isolation: poisoned row flagged, job survives") {
+    val poisoned = Seq(
+      PageRow("https://h/x.html", new java.sql.Timestamp(0L), null, null, "en"))
+      .toDS()
+    val res = Extract.extract(poisoned).collect()
+    assert(res.length == 1 && res(0).doc.parse_failed)
+    assert(res(0).doc.failure_reason != null)
+  }
+}

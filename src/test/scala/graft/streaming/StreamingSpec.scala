@@ -1,0 +1,69 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.pipeline.{PagesGen, SparkTestBase}
+import java.nio.file.Files
+
+class StreamingSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  test("streaming extraction drains a backlog with AvailableNow, exactly once") {
+    val in = Files.createTempDirectory("graft_stream_in").toString
+    val out = Files.createTempDirectory("graft_stream_out").toString
+    val ckpt = Files.createTempDirectory("graft_stream_ckpt").toString
+    PagesGen.pages(spark, 60L).repartition(4).write.mode("append").parquet(in)
+
+    val q1 = StreamingExtract.extractStream(spark, in, out, ckpt)
+    q1.awaitTermination(120000)
+    val n1 = spark.read.parquet(s"$out/docs_clean_stream").count()
+    assert(n1 > 60) // includes snapshot-pair rows (no dedup in stream path)
+
+    // new files arrive; restart drains ONLY them (checkpointed offsets)
+    PagesGen.pages(spark, 20L).select($"url", $"warc_ts", $"html", $"text", $"lang")
+      .withColumn("url", concat($"url", lit("?v=2")))
+      .repartition(2).write.mode("append").parquet(in)
+    val q2 = StreamingExtract.extractStream(spark, in, out, ckpt)
+    q2.awaitTermination(120000)
+    val n2 = spark.read.parquet(s"$out/docs_clean_stream").count()
+    assert(n2 > n1)
+    val dups = spark.read.parquet(s"$out/docs_clean_stream")
+      .groupBy($"url", $"warc_ts").count().filter($"count" > 1).count()
+    assert(dups == 0, "exactly-once violated")
+  }
+
+  test("watermarked host-activity windows aggregate event time (batch check)") {
+    // semantics checked on the batch equivalent of the same plan
+    val pages = PagesGen.pages(spark, 100L)
+    val agg = pages
+      .withColumn("host", expr("parse_url(url, 'HOST')"))
+      .groupBy(window($"warc_ts", "1 hour"), $"host")
+      .agg(count(lit(1)).as("docs"))
+    assert(agg.count() > 0)
+    assert(agg.agg(sum($"docs")).as[Long].head() == pages.count())
+  }
+
+  test("stateful dedup stream emits only new/changed snapshots") {
+    val in = Files.createTempDirectory("graft_sdin").toString
+    val outDir = Files.createTempDirectory("graft_sdout").toString
+    val ckpt = Files.createTempDirectory("graft_sdckpt").toString
+    PagesGen.pages(spark, 50L).repartition(2).write.mode("append").parquet(in)
+
+    val changed = StreamingExtract.dedupStream(StreamingExtract.readPages(spark, in))
+    val q = changed.writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val res = spark.read.parquet(outDir)
+    val total = res.count()
+    val news = res.filter($"change" === "new").count()
+    val changes = res.filter($"change" === "changed").count()
+    assert(news == 50) // one "new" per distinct url
+    // i%10==0 && i%20!=0 pages have a changed second snapshot: i in {10,30} for n=50
+    assert(changes == 2, s"changes=$changes total=$total")
+  }
+}
