@@ -228,6 +228,23 @@ object SparkEntry {
           col("media_meta.width").as("width"), col("media_meta.height").as("height"),
           round(element_at(col("features"), 1), 5).as("f0"))
     }),
+    "q_link_report" -> ((s, _) => {
+      import s.implicits._
+      val ex = Extract.extract(Extract.latestPerUrl(PagesGen.pages(s, 100L)))
+      val urls = ex.map(_.doc.url).toDF("url")
+      val links = ex.flatMap(p => p.links.map(l =>
+        (p.doc.url, l.dst_url, l.kind, l.anchor))).toDF("src_url", "dst_url", "kind", "anchor")
+      val anchors = ex.flatMap(p => p.anchors.map(a => (p.doc.url, a)))
+        .toDF("url", "anchor_id")
+      graft.ops.LinkGraph.integrityReport(links, urls, anchors)
+    }),
+    "q_canonical_groups" -> ((s, _) => {
+      import s.implicits._
+      val ex = Extract.extract(Extract.latestPerUrl(PagesGen.pages(s, 100L)))
+      val urls = ex.map(_.doc.url).toDF("url")
+      val meta = ex.map(p => (p.meta.url, p.meta.canonical)).toDF("url", "canonical")
+      graft.ops.LinkGraph.canonicalGroups(urls, meta)
+    }),
     "q_lang_detect" -> ((s, dir) => {
       import s.implicits._
       t(s, dir, "documents").select(col("doc_id"), col("lang"), col("text"))

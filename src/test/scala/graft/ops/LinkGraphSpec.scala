@@ -1,0 +1,55 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.pipeline.SparkTestBase
+
+class LinkGraphSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private val urls = Seq("https://e.com/a", "https://e.com/a-alias",
+    "https://e.com/b", "https://e.com/points-nowhere").toDF("url")
+
+  private val meta = Seq(
+    ("https://e.com/a", null.asInstanceOf[String]),
+    ("https://e.com/a-alias", "https://e.com/a"),        // 1-hop to known target
+    ("https://e.com/b", "https://e.com/b"),              // self-canonical
+    ("https://e.com/points-nowhere", "https://x.com/gone") // unknown target
+  ).toDF("url", "canonical")
+
+  test("canonical dedup: 1-hop to known targets only") {
+    val rep = LinkGraph.dedupToCanonical(urls, meta)
+      .select($"url", $"representative").as[(String, String)].collect().toMap
+    assert(rep("https://e.com/a-alias") == "https://e.com/a")
+    assert(rep("https://e.com/a") == "https://e.com/a")
+    assert(rep("https://e.com/b") == "https://e.com/b") // self-canonical filtered
+    assert(rep("https://e.com/points-nowhere") == "https://e.com/points-nowhere")
+  }
+
+  test("canonical groups absorb aliases") {
+    val g = LinkGraph.canonicalGroups(urls, meta)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(g("https://e.com/a") == (2L, 1L))
+    assert(g.size == 3)
+  }
+
+  test("integrity report: broken / pagination / missing anchors") {
+    val links = Seq(
+      ("https://e.com/a", "https://e.com/b", "link", ""),
+      ("https://e.com/a", "https://e.com/b", "pagination", ""),
+      ("https://e.com/a", "https://e.com/gone", "link", ""),       // broken
+      ("https://e.com/a", "https://e.com/b", "link", "sec1"),      // anchor ok
+      ("https://e.com/a", "https://e.com/b", "link", "nope")       // anchor missing
+    ).toDF("src_url", "dst_url", "kind", "anchor")
+    val anchors = Seq(("https://e.com/b", "sec1")).toDF("url", "anchor_id")
+    val rep = LinkGraph.integrityReport(links, urls, anchors).collect()
+    val byHost = rep.map(r => r.getAs[String]("dst_host") -> r).toMap
+    val e = byHost("e.com")
+    assert(e.getAs[Long]("total_links") == 5)
+    assert(e.getAs[Long]("broken") == 1)
+    assert(e.getAs[Long]("pagination") == 1)
+    assert(e.getAs[Long]("missing_anchors") == 1)
+  }
+}
