@@ -59,19 +59,7 @@ object Cleaner {
     sb.toString
   }
 
-  /** Python str.strip() -- same whitespace set. */
-  private def pyStrip(s: String): String = {
-    var a = 0
-    var b = s.length
-    while (a < b && isPyWs(s.charAt(a))) a += 1
-    while (b > a && isPyWs(s.charAt(b - 1))) b -= 1
-    s.substring(a, b)
-  }
-
-  private def isPyWs(c: Char): Boolean =
-    (c >= 0x09 && c <= 0x0d) || c == ' ' || (c >= 0x1c && c <= 0x1f) ||
-      c == 0x85 || Character.getType(c) == Character.SPACE_SEPARATOR ||
-      c == 0x2028 || c == 0x2029
+  private def isPyWs(c: Char): Boolean = PyStr.isPyWs(c)
 
   /** Pass 1: `normalize_html_structure` (core/scraper.py:187-196).
     * Semantics pinned to bs4: pre-order SNAPSHOT of all elements taken
@@ -92,7 +80,10 @@ object Cleaner {
     while (i < cs.length) {
       cs(i) match {
         case _: Element => return false // any element descendant ⇒ kept
-        case t: Text    => if (t.data.trim.nonEmpty) return false
+        // Python str.strip() semantics: &nbsp; (decoded to U+00A0 at parse
+        // time), U+2028/U+3000/U+0085 etc. count as blank — Java trim would
+        // keep the ubiquitous <td>&nbsp;</td> spacer the reference removes.
+        case t: Text    => if (!PyStr.isBlank(t.data)) return false
         case _          => // comments/doctypes don't count as text (bs4)
       }
       i += 1

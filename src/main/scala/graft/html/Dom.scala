@@ -88,11 +88,12 @@ class Element(val name: String) extends Node {
     sb.toString
   }
 
-  /** bs4 `get_text(strip=True)`: each string stripped, empties dropped. */
+  /** bs4 `get_text(strip=True)`: each string Python-stripped, empties
+    * dropped (PyStr — NOT Java trim, which misses NBSP/U+2028/U+3000). */
   def getTextStripped: String = {
     val sb = new java.lang.StringBuilder
     def walk(e: Element): Unit = e.children.foreach {
-      case t: Text    => sb.append(t.data.trim)
+      case t: Text    => sb.append(PyStr.strip(t.data))
       case c: Element => walk(c)
       case _          =>
     }

@@ -1,0 +1,39 @@
+package graft.html
+
+/**
+ * Python `str` whitespace semantics (`str.isspace` / no-arg `str.strip()`),
+ * shared by the cleaner passes and the DOM text accessors so every
+ * "stripped text" probe agrees byte-for-byte with the reference's bs4
+ * `get_text(strip=True)` (/root/reference/core/scraper.py:187-196).
+ *
+ * Java's `String.trim` strips only chars <= U+0020 and `\s` (even with
+ * UNICODE_CHARACTER_CLASS) omits FS/GS/RS/US (U+001C-U+001F); Python's set
+ * is: ASCII ws, VT, 1C-1F, NEL (U+0085), every SPACE_SEPARATOR (NBSP,
+ * OGHAM, EN QUAD..HAIR SPACE, NNBSP, MMSP, IDEOGRAPHIC SPACE), LS, PS.
+ */
+object PyStr {
+
+  def isPyWs(c: Char): Boolean =
+    (c >= 0x09 && c <= 0x0d) || c == ' ' || (c >= 0x1c && c <= 0x1f) ||
+      c == 0x85 || Character.getType(c) == Character.SPACE_SEPARATOR ||
+      c == 0x2028 || c == 0x2029
+
+  /** Python no-arg `str.strip()`. */
+  def strip(s: String): String = {
+    var a = 0
+    var b = s.length
+    while (a < b && isPyWs(s.charAt(a))) a += 1
+    while (b > a && isPyWs(s.charAt(b - 1))) b -= 1
+    if (a == 0 && b == s.length) s else s.substring(a, b)
+  }
+
+  /** True iff `strip(s).isEmpty` — no allocation. */
+  def isBlank(s: String): Boolean = {
+    var i = 0
+    while (i < s.length) {
+      if (!isPyWs(s.charAt(i))) return false
+      i += 1
+    }
+    true
+  }
+}

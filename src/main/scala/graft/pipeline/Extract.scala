@@ -134,24 +134,40 @@ object Extract {
     * (url, count) keys aggregate (map-side combine, ~40 B/row), urls with
     * >1 snapshot broadcast back, and just THAT slice takes the window
     * shuffle. Under an Iceberg bucket(url) layout even that vanishes
-    * (storage-partitioned). Falls back to the plain window when the dup
-    * set is too large to broadcast. */
-  def latestPerUrl(pages: Dataset[PageRow]): Dataset[PageRow] = {
+    * (storage-partitioned).
+    *
+    * The broadcast is SIZE-GATED: the dup-url key set is counted first (one
+    * extra aggregate over the url column only — map-side combined, never a
+    * payload scan) and the split-broadcast plan is used only when it fits
+    * `maxDupBroadcast`; a recrawl-heavy corpus (most urls with >=2
+    * snapshots → dup set O(n)) falls back to the plain window, which
+    * shuffles once instead of OOMing the driver on an unbounded broadcast. */
+  def latestPerUrl(pages: Dataset[PageRow],
+                   maxDupBroadcast: Long = 1000000L): Dataset[PageRow] = {
     import pages.sparkSession.implicits._
     val dupUrls = pages.groupBy($"url").agg(count(lit(1)).as("__n"))
       .filter($"__n" > 1).select($"url".as("__dup_url"))
-    val uniques = pages.join(broadcast(dupUrls),
-      pages("url") === $"__dup_url", "left_anti").as[PageRow]
-    val dups = pages.join(broadcast(dupUrls),
-      pages("url") === $"__dup_url", "left_semi").as[PageRow]
-    uniques.union(latestPerUrlWindow(dups))
+    val nDup = dupUrls.count()
+    if (nDup == 0L) pages
+    else if (nDup <= maxDupBroadcast) {
+      val uniques = pages.join(broadcast(dupUrls),
+        pages("url") === $"__dup_url", "left_anti").as[PageRow]
+      val dups = pages.join(broadcast(dupUrls),
+        pages("url") === $"__dup_url", "left_semi").as[PageRow]
+      uniques.union(latestPerUrlWindow(dups))
+    } else latestPerUrlWindow(pages)
   }
 
-  /** Plain window variant (full url-keyed shuffle of the payload). */
+  /** Plain window variant (full url-keyed shuffle of the payload).
+    * Total order: warc_ts desc, then xxhash64(html) desc — two snapshots of
+    * a url with EQUAL timestamps pick a deterministic keeper, so identical
+    * reruns produce identical docs_clean bytes (determinism rule; xxhash64
+    * is far cheaper than sha2 and only ordering stability is needed). */
   def latestPerUrlWindow(pages: Dataset[PageRow]): Dataset[PageRow] = {
     import pages.sparkSession.implicits._
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy($"url").orderBy($"warc_ts".desc)
+    val w = Window.partitionBy($"url")
+      .orderBy($"warc_ts".desc, xxhash64($"html").desc)
     pages.withColumn("__rn", row_number().over(w))
       .filter($"__rn" === 1).drop("__rn").as[PageRow]
   }
@@ -268,7 +284,12 @@ object Extract {
       sum(coalesce(length($"text").cast("long"), lit(0L))).as("output_chars"))
       .withColumn("bytes_stripped", $"input_bytes" - $"output_chars")
       .withColumn("run_id", lit(runId))
-    metrics.write.mode("overwrite").parquet(s"$outDir/metrics")
+    // partitioned + dynamic overwrite (like the other sidecars): a resume
+    // run only replaces the buckets it processed — a full overwrite here
+    // would wipe completed buckets' metrics (and an all-done idempotent
+    // rerun would empty the whole sidecar the BASELINE metric reads).
+    metrics.write.mode("overwrite").partitionBy("url_bucket")
+      .parquet(s"$outDir/metrics")
 
     // ledger append: every processed bucket marked done for this run
     val seq = doneBuckets.size.toLong

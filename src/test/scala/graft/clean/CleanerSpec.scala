@@ -39,6 +39,19 @@ class CleanerSpec extends AnyFunSuite {
     assert(ser.contains("<div></div>"), ser)
   }
 
+  test("F1c Unicode-whitespace-only tags are empty (Python str.strip, not Java trim)") {
+    // &nbsp; decodes to U+00A0 at parse time (convert_charrefs); the
+    // reference's get_text(strip=True) probe strips it → tag removed in
+    // pass 1. Java trim keeps U+00A0/U+2028/U+3000 — the divergence ADVICE
+    // r01 flagged: '<span>a</span><span>&nbsp;</span><span>b</span>' must
+    // yield 'ab', not 'a b'.
+    assert(text("<div><span>a</span><span>&nbsp;</span><span>b</span></div>") == "ab")
+    assert(text("<table><tr><td>&nbsp;</td></tr><tr><td>x</td></tr></table>") == "x")
+    assert(text("<p>　 </p><p>y</p>") == "y")
+    // non-blank text with surrounding Unicode ws is NOT empty
+    assert(text("<p> z </p>") == "z")
+  }
+
   test("F2 entities: parse-time conversion + unescape pass (double unescape)") {
     val html = "<p>a &amp; b &lt;c&gt; &nbsp;&#169; &amp;amp;</p>"
     // parse-time: "a & b <c>  © &amp;"; pass 2: "&amp;"→"&";

@@ -69,6 +69,32 @@ class ExtractE2ESpec extends AnyFunSuite {
     assert(joined.count() == 0)
   }
 
+  test("dedup broadcast is size-gated: oversize dup set falls back to the window") {
+    val pages = PagesGen.pages(spark, 60L)
+    // force the fallback: every dup set is 'too large'
+    val fallback = Extract.latestPerUrl(pages, maxDupBroadcast = 0L)
+    val plan = fallback.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastHashJoin"), plan.take(800))
+    assert(plan.contains("Window"), plan.take(800))
+    // and it computes the identical keeper set as the broadcast path
+    val viaBroadcast = Extract.latestPerUrl(pages)
+      .select($"url", $"warc_ts").as[(String, java.sql.Timestamp)].collect().toSet
+    val viaWindow = fallback
+      .select($"url", $"warc_ts").as[(String, java.sql.Timestamp)].collect().toSet
+    assert(viaBroadcast == viaWindow)
+  }
+
+  test("equal-timestamp snapshots pick a deterministic keeper") {
+    val ts = new java.sql.Timestamp(1700000000000L)
+    val rows = Seq(
+      PageRow("https://h/a.html", ts, "<p>v1</p>".getBytes("UTF-8"), null, "en"),
+      PageRow("https://h/a.html", ts, "<p>v2</p>".getBytes("UTF-8"), null, "en"))
+    val a = Extract.latestPerUrlWindow(rows.toDS()).collect()
+    val b = Extract.latestPerUrlWindow(rows.reverse.toDS()).collect()
+    assert(a.length == 1 && b.length == 1)
+    assert(new String(a(0).html, "UTF-8") == new String(b(0).html, "UTF-8"))
+  }
+
   test("changed-only join drops unchanged re-captures and keeps new/changed") {
     val out = Files.createTempDirectory("graft_prev").toString
     // snapshot 1 = first 100 pages (base version only: latest-per-url of i<100)
@@ -111,6 +137,17 @@ class ExtractE2ESpec extends AnyFunSuite {
     val after = spark.read.parquet(s"$out/docs_clean")
       .select($"url", $"content_sha256").as[(String, String)].collect().toSet
     assert(after == before)
+
+    // metrics sidecar: done buckets' rows preserved (ADVICE r01 — a full
+    // overwrite here used to wipe them); totals still cover every bucket
+    val mAfter = spark.read.parquet(s"$out/metrics")
+    assert(mAfter.agg(sum($"docs_parsed")).as[Long].head() == N)
+    assert(mAfter.filter($"run_id" === "runA").count() == half.length)
+
+    // idempotent rerun with everything done: metrics sidecar NOT wiped
+    Extract.run(spark, pages, out, "runB")
+    val mIdem = spark.read.parquet(s"$out/metrics")
+    assert(mIdem.agg(sum($"docs_parsed")).as[Long].head() == N)
   }
 
   test("blocklist anti-join removes listed urls") {
