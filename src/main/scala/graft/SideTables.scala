@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, Similarity}
+import graft.pipeline.{Extract, PagesGen}
+
+/**
+ * Materializes the oracle SIDE TABLES `SparkEntry.oracleSql` references
+ * by absolute path (VERDICT r01 next #1): extraction outputs produced
+ * through the full `Extract.run` WRITE path (so the oracle compare pins
+ * write-path ≡ direct-map-path equivalence), and per-row scalar columns
+ * (fingerprints, LSH bands, simhash blocks, shingle-hash sets, cosines)
+ * whose RELATIONAL consumption (pair generation, joins, rollups, top-k)
+ * the oracle re-derives independently in DuckDB.
+ *
+ * Every write is `coalesce(1)` — these are sf0.01-scale verification
+ * artifacts, not production outputs.
+ */
+object SideTables {
+
+  private def rmrf(p: java.io.File): Unit = {
+    if (p.isDirectory) p.listFiles().foreach(rmrf)
+    p.delete()
+  }
+
+  def write(spark: SparkSession, sfDir: String, side: String): Unit = {
+    import spark.implicits._
+
+    def out(name: String) = s"$side/$name"
+    def save(df: org.apache.spark.sql.DataFrame, name: String): Unit =
+      df.coalesce(1).write.mode("overwrite").parquet(out(name))
+
+    // ---- extraction side tables: through the full pipeline write path ----
+    val runDir = out("_extract_run")
+    rmrf(new java.io.File(runDir)) // fresh ledger: no resume skipping
+    Extract.run(spark, PagesGen.pages(spark, SparkEntry.ExtractN), runDir, "verify")
+    val docs = spark.read.parquet(s"$runDir/docs_clean")
+    save(docs.select($"url", $"content_sha256", $"content_kind", $"url_bucket",
+      length($"text").as("text_len"), $"parse_failed"), "side_docs")
+    save(docs.select($"url"), "side_urls")
+    save(docs.select($"meta.url".as("url"), $"meta.canonical".as("canonical")), "side_meta")
+    save(spark.read.parquet(s"$runDir/links")
+      .select($"src_url", $"dst_url", $"kind", $"src_tag", $"anchor", $"is_internal"),
+      "side_links")
+    // anchors can be EMPTY (no parquet footer to infer from) — pin the schema
+    save(spark.read.schema("url STRING, anchor_id STRING, url_bucket INT")
+      .parquet(s"$runDir/anchors").select($"url", $"anchor_id"),
+      "side_anchors")
+
+    // ---- Myers diff sides: per-op rows + per-url meta; the oracle
+    // re-aggregates the op rows relationally ----
+    val pairs = SparkEntry.changedSnapshotPairs(spark)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val diffOps = pairs.as[(String, String, String)].flatMap { case (url, o, n) =>
+      try graft.diff.Myers.generateOps(o, n).zipWithIndex.map { case (op, i) =>
+        (url, i, op.operation)
+      } catch { case _: Exception => Nil }
+    }.toDF("url", "op_idx", "operation")
+    val diffMeta = pairs.as[(String, String, String)].map { case (url, o, n) =>
+      try {
+        (url, graft.diff.Myers.optimizedChunks(o, n).length, false)
+      } catch { case _: Exception => (url, -1, true) }
+    }.toDF("url", "n_changed_chunks", "diff_failed")
+    save(diffOps, "side_diff_ops")
+    save(diffMeta, "side_diff_meta")
+    pairs.unpersist()
+
+    // ---- per-row scalar frames (deterministic recompute gates) ----
+    save(SparkEntry.boilerFrame(spark), "side_boiler")
+    save(SparkEntry.mediaFrame(spark), "side_media")
+    save(SparkEntry.textstatsFrame(spark, sfDir)
+      .select($"doc_id", $"lang_detected"), "side_textstats")
+
+    // ---- dedup primitives over the documents table (params MUST match
+    // the q_minhash/q_simhash/q_doc_fingerprints queries) ----
+    val documents = spark.read.parquet(s"$sfDir/documents.parquet")
+    val fps = Dedup.fingerprints(documents, "doc_id", "text", numPerm = 32)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    save(fps, "side_fp")
+    save(Dedup.minhashBands(fps, bands = 16), "side_bands")
+    save(Dedup.simhashBlocks(fps, maxHamming = 3), "side_simblocks")
+    val shingleSets = documents.select($"doc_id".cast("long").as("id"), $"text")
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        (id, graft.textstats.TextAnalysis.shingles(text, 3)
+          .distinct.map(graft.textstats.TextAnalysis.hash64).sorted.toArray)
+      }.toDF("id", "sh")
+    save(shingleSets, "side_shingles")
+    fps.unpersist()
+
+    // ---- ANN side: bucket + probe membership + exact cosine per vector ----
+    val q = SparkEntry.queryVec(spark, sfDir)
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .filter($"vec_id" =!= 0)
+    val probes = Similarity.probesFor(q, bits = 8, nProbes = 4)
+    save(Similarity.withBucket(emb, "embedding", bits = 8)
+      .select($"vec_id", $"lsh_bucket".isin(probes: _*).as("in_probe"),
+        round(Similarity.cosineToQuery("embedding", q), 6).as("cos")),
+      "side_ann")
+  }
+}

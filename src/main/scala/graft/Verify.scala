@@ -16,6 +16,9 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // side tables FIRST: the oracle SQL below references them by absolute
+    // path, and the driver runs DuckDB right after this main exits
+    SideTables.write(spark, sfDir, SparkEntry.sideDir)
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

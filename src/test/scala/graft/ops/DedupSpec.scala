@@ -63,6 +63,48 @@ class DedupSpec extends AnyFunSuite {
     assert(over == 0)
   }
 
+  test("simhash default blocking is 4x16-bit; first-match dedup emits each pair once") {
+    assert(Dedup.blockCount(3) == 4)  // 16-bit blocks → 65,536 buckets/index
+    assert(Dedup.blockCount(7) == 8)
+    assert(Dedup.blockCount(5) == 8)  // rounds up to the next divisor of 64
+    assert(Dedup.blockCount(0) == 1)
+    // exact dups (hamming 0) match in ALL 4 blocks; without the
+    // first-matching-block predicate the pair would appear 4 times
+    val rows = Dedup.simhashPairs(docs, "doc_id", "text") // default maxHamming=3
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSeq
+    assert(rows.contains((100L, 101L)))
+    assert(rows.size == rows.distinct.size, s"duplicate pairs: $rows")
+  }
+
+  test("simhash blocking stays selective on a larger corpus (no quadratic bucket)") {
+    // 20k distinct docs + 1 planted exact dup: with 16-bit blocks the
+    // equality joins produce ~no random collisions, so the result is just
+    // the planted pair family — the r01 8x8-bit default would have pushed
+    // ~20k²/32 candidate rows through the join on data this size.
+    def txt(i: Int) = s"document $i speaks about ${i % 997} subjects and lists ${i * 7 % 101} items with suffix ${i % 13}"
+    val big = ((0 until 20000).map(i => (i.toLong, txt(i))) ++
+      Seq((90000L, txt(1234)))) // exact clone of doc 1234
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(big, "doc_id", "text")
+      .select($"id_a", $"id_b", $"hamming").collect()
+    assert(pairs.exists(r => r.getLong(0) == 1234L && r.getLong(1) == 90000L))
+    assert(pairs.length < 5000, s"blocking degenerated: ${pairs.length} pairs")
+  }
+
+  test("minhash LSH skew guard reports truncation deterministically") {
+    val m = new Dedup.LshMetrics(spark)
+    // 12 exact copies → every band bucket holds 12 ids; maxBucket=5 keeps
+    // the 5 smallest and counts 7 dropped per bucket
+    val clones = (0 until 12).map(i => (i.toLong, base)).toDF("doc_id", "text")
+    val pairs = Dedup.lshCandidatePairs(clones, "doc_id", "text",
+      numPerm = 32, bands = 16, maxBucket = 5, metrics = Some(m))
+    val got = pairs.select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    // deterministic keeper set: smallest 5 ids → C(5,2) pairs
+    assert(got == (for { a <- 0 until 5; b <- (a + 1) until 5 } yield (a.toLong, b.toLong)).toSet)
+    assert(m.truncatedBuckets.value == 16L, s"buckets=${m.truncatedBuckets.value}")
+    assert(m.truncatedRows.value == 16L * 7, s"rows=${m.truncatedRows.value}")
+  }
+
   test("fingerprints deterministic across evaluations") {
     val a = Dedup.fingerprints(docs, "doc_id", "text").orderBy($"id")
       .select($"id", $"simhash").as[(Long, Long)].collect().toSeq

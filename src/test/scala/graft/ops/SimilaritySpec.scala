@@ -47,6 +47,21 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.6, s"recall=$recall")
   }
 
+  test("persisted index: lshTopKIndexed prunes partitions and matches the on-the-fly path") {
+    val path = java.nio.file.Files.createTempDirectory("graft_ann_idx").toString
+    Similarity.writeBucketed(emb, path, "embedding", bits = 8)
+    val indexed = Similarity.lshTopKIndexed(spark, path, "vec_id", "embedding",
+      q, 5, bits = 8, nProbes = 6)
+    // the probe filter must reach the scan as a PARTITION filter (pruned
+    // file listing — the r01 on-the-fly path re-scanned the whole corpus)
+    val plan = indexed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("lsh_bucket"),
+      plan.take(1200))
+    val onTheFly = Similarity.lshTopK(emb, "vec_id", "embedding", q, 5,
+      bits = 8, nProbes = 6).select($"vec_id", $"cos").collect().toSeq
+    assert(indexed.select($"vec_id", $"cos").collect().toSeq == onTheFly)
+  }
+
   test("bucketing deterministic and partition-prunable") {
     val b1 = Similarity.withBucket(emb, "embedding", bits = 8)
       .select($"vec_id", $"lsh_bucket").as[(Long, Long)].collect().toMap
