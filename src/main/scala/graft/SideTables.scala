@@ -48,10 +48,12 @@ object SideTables {
       .parquet(s"$runDir/anchors").select($"url", $"anchor_id"),
       "side_anchors")
 
-    // ---- Myers diff sides: per-op rows + per-url meta; the oracle
-    // re-aggregates the op rows relationally ----
+    // ---- Myers diff sides: per-op rows + per-url meta + raw pair
+    // contents (the oracle re-aggregates the ops AND recomputes the
+    // metadata md5s with DuckDB's own md5) ----
     val pairs = SparkEntry.changedSnapshotPairs(spark)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    save(pairs, "side_diff_pairs")
     val diffOps = pairs.as[(String, String, String)].flatMap { case (url, o, n) =>
       try graft.diff.Myers.generateOps(o, n).zipWithIndex.map { case (op, i) =>
         (url, i, op.operation)
@@ -65,6 +67,12 @@ object SideTables {
     save(diffOps, "side_diff_ops")
     save(diffMeta, "side_diff_meta")
     pairs.unpersist()
+
+    // ---- priority history + sitemap entries (fully relational oracles) ----
+    save(PagesGen.pages(spark, SparkEntry.ExtractN)
+      .select($"url", $"warc_ts".as("last_updated")), "side_pages")
+    save(graft.sources.Sitemap.entries(
+      graft.sources.Sitemap.syntheticSitemapPages(spark)), "side_sitemap")
 
     // ---- per-row scalar frames (deterministic recompute gates) ----
     save(SparkEntry.boilerFrame(spark), "side_boiler")

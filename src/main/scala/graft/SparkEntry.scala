@@ -73,18 +73,21 @@ object SparkEntry {
       .select($"url", $"old.content".as("old_c"), $"new.content".as("new_c"))
   }
 
-  /** Myers diff summary per changed url (crash parity: per-row isolation). */
+  /** Myers diff summary per changed url via the full `generate_diff`
+    * document struct (metadata md5s + ops; crash parity per-row). */
   private[graft] def snapshotDiffSummary(s: SparkSession): DataFrame = {
     import s.implicits._
     changedSnapshotPairs(s).as[(String, String, String)].map { case (url, o, n) =>
       try {
-        val ops = graft.diff.Myers.generateOps(o, n)
-        (url, ops.length, ops.count(_.operation == "replace"),
-          graft.diff.Myers.optimizedChunks(o, n).length, false)
+        val fd = graft.diff.Myers.diffDocument(o, n, url, "v1", "1970-01-01T00:00:00")
+        (url, fd.operations.length, fd.operations.count(_.operation == "replace"),
+          graft.diff.Myers.optimizedChunks(o, n).length, false,
+          fd.metadata.old_content_hash, fd.metadata.new_content_hash)
       } catch {
-        case _: Exception => (url, -1, -1, -1, true)
+        case _: Exception => (url, -1, -1, -1, true, null, null)
       }
-    }.toDF("url", "n_ops", "n_replace", "n_changed_chunks", "diff_failed")
+    }.toDF("url", "n_ops", "n_replace", "n_changed_chunks", "diff_failed",
+      "old_md5", "new_md5")
   }
 
   private[graft] def boilerFrame(s: SparkSession): DataFrame = {
@@ -309,7 +312,28 @@ object SparkEntry {
     "q_doc_fingerprints" -> ((s, dir) =>
       Dedup.fingerprints(t(s, dir, "documents"), "doc_id", "text", numPerm = 32)
         .select(col("id"), col("simhash"), col("n_shingles"))),
-    "q_lang_detect" -> ((s, dir) => textstatsFrame(s, dir))
+    "q_lang_detect" -> ((s, dir) => textstatsFrame(s, dir)),
+
+    // ---- crawl scheduling / sources (SURVEY §2.7 faithful + §2.1) ----
+    "q_priority_scores" -> ((s, _) => {
+      import s.implicits._
+      // history = the synthetic crawl snapshots; 'now' = newest + 1h
+      val hist = PagesGen.pages(s, ExtractN)
+        .select($"url", $"warc_ts".as("last_updated"))
+      val asOf = hist.agg(max(unix_timestamp($"last_updated").cast("double")))
+        .head().getDouble(0) + 3600.0
+      val perUrl = hist.groupBy($"url").agg(count(lit(1)).as("n"),
+        max(unix_timestamp($"last_updated").cast("double")).as("maxe"))
+      // hash_info analog: last_modified known only for re-crawled urls
+      val candidates = perUrl.select($"url",
+        $"url".rlike("page[0-9]*0\\.html$").as("is_pagination"),
+        when($"n" >= 2, $"maxe").otherwise(lit(null)).as("last_modified_epoch"))
+      graft.ops.Priority.scores(candidates, hist, asOf)
+    }),
+    "q_sitemap_seeds" -> ((s, _) =>
+      graft.sources.Sitemap.seedUrls(
+        graft.sources.Sitemap.syntheticSitemapPages(s),
+        "https://site.example.com/sitemap.xml"))
   )
 
   // ---------- oracles ----------
@@ -448,15 +472,19 @@ object SparkEntry {
          |  CAST(sum(CASE WHEN via_canonical THEN 1 ELSE 0 END) AS BIGINT) AS n_canonicalized
          |FROM resolved GROUP BY representative""".stripMargin,
     "q_snapshot_diff_ops" ->
+      // md5s recomputed INDEPENDENTLY by DuckDB over the raw pair contents
       s"""WITH m AS (SELECT * FROM ${side("side_diff_meta")}),
+         |pr AS (SELECT * FROM ${side("side_diff_pairs")}),
          |o AS (SELECT url, count(*) AS n_ops,
          |        CAST(sum(CASE WHEN operation = 'replace' THEN 1 ELSE 0 END) AS BIGINT) AS n_replace
          |      FROM ${side("side_diff_ops")} GROUP BY url)
          |SELECT m.url,
          |  CASE WHEN m.diff_failed THEN -1 ELSE coalesce(o.n_ops, 0) END AS n_ops,
          |  CASE WHEN m.diff_failed THEN -1 ELSE coalesce(o.n_replace, 0) END AS n_replace,
-         |  m.n_changed_chunks, m.diff_failed
-         |FROM m LEFT JOIN o ON m.url = o.url""".stripMargin,
+         |  m.n_changed_chunks, m.diff_failed,
+         |  CASE WHEN m.diff_failed THEN NULL ELSE md5(pr.old_c) END AS old_md5,
+         |  CASE WHEN m.diff_failed THEN NULL ELSE md5(pr.new_c) END AS new_md5
+         |FROM m LEFT JOIN o ON m.url = o.url JOIN pr ON m.url = pr.url""".stripMargin,
     "q_boilerplate_main" ->
       s"""SELECT url, blocks, stripped_elements, main_chars
          |FROM ${side("side_boiler")}""".stripMargin,
@@ -501,6 +529,56 @@ object SparkEntry {
          |FROM documents d JOIN ${side("side_textstats")} s ON d.doc_id = s.doc_id""".stripMargin,
     "q_ann_lsh_topk" ->
       s"""SELECT vec_id, cos FROM ${side("side_ann")}
-         |WHERE in_probe ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin
+         |WHERE in_probe ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+    "q_priority_scores" ->
+      // the ENTIRE calculate_priority formula re-derived in SQL over the
+      // raw (url, last_updated) history side table
+      s"""WITH h AS (SELECT url, CAST(epoch(last_updated) AS DOUBLE) AS e
+         |           FROM ${side("side_pages")}),
+         |params AS (SELECT max(e) + 3600 AS as_of FROM h),
+         |agg AS (SELECT url, count(*) AS n, max(e) AS maxe FROM h GROUP BY url),
+         |freq AS (SELECT url, CAST(count(*) AS DOUBLE) /
+         |           (((SELECT as_of FROM params) - max(e)) / 86400.0 + 1.0) AS uf
+         |         FROM h WHERE e > (SELECT as_of FROM params) - 2592000 GROUP BY url),
+         |cand AS (SELECT a.url,
+         |           regexp_matches(a.url, 'page[0-9]*0\\.html$$') AS is_pagination,
+         |           CASE WHEN a.n >= 2 THEN a.maxe ELSE NULL END AS lm,
+         |           coalesce(f.uf, CAST(0 AS DOUBLE)) AS uf
+         |         FROM agg a LEFT JOIN freq f ON a.url = f.url),
+         |scored AS (SELECT url, is_pagination, uf,
+         |    CASE WHEN lm IS NULL THEN CAST(1 AS DOUBLE)
+         |         ELSE CAST(1 AS DOUBLE) /
+         |              (1.0 + ((SELECT as_of FROM params) - lm) / 86400.0) END AS fresh,
+         |    CAST(1 AS DOUBLE) / (1.0 + CAST(len(string_split(
+         |      regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+         |      '/')) - 1 AS DOUBLE)) AS ds,
+         |    least(CAST(
+         |        (CASE WHEN contains(lower(url), 'important') THEN 1 ELSE 0 END +
+         |         CASE WHEN contains(lower(url), 'critical') THEN 1 ELSE 0 END +
+         |         CASE WHEN contains(lower(url), 'update') THEN 1 ELSE 0 END +
+         |         CASE WHEN contains(lower(url), 'new') THEN 1 ELSE 0 END) AS DOUBLE) / 4.0,
+         |      CAST(1 AS DOUBLE)) AS rs
+         |  FROM cand)
+         |SELECT url, is_pagination,
+         |  round(uf, 6) AS update_frequency,
+         |  round(fresh, 6) AS freshness_score,
+         |  round(ds, 6) AS depth_score,
+         |  round(rs, 6) AS relevance_score,
+         |  round(CASE WHEN is_pagination
+         |    THEN (1.0 + least(uf / 10.0, CAST(1 AS DOUBLE)) * 0.3 + fresh * 0.3 +
+         |          ds * 0.2 + rs * 0.2) * 1.5
+         |    ELSE 1.0 + least(uf / 10.0, CAST(1 AS DOUBLE)) * 0.3 + fresh * 0.3 +
+         |         ds * 0.2 + rs * 0.2 END, 6) AS priority
+         |FROM scored""".stripMargin,
+    "q_sitemap_seeds" ->
+      // closed-world sitemapindex recursion re-derived via WITH RECURSIVE
+      s"""WITH RECURSIVE reach(u) AS (
+         |  SELECT 'https://site.example.com/sitemap.xml'
+         |  UNION
+         |  SELECT sm.loc FROM ${side("side_sitemap")} sm, reach
+         |  WHERE sm.url = reach.u AND sm.kind = 'sitemapindex')
+         |SELECT DISTINCT sm.loc AS seed_url
+         |FROM ${side("side_sitemap")} sm JOIN reach ON sm.url = reach.u
+         |WHERE sm.kind = 'urlset'""".stripMargin
   )
 }

@@ -153,6 +153,63 @@ object Sanitize {
     replaced
   }
 
+  /** POSIX `os.path.normpath` over a relative path (collapses '.', '..',
+    * duplicate slashes; keeps leading '..' runs). */
+  private[clean] def posixNormpathRel(p: String): String = {
+    val out = ArrayBuffer.empty[String]
+    p.split("/+").foreach {
+      case "" | "."                                   => // drop
+      case ".." if out.nonEmpty && out.last != ".."   => out.remove(out.length - 1)
+      case seg                                        => out += seg
+    }
+    if (out.isEmpty) "." else out.mkString("/")
+  }
+
+  /** `update_asset_references` (/root/reference/core/scraper.py:916-931):
+    * rewrites stylesheet link href / script src / img src to the local
+    * asset path `os.path.relpath(join(base, 'assets', <type>,
+    * urlparse(attr).path.lstrip('/')), base)` = normpath('assets/<type>/p').
+    *
+    * Quirks kept faithfully:
+    *  - the membership test compares the RAW attribute against the
+    *    URLJOINED asset set (`extract_asset_links` stores joined urls,
+    *    :872-880) — so only attributes that are already absolute (join is
+    *    identity) ever match; relative refs are never rewritten;
+    *  - in the reference call order (scraper.py:502-509) this runs on the
+    *    CLEANED soup, where pass-1 empty-tag removal has already dropped
+    *    void `<link>`/`<img>` and bodyless `<script src>` tags — in
+    *    practice only `<script src=abs>with body</script>` survives to be
+    *    rewritten; the function itself is generic for direct use.
+    * Returns the number of rewritten attributes. */
+  def updateAssetReferences(doc: Document, baseUrl: String): Int = {
+    val assets = graft.links.LinkExtractor.assetEdges(doc, baseUrl)
+    def set(kind: String) = assets.filter(_.kind == kind).map(_.dstUrl).toSet
+    val css = set("css")
+    val js = set("js")
+    val images = set("image")
+    def target(kindDir: String, attr: String): String =
+      posixNormpathRel(s"assets/$kindDir/" +
+        PyUrl.urlparse(attr).path.dropWhile(_ == '/'))
+    var n = 0
+    doc.findAll("link").foreach { l =>
+      if (l.attr("rel").exists(_.split("\\s+").contains("stylesheet")))
+        l.attr("href").foreach { h =>
+          if (css.contains(h)) { l.setAttr("href", target("css", h)); n += 1 }
+        }
+    }
+    doc.findAll("script").foreach { s =>
+      s.attr("src").foreach { src =>
+        if (js.contains(src)) { s.setAttr("src", target("js", src)); n += 1 }
+      }
+    }
+    doc.findAll("img").foreach { i =>
+      i.attr("src").foreach { src =>
+        if (images.contains(src)) { i.setAttr("src", target("images", src)); n += 1 }
+      }
+    }
+    n
+  }
+
   /** Full `process_html_content` pass order. */
   def processHtmlContent(doc: Document, url: String): Unit = {
     preserveLatex(doc)

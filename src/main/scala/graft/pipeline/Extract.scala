@@ -119,6 +119,9 @@ object Extract {
         val anchors = LinkExtractor.anchorIds(rawDoc)
         // clean in place (same DOM — extraction already materialized)
         val text = Cleaner.cleanDocument(rawDoc, row.url)
+        // reference order (core/scraper.py:502-510): clean → asset-ref
+        // rewrite on the CLEANED soup → process_html_content
+        Sanitize.updateAssetReferences(rawDoc, row.url)
         Sanitize.processHtmlContent(rawDoc, row.url)
         val metaRow = DocMetaRow(row.url, row.warc_ts, m.title.orNull,
           m.description.orNull, m.keywords.orNull, m.lastModified.orNull,

@@ -1,0 +1,138 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.html.{Document, Element, HtmlParser, Text}
+import graft.pipeline.PageRow
+
+/**
+ * Sitemap seed-table operator — the closed-world batch counterpart of the
+ * reference's `parse_sitemap` (/root/reference/core/scraper.py:689-714):
+ * urlset → seed urls; sitemapindex → recurse into the referenced child
+ * sitemaps. The reference fetches over HTTP; here recursion resolves
+ * against sitemap documents present IN the corpus (snapshot semantics),
+ * level-by-level — the frontier is sitemap rows only (a vanishing fraction
+ * of any crawl table), so each hop is a small hash join.
+ *
+ * Quirk kept: the reference iterates `sitemap_dict['urlset']['url']`,
+ * which for a SINGLE-entry sitemap is the entry dict itself (xmltodict
+ * collapses one-element lists) — iterating it yields its KEYS and
+ * `url['loc']` raises TypeError. Such sitemaps produce kind
+ * `parse_error` here (no locs), mirroring the reference's failure on
+ * them rather than "fixing" it.
+ */
+object Sitemap {
+
+  final case class SitemapEntry(url: String, kind: String, loc: String)
+
+  /** Root-element classification + loc extraction for one XML payload.
+    * Returns (kind ∈ urlset|sitemapindex|parse_error|none, locs). */
+  def parseSitemap(xml: String): (String, Seq[String]) = {
+    val doc =
+      try HtmlParser.parse(xml, xmlMode = true)
+      catch { case _: Exception => return ("none", Nil) }
+    val root = firstElement(doc).orNull
+    if (root == null) return ("none", Nil)
+    val (kind, childTag) = root.name match {
+      case "urlset"       => ("urlset", "url")
+      case "sitemapindex" => ("sitemapindex", "sitemap")
+      case _              => return ("none", Nil)
+    }
+    val children = root.findAll(childTag)
+    if (children.length == 1) return ("parse_error", Nil) // xmltodict quirk
+    val locs = children.flatMap(c => c.findFirst("loc").map(l => strip(l.getText)))
+      .filter(_.nonEmpty)
+    (kind, locs.toSeq)
+  }
+
+  private def firstElement(doc: Document): Option[Element] =
+    doc.descendantElements.headOption
+
+  private def strip(s: String): String = s.trim
+
+  /** One row per (sitemap url, loc); parse_error/none rows carry a null
+    * loc so they join to nothing downstream. */
+  def entries(pages: Dataset[PageRow]): DataFrame = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    pages.flatMap { p =>
+      val content = HtmlParser.decode(p.html)
+      if (!content.take(256).contains("<")) Nil
+      else parseSitemap(content) match {
+        case ("urlset", locs)       => locs.map(SitemapEntry(p.url, "urlset", _))
+        case ("sitemapindex", locs) => locs.map(SitemapEntry(p.url, "sitemapindex", _))
+        case ("parse_error", _)     => Seq(SitemapEntry(p.url, "parse_error", null))
+        case _                      => Nil
+      }
+    }.toDF()
+  }
+
+  /** Seed urls reachable from `rootUrl` through in-corpus sitemapindex
+    * hops (≤ maxDepth). Frontier joins are tiny (sitemap rows only);
+    * the driver-side loop is bounded by sitemap nesting depth, which the
+    * spec caps in practice at a handful of levels. */
+  def seedUrls(pages: Dataset[PageRow], rootUrl: String,
+               maxDepth: Int = 5): DataFrame = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    val e = entries(pages)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var visited = Set(rootUrl)
+      var frontier = Seq(rootUrl)
+      var seeds = e.sparkSession.emptyDataset[String].toDF("seed_url")
+      var depth = 0
+      while (frontier.nonEmpty && depth <= maxDepth) {
+        val hit = e.filter(col("url").isin(frontier: _*))
+        seeds = seeds.union(
+          hit.filter(col("kind") === "urlset").select(col("loc").as("seed_url")))
+        val next = hit.filter(col("kind") === "sitemapindex")
+          .select(col("loc")).as[String].collect().toSeq
+          .filterNot(visited.contains)
+        visited ++= next
+        frontier = next
+        depth += 1
+      }
+      seeds.distinct().collect() // materialize before unpersist
+        .map(_.getString(0)).toSeq.toDF("seed_url")
+    } finally e.unpersist()
+  }
+
+  /** Deterministic synthetic sitemap corpus for tests/oracles: a root
+    * index → {urlset A, nested index → urlset B, missing child}, plus an
+    * unreachable urlset and a single-entry (parse_error quirk) sitemap. */
+  def syntheticSitemapPages(spark: SparkSession): Dataset[PageRow] = {
+    import spark.implicits._
+    val ts = new java.sql.Timestamp(1700000000000L)
+    def urlset(locs: Seq[String]) =
+      s"""<?xml version="1.0" encoding="UTF-8"?>
+         |<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+         |${locs.map(l => s"<url><loc>$l</loc><changefreq>daily</changefreq></url>").mkString("\n")}
+         |</urlset>""".stripMargin
+    def index(locs: Seq[String]) =
+      s"""<?xml version="1.0" encoding="UTF-8"?>
+         |<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+         |${locs.map(l => s"<sitemap><loc>$l</loc></sitemap>").mkString("\n")}
+         |</sitemapindex>""".stripMargin
+    val host = "https://site.example.com"
+    val rows = Seq(
+      PageRow(s"$host/sitemap.xml", ts,
+        index(Seq(s"$host/sitemap_a.xml", s"$host/sitemap_nested.xml",
+          s"$host/sitemap_missing.xml")).getBytes("UTF-8"), null, "en"),
+      PageRow(s"$host/sitemap_a.xml", ts,
+        urlset(Seq(s"$host/docs/intro.html", s"$host/docs/guide.html",
+          s"$host/docs/api.html")).getBytes("UTF-8"), null, "en"),
+      PageRow(s"$host/sitemap_nested.xml", ts,
+        index(Seq(s"$host/sitemap_b.xml", s"$host/sitemap_a.xml")).getBytes("UTF-8"),
+        null, "en"),
+      PageRow(s"$host/sitemap_b.xml", ts,
+        urlset(Seq(s"$host/blog/post1.html", s"$host/docs/intro.html")).getBytes("UTF-8"),
+        null, "en"),
+      PageRow(s"$host/sitemap_orphan.xml", ts,
+        urlset(Seq(s"$host/orphan/a.html", s"$host/orphan/b.html")).getBytes("UTF-8"),
+        null, "en"),
+      PageRow(s"$host/sitemap_single.xml", ts,
+        urlset(Seq(s"$host/lonely.html")).getBytes("UTF-8"), null, "en"))
+    spark.createDataset(rows)
+  }
+}

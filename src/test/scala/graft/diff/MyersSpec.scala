@@ -64,4 +64,19 @@ class MyersSpec extends AnyFunSuite {
     assert(Myers.splitlines("") == Vector())
     assert(Myers.splitlines("one") == Vector("one"))
   }
+
+  test("generate_diff document struct: metadata md5s match CPython hashlib") {
+    val fd = Myers.diffDocument("line one\nline two", "line one\nline 2",
+      "doc", "v3", "2024-01-01T00:00:00")
+    // hashlib.md5('line one\nline two'.encode()).hexdigest() (CPython)
+    assert(fd.metadata.old_content_hash == "a8e259530e140091d1fe5d0e1538a934")
+    assert(fd.metadata.new_content_hash == "e8558cf528e7d142cbec2b2a25864f78")
+    assert(fd.metadata.doc_name == "doc" && fd.metadata.version == "v3" &&
+      fd.metadata.timestamp == "2024-01-01T00:00:00")
+    assert(fd.operations == Myers.generateOps("line one\nline two", "line one\nline 2"))
+    // crash parity: the diff runs BEFORE metadata exists (generate_diff order)
+    intercept[Exception] {
+      Myers.diffDocument("a\nb\nc\nd", "a\nb", "doc", "v", "t")
+    }
+  }
 }

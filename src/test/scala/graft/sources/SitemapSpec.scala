@@ -1,0 +1,56 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.pipeline.SparkTestBase
+
+/** Sitemap seed-table operator (reference parse_sitemap,
+  * core/scraper.py:689-714): urlset extraction, closed-world
+  * sitemapindex recursion, missing-child tolerance, and the xmltodict
+  * single-entry quirk. */
+class SitemapSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private val host = "https://site.example.com"
+
+  test("parseSitemap classifies urlset vs sitemapindex and pulls locs") {
+    val (k1, l1) = Sitemap.parseSitemap(
+      """<?xml version="1.0"?><urlset><url><loc>https://a/1</loc></url>
+        |<url><loc>https://a/2</loc></url></urlset>""".stripMargin)
+    assert(k1 == "urlset" && l1 == Seq("https://a/1", "https://a/2"))
+    val (k2, l2) = Sitemap.parseSitemap(
+      """<?xml version="1.0"?><sitemapindex><sitemap><loc>https://a/s1.xml</loc></sitemap>
+        |<sitemap><loc>https://a/s2.xml</loc></sitemap></sitemapindex>""".stripMargin)
+    assert(k2 == "sitemapindex" && l2 == Seq("https://a/s1.xml", "https://a/s2.xml"))
+    assert(Sitemap.parseSitemap("<html><body>not a sitemap</body></html>")._1 == "none")
+  }
+
+  test("single-entry sitemap reproduces the reference's xmltodict failure (quirk)") {
+    // for one <url> child, the reference iterates the entry dict's KEYS and
+    // crashes on url['loc'] — such sitemaps yield no seeds, flagged
+    val (k, l) = Sitemap.parseSitemap(
+      """<?xml version="1.0"?><urlset><url><loc>https://a/only</loc></url></urlset>""")
+    assert(k == "parse_error" && l.isEmpty)
+  }
+
+  test("seedUrls: recursive in-corpus resolution, missing children tolerated, orphans excluded") {
+    val pages = Sitemap.syntheticSitemapPages(spark)
+    val seeds = Sitemap.seedUrls(pages, s"$host/sitemap.xml")
+      .as[String].collect().toSet
+    assert(seeds == Set(
+      s"$host/docs/intro.html", s"$host/docs/guide.html", s"$host/docs/api.html",
+      s"$host/blog/post1.html"))
+    // orphan urlset not reachable from the root index
+    assert(!seeds.exists(_.contains("orphan")))
+  }
+
+  test("entries emits one row per loc with kind; parse_error rows carry null loc") {
+    val e = Sitemap.entries(Sitemap.syntheticSitemapPages(spark))
+      .as[(String, String, String)].collect()
+    assert(e.count(_._2 == "urlset") == 5 + 2) // A(3) + B(2) — orphan(2) also parses
+    assert(e.count(_._2 == "sitemapindex") == 3 + 2)
+    val err = e.filter(_._2 == "parse_error")
+    assert(err.length == 1 && err(0)._1 == s"$host/sitemap_single.xml" && err(0)._3 == null)
+  }
+}
