@@ -10,14 +10,22 @@ import graft.pipeline.{Extract, PagesGen}
  * metric). Parallelism from SPARK_GRAFT_CPUS; run at 8 vs 32 for the
  * two-cluster-size scaling evidence (BASELINE.md).
  *
- * env knobs: SPARK_GRAFT_BENCH_DOCS (default 40000),
+ * The throughput numbers of record are MEDIANS over SPARK_GRAFT_BENCH_RUNS
+ * (default 3) interleaved map/full runs at the corpus size BASELINE.md's
+ * claim is made at (default 1,280,000 docs) — this VM shows ±2x
+ * run-to-run variance on identical Spark jobs, so single-shot numbers are
+ * not evidence (VERDICT r01 next #4). All raw run times are emitted.
+ *
+ * env knobs: SPARK_GRAFT_BENCH_DOCS (default 1280000),
+ *            SPARK_GRAFT_BENCH_RUNS (default 3),
  *            SPARK_GRAFT_BENCH_ONLY=extract to skip the query sweep.
  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val nDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "160000").toLong
+    val nDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "1280000").toLong
+    val nRuns = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", math.max(cpus.toInt * 4, 64))
@@ -34,6 +42,15 @@ object Bench {
       val r = f
       (r, (System.nanoTime() - t0) / 1e9)
     }
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.length % 2 == 1) s(s.length / 2)
+      else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+    }
+    def rmrf(p: java.io.File): Unit = {
+      if (p.isDirectory) p.listFiles().foreach(rmrf)
+      p.delete()
+    }
 
     // ---- headline: extraction throughput over the synthetic pages table ----
     val benchRoot = s"/tmp/graft_bench_c${cpus}_n$nDocs"
@@ -48,25 +65,39 @@ object Bench {
     val pages = spark.read.parquet(pagesPath)
       .as[graft.pipeline.PageRow](org.apache.spark.sql.Encoders.product[graft.pipeline.PageRow])
     // JIT warmup (not timed): the parser/cleaner hot loop compiles before the
-    // measured run, so the throughput number reflects steady state at every
+    // measured runs, so throughput reflects steady state at every
     // parallelism level
     Extract.extract(pages.limit(4000)).map(_.doc.parse_failed)(
       org.apache.spark.sql.Encoders.scalaBoolean).count()
     // bucket count scales with the cluster (at 10^12 docs it would be 10^4+);
     // locally 64 keeps the bucket-aligned write stage wider than the core count
     val nBuckets = sys.env.getOrElse("SPARK_GRAFT_BUCKETS", "64").toInt
-    // pure distributed extraction throughput: scan → typed map → count
-    // (no shuffles/writes) — the docs/sec core of the BASELINE metric
-    val (mapDocs, mapSecs) = secs {
-      Extract.extract(pages, nBuckets)
-        .map(_.doc.parse_failed)(org.apache.spark.sql.Encoders.scalaBoolean)
-        .count()
+
+    // interleaved map/full runs → medians (noise-robust number of record)
+    val mapRuns = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val fullRuns = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var docsExtracted = 0L
+    (1 to nRuns).foreach { i =>
+      // pure distributed extraction throughput: scan → typed map → count
+      // (no shuffles/writes) — the docs/sec core of the BASELINE metric
+      val (mapDocs, mapSecs) = secs {
+        Extract.extract(pages, nBuckets)
+          .map(_.doc.parse_failed)(org.apache.spark.sql.Encoders.scalaBoolean)
+          .count()
+      }
+      mapRuns += mapDocs / mapSecs
+      // FRESH output dir per timed run — a leftover progress ledger would
+      // resume-skip every bucket and fake a 100x throughput
+      val outDir = s"$benchRoot/out_${System.nanoTime()}"
+      val (summary, fullSecs) = secs {
+        Extract.run(spark, pages, outDir, runId = s"bench_$i", numBuckets = nBuckets)
+      }
+      docsExtracted = summary.docs
+      fullRuns += summary.docs / fullSecs
+      rmrf(new java.io.File(outDir)) // bound /tmp usage across runs
     }
-    val outDir = s"$benchRoot/out_${System.nanoTime()}"
-    val (summary, extractSecs) = secs {
-      Extract.run(spark, pages, outDir, runId = "bench", numBuckets = nBuckets)
-    }
-    val docsPerSec = summary.docs / extractSecs
+    val docsPerSec = median(fullRuns.toSeq)
+    val mapRate = median(mapRuns.toSeq)
 
     // ---- per-query sweep on the sf dir ----
     val only = sys.env.getOrElse("SPARK_GRAFT_BENCH_ONLY", "")
@@ -82,10 +113,11 @@ object Bench {
     val qs = results.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = extractSecs + results.values.filter(_ > 0).sum
-    val mapRate = mapDocs / mapSecs
+    def arr(xs: Seq[Double]): String =
+      xs.map(x => f"$x%.1f").mkString("[", ",", "]")
+    val total = results.values.filter(_ > 0).sum + docsExtracted / docsPerSec
     println(
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir","extract_docs":${summary.docs},"extract_secs":${f"$extractSecs%.3f"},"docs_per_sec":${f"$docsPerSec%.1f"},"map_docs_per_sec":${f"$mapRate%.1f"},"cpus":$cpus}""")
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir","extract_docs":$docsExtracted,"docs_per_sec":${f"$docsPerSec%.1f"},"map_docs_per_sec":${f"$mapRate%.1f"},"runs_full_docs_per_sec":${arr(fullRuns.toSeq)},"runs_map_docs_per_sec":${arr(mapRuns.toSeq)},"bench_docs":$nDocs,"cpus":$cpus}""")
     spark.stop()
   }
 }

@@ -95,9 +95,10 @@ object Cleaner {
     * Applied to plain text nodes (script/style contents included). */
   def unescapeTextNodes(doc: Document): Unit = {
     def walk(e: Element): Unit = {
+      val cs = e.children
       var i = 0
-      while (i < e.children.length) {
-        e.children(i) match {
+      while (i < cs.length) {
+        cs(i) match {
           case t: Text     => t.data = Entities.unescape(t.data)
           case c: Element  => walk(c)
           case _           =>
@@ -119,9 +120,10 @@ object Cleaner {
         abs = PyUrl.urlunparse(parsed.copy(query = PyUrl.urlencodeSeq(filtered)))
         e.setAttr("href", abs)
       }
+      val cs = e.children
       var i = 0
-      while (i < e.children.length) {
-        e.children(i) match { case c: Element => walk(c); case _ => }
+      while (i < cs.length) {
+        cs(i) match { case c: Element => walk(c); case _ => }
         i += 1
       }
     }

@@ -14,8 +14,13 @@ package graft.html
 object PyStr {
 
   def isPyWs(c: Char): Boolean =
-    (c >= 0x09 && c <= 0x0d) || c == ' ' || (c >= 0x1c && c <= 0x1f) ||
-      c == 0x85 || Character.getType(c) == Character.SPACE_SEPARATOR ||
+    if (c < 0x80)
+      // ASCII fast path — the overwhelming majority of chars; the old
+      // unconditional Character.getType call was a measured hot spot
+      (c >= 0x09 && c <= 0x0d) || c == ' ' || (c >= 0x1c && c <= 0x1f)
+    else if (c == 0x85 || c == 0xA0) true
+    else if (c < 0x1680) false // no SPACE_SEPARATOR below OGHAM except NBSP
+    else Character.getType(c) == Character.SPACE_SEPARATOR ||
       c == 0x2028 || c == 0x2029
 
   /** Python no-arg `str.strip()`. */
