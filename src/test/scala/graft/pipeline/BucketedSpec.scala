@@ -27,6 +27,28 @@ class BucketedSpec extends AnyFunSuite {
     assert(latest.count() == Extract.latestPerUrl(t).count())
   }
 
+  test("changed-only join scans narrow projections, never the html payload on the prev side") {
+    // prev side is docs_clean-shaped: the compare must read ONLY
+    // (url, content_sha256, size) — ~60 B/row — from it (SURVEY §4.2:
+    // change detection never shuffles payloads)
+    val dir = java.nio.file.Files.createTempDirectory("graft_prev_proj").toString + "/prev"
+    PagesGen.pages(spark, 50L)
+      .select($"url", sha2($"html", 256).as("content_sha256"),
+        length($"html").cast("long").as("size"), $"html".as("cleaned_html"),
+        $"warc_ts")
+      .write.parquet(dir)
+    val prev = spark.read.parquet(dir)
+    val changed = Extract.changedOnly(PagesGen.pages(spark, 60L), prev)
+    val plan = changed.queryExecution.executedPlan.toString
+    // the prev-side parquet scan's ReadSchema must exclude the heavy column
+    val prevScans = plan.linesIterator.filter(l =>
+      l.contains("graft_prev_proj") && l.contains("ReadSchema")).toList ++
+      plan.split("Scan parquet").filter(_.contains("graft_prev_proj"))
+    assert(prevScans.exists(s => !s.contains("cleaned_html")),
+      s"prev scan reads the payload:\n${plan.take(2000)}")
+    assert(changed.count() > 0)
+  }
+
   test("bucketed self-join on url avoids both exchanges") {
     val t = spark.table("pages_bucketed")
     val a = t.select($"url", $"warc_ts")
