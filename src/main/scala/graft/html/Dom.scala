@@ -85,7 +85,7 @@ class Element(val name: String) extends Node {
 
   /** bs4 `get_text()`: concatenation of plain-text descendants, no separator. */
   def getText: String = {
-    val sb = new java.lang.StringBuilder
+    val sb = new java.lang.StringBuilder(512)
     def walk(e: Element): Unit = {
       val cs = e.children
       var i = 0
@@ -198,9 +198,12 @@ object Serializer {
     }
   }
 
-  /** bs4 `str(soup)` with the default minimal formatter. */
-  def serialize(node: Node): String = {
-    val sb = new java.lang.StringBuilder(1024)
+  /** bs4 `str(soup)` with the default minimal formatter. `sizeHint`
+    * avoids repeated whole-buffer growth copies (output ≈ input size). */
+  def serialize(node: Node): String = serialize(node, 1024)
+
+  def serialize(node: Node, sizeHint: Int): String = {
+    val sb = new java.lang.StringBuilder(math.max(sizeHint, 64))
     render(node, sb)
     sb.toString
   }

@@ -190,8 +190,14 @@ object HtmlParser {
       // tagfind_tolerant: [a-zA-Z][^\t\n\r\f />\x00]*
       j += 1
       while (j < n && { val c = raw.charAt(j); !isSpace(c) && c != '/' && c != '>' && c != '\u0000' }) j += 1
-      val rawName = raw.substring(nameStart, j)
-      val name = if (xmlMode) rawName else rawName.toLowerCase
+      val name = {
+        val interned =
+          if (xmlMode) Interned.lookupExact(raw, nameStart, j)
+          else Interned.lookupLower(raw, nameStart, j)
+        if (interned != null) interned
+        else if (xmlMode) raw.substring(nameStart, j)
+        else raw.substring(nameStart, j).toLowerCase
+      }
       val attrs = ArrayBuffer.empty[(String, String)]
       var selfClosing = false
       var done = false
@@ -212,8 +218,12 @@ object HtmlParser {
           val an = j
           j += 1
           while (j < n && { val x = raw.charAt(j); !isSpace(x) && x != '/' && x != '=' && x != '>' }) j += 1
-          var aname = raw.substring(an, j)
-          if (!xmlMode) aname = aname.toLowerCase
+          var aname =
+            if (xmlMode) Interned.lookupExact(raw, an, j)
+            else Interned.lookupLower(raw, an, j)
+          if (aname == null)
+            aname = if (xmlMode) raw.substring(an, j)
+                    else raw.substring(an, j).toLowerCase
           // optional  \s*=+\s*  then value
           var k = j
           while (k < n && isSpace(raw.charAt(k))) k += 1
@@ -271,8 +281,12 @@ object HtmlParser {
       val ns = j
       j += 1
       while (j < n && { val x = raw.charAt(j); !isSpace(x) && x != '/' && x != '>' && x != '\u0000' }) j += 1
-      var name = raw.substring(ns, j)
-      if (!xmlMode) name = name.toLowerCase
+      var name =
+        if (xmlMode) Interned.lookupExact(raw, ns, j)
+        else Interned.lookupLower(raw, ns, j)
+      if (name == null)
+        name = if (xmlMode) raw.substring(ns, j)
+               else raw.substring(ns, j).toLowerCase
       val gt = raw.indexOf('>', j)
       if (gt < 0) { // unterminated end tag at EOF → literal data (CPython)
         emitData(raw.substring(i), convert = true)

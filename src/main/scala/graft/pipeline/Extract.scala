@@ -104,7 +104,7 @@ object Extract {
         // text = whitespace-normalized character data
         val doc = HtmlParser.parse(content, xmlMode = true)
         ("xml", Cleaner.normalizeWhitespace(doc.getText),
-          Serializer.serialize(doc), None, Nil, Nil)
+          Serializer.serialize(doc, content.length + 64), None, Nil, Nil)
       } else if (!head.contains("<")) {
         ("text", Cleaner.cleanPlainText(content), null, None, Nil, Nil)
       } else {
@@ -126,7 +126,8 @@ object Extract {
         val metaRow = DocMetaRow(row.url, row.warc_ts, m.title.orNull,
           m.description.orNull, m.keywords.orNull, m.lastModified.orNull,
           m.authors, m.og.toMap, m.structuredData, m.canonical.orNull, row.lang)
-        ("html", text, Serializer.serialize(rawDoc), Some(metaRow), edges, anchors)
+        ("html", text, Serializer.serialize(rawDoc, content.length + 64),
+          Some(metaRow), edges, anchors)
       }
     }
   }
