@@ -99,6 +99,34 @@ object Bench {
     val docsPerSec = median(fullRuns.toSeq)
     val mapRate = median(mapRuns.toSeq)
 
+    // ---- optional: exchange-free full pipeline over bucket-ALIGNED input
+    // (the Iceberg bucket(url) story measured end-to-end: input partitioned
+    // by url_bucket → Extract.run(repartitionForWrite = false) writes the
+    // partitioned output without shuffling extracted payloads) ----
+    val alignedRuns = scala.collection.mutable.ArrayBuffer.empty[Double]
+    if (sys.env.getOrElse("SPARK_GRAFT_BENCH_ALIGNED", "") == "1") {
+      import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+      val alignedPath = s"$benchRoot/pages_aligned"
+      if (!new java.io.File(s"$alignedPath/_SUCCESS").exists()) {
+        spark.read.parquet(pagesPath)
+          .withColumn("url_bucket", pmod(xxhash64(col("url")), lit(nBuckets)).cast("int"))
+          .repartition(nBuckets, col("url_bucket"))
+          .write.mode("overwrite").partitionBy("url_bucket").parquet(alignedPath)
+      }
+      val alignedPages = spark.read.parquet(alignedPath)
+        .select("url", "warc_ts", "html", "text", "lang")
+        .as[graft.pipeline.PageRow](org.apache.spark.sql.Encoders.product[graft.pipeline.PageRow])
+      (1 to nRuns).foreach { i =>
+        val outDir = s"$benchRoot/out_al_${System.nanoTime()}"
+        val (summary, s) = secs {
+          Extract.run(spark, alignedPages, outDir, runId = s"bench_al_$i",
+            numBuckets = nBuckets, repartitionForWrite = false)
+        }
+        alignedRuns += summary.docs / s
+        rmrf(new java.io.File(outDir))
+      }
+    }
+
     // ---- per-query sweep on the sf dir ----
     val only = sys.env.getOrElse("SPARK_GRAFT_BENCH_ONLY", "")
     val results: Map[String, Double] =
@@ -116,8 +144,11 @@ object Bench {
     def arr(xs: Seq[Double]): String =
       xs.map(x => f"$x%.1f").mkString("[", ",", "]")
     val total = results.values.filter(_ > 0).sum + docsExtracted / docsPerSec
+    val alignedJson =
+      if (alignedRuns.isEmpty) ""
+      else s""","aligned_docs_per_sec":${f"${median(alignedRuns.toSeq)}%.1f"},"runs_aligned_docs_per_sec":${arr(alignedRuns.toSeq)}"""
     println(
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir","extract_docs":$docsExtracted,"docs_per_sec":${f"$docsPerSec%.1f"},"map_docs_per_sec":${f"$mapRate%.1f"},"runs_full_docs_per_sec":${arr(fullRuns.toSeq)},"runs_map_docs_per_sec":${arr(mapRuns.toSeq)},"bench_docs":$nDocs,"cpus":$cpus}""")
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir","extract_docs":$docsExtracted,"docs_per_sec":${f"$docsPerSec%.1f"},"map_docs_per_sec":${f"$mapRate%.1f"},"runs_full_docs_per_sec":${arr(fullRuns.toSeq)},"runs_map_docs_per_sec":${arr(mapRuns.toSeq)}$alignedJson,"bench_docs":$nDocs,"cpus":$cpus}""")
     spark.stop()
   }
 }

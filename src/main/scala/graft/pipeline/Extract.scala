@@ -146,8 +146,15 @@ object Extract {
     * `maxDupBroadcast`; a recrawl-heavy corpus (most urls with >=2
     * snapshots → dup set O(n)) falls back to the plain window, which
     * shuffles once instead of OOMing the driver on an unbounded broadcast. */
+  /** `alignDupsTo > 0` re-places the (small) deduped-dup slice into
+    * url-bucket-aligned partitions so a downstream
+    * `repartitionForWrite=false` partitioned write stays one-file-per-
+    * bucket — without it the window's url-hash partitions each fan out
+    * into every bucket directory (measured: 2,368 files vs 128). The
+    * unique slice never moves either way. */
   def latestPerUrl(pages: Dataset[PageRow],
-                   maxDupBroadcast: Long = 1000000L): Dataset[PageRow] = {
+                   maxDupBroadcast: Long = 1000000L,
+                   alignDupsTo: Int = 0): Dataset[PageRow] = {
     import pages.sparkSession.implicits._
     val dupUrls = pages.groupBy($"url").agg(count(lit(1)).as("__n"))
       .filter($"__n" > 1).select($"url".as("__dup_url"))
@@ -158,7 +165,13 @@ object Extract {
         pages("url") === $"__dup_url", "left_anti").as[PageRow]
       val dups = pages.join(broadcast(dupUrls),
         pages("url") === $"__dup_url", "left_semi").as[PageRow]
-      uniques.union(latestPerUrlWindow(dups))
+      val dedupedDups = latestPerUrlWindow(dups)
+      val placed =
+        if (alignDupsTo > 0)
+          dedupedDups.repartition(alignDupsTo,
+            pmod(xxhash64($"url"), lit(alignDupsTo))).as[PageRow]
+        else dedupedDups
+      uniques.union(placed)
     } else latestPerUrlWindow(pages)
   }
 
@@ -210,7 +223,8 @@ object Extract {
   def run(spark: SparkSession, pages: Dataset[PageRow], outDir: String,
           runId: String, numBuckets: Int = DefaultBuckets,
           prevSnapshot: Option[DataFrame] = None,
-          blocklist: Option[Dataset[String]] = None): RunSummary = {
+          blocklist: Option[Dataset[String]] = None,
+          repartitionForWrite: Boolean = true): RunSummary = {
     import spark.implicits._
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
@@ -236,7 +250,8 @@ object Extract {
         .filter(!$"__bucket".isin(doneBuckets.toSeq: _*))
         .drop("__bucket").as[PageRow]
 
-    val deduped = latestPerUrl(input)
+    val deduped = latestPerUrl(input,
+      alignDupsTo = if (repartitionForWrite) 0 else numBuckets)
     val current = prevSnapshot match {
       case Some(prev) => changedOnly(deduped, prev)
       case None       => deduped
@@ -250,10 +265,18 @@ object Extract {
     // repartition on url_bucket before the write: one file per bucket
     // (bucket-aligned layout for downstream joins; locally it also sidesteps
     // RawLocalFileSystem's per-file fork+exec chmod storm — task-count ×
-    // bucket-count small files serialize on process spawn otherwise)
-    extract(current, numBuckets)
+    // bucket-count small files serialize on process spawn otherwise).
+    // When the INPUT is already bucket-aligned (Iceberg bucket(url) /
+    // parquet partitioned by url_bucket), pass repartitionForWrite=false:
+    // each task holds one bucket's rows, so the partitioned write emits one
+    // file per split WITHOUT shuffling the extracted payloads at all — the
+    // exchange-free path (BucketedSpec proves the plan; Bench measures it).
+    val extracted = extract(current, numBuckets)
       .select(col("doc.*"), col("meta"), col("links"), col("anchors"))
-      .repartition(numBuckets, col("url_bucket"))
+    val toWrite =
+      if (repartitionForWrite) extracted.repartition(numBuckets, col("url_bucket"))
+      else extracted
+    toWrite
       .write.mode("overwrite").partitionBy("url_bucket")
       .parquet(s"$outDir/docs_clean")
 

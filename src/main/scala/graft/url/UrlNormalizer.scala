@@ -112,6 +112,22 @@ object UrlNormalizer {
     s.substring(0, end)
   }
 
+  /** `normalize_query_params` (/root/reference/core/scraper.py:522-532):
+    * parse_qsl → drop empty values → sort (key, value) tuples → urlencode;
+    * fragment and params KEPT (unlike normalize_url). */
+  def normalizeQueryParams(url: String): String = {
+    val parsed = PyUrl.urlparse(url)
+    val params = PyUrl.parseQsl(parsed.query).filter(_._2.nonEmpty).sorted
+    PyUrl.urlunparse(parsed.copy(query = PyUrl.urlencode(params)))
+  }
+
+  /** `get_doc_name_from_url` (/root/reference/core/scraper.py:287-288):
+    * first manifest source whose url is a SUBSTRING of the page url
+    * (`source['url'] in url` — substring, not prefix); netloc fallback. */
+  def docNameFromUrl(url: String, sources: Seq[(String, String)]): String =
+    sources.collectFirst { case (name, srcUrl) if url.contains(srcUrl) => name }
+      .getOrElse(PyUrl.urlparse(url).netloc)
+
   /** `is_valid_link` relational core (/root/reference/core/scraper.py:379-392):
     * scheme ∈ {http,https} ∧ host == baseDomain ∧ path startswith startPath.
     * Canonical-hop recursion is resolved relationally upstream (SURVEY §2.4). */

@@ -150,6 +150,29 @@ class ExtractE2ESpec extends AnyFunSuite {
     assert(mIdem.agg(sum($"docs_parsed")).as[Long].head() == N)
   }
 
+  test("bucket-aligned input: exchange-free write path produces identical outputs") {
+    val in = Files.createTempDirectory("graft_aligned_in").toString + "/pages"
+    PagesGen.pages(spark, 80L)
+      .withColumn("url_bucket", pmod(xxhash64($"url"), lit(16)).cast("int"))
+      .repartition(16, $"url_bucket")
+      .write.partitionBy("url_bucket").parquet(in)
+    val aligned = spark.read.parquet(in)
+      .select("url", "warc_ts", "html", "text", "lang").as[PageRow]
+
+    val outA = Files.createTempDirectory("graft_aligned_a").toString
+    val outB = Files.createTempDirectory("graft_aligned_b").toString
+    Extract.run(spark, aligned, outA, "runAl", repartitionForWrite = false)
+    Extract.run(spark, PagesGen.pages(spark, 80L), outB, "runDef")
+    def snap(dir: String) = spark.read.parquet(s"$dir/docs_clean")
+      .select($"url", $"content_sha256", $"url_bucket")
+      .as[(String, String, Int)].collect().toSet
+    assert(snap(outA) == snap(outB))
+    // bucket dirs still correct under the shuffle-free write
+    assert(spark.read.parquet(s"$outA/docs_clean")
+      .filter(pmod(xxhash64($"url"), lit(16)).cast("int") =!= $"url_bucket")
+      .count() == 0)
+  }
+
   test("blocklist anti-join removes listed urls") {
     val out = Files.createTempDirectory("graft_bl").toString
     val bl = spark.createDataset(Seq(PagesGen.urlOf(3), PagesGen.urlOf(4)))

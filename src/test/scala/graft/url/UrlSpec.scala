@@ -11,6 +11,25 @@ class UrlSpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("normalize_query_params matches CPython golden corpus") {
+    GoldenJson.load("normalize_query_params.json").foreach { c =>
+      val in = c.get("input").asText
+      assert(UrlNormalizer.normalizeQueryParams(in) == c.get("expected").asText,
+        s"input=$in")
+    }
+  }
+
+  test("get_doc_name_from_url: substring manifest match, netloc fallback") {
+    val sources = Seq("spark-docs" -> "https://spark.apache.org/docs",
+      "duck" -> "duckdb.org")
+    assert(UrlNormalizer.docNameFromUrl(
+      "https://spark.apache.org/docs/latest/sql.html", sources) == "spark-docs")
+    assert(UrlNormalizer.docNameFromUrl(
+      "https://duckdb.org/docs/sql/functions.html", sources) == "duck")
+    assert(UrlNormalizer.docNameFromUrl(
+      "https://other.example.com/x.html", sources) == "other.example.com")
+  }
+
   test("normalize_url matches CPython golden corpus (F13)") {
     GoldenJson.load("normalize_url.json").foreach { c =>
       val in = c.get("input").asText
