@@ -32,7 +32,8 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.hadoop.fs.file.impl", "graft.hadoop.NoChmodLocalFileSystem")
-      .config("spark.sql.parquet.compression.codec", "zstd")
+      .config("spark.sql.parquet.compression.codec",
+        sys.env.getOrElse("SPARK_GRAFT_CODEC", "zstd"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
