@@ -106,5 +106,11 @@ object SideTables {
       .select($"vec_id", $"lsh_bucket".isin(probes: _*).as("in_probe"),
         round(Similarity.cosineToQuery("embedding", q), 6).as("cos")),
       "side_ann")
+    val cents = SparkEntry.ivfCentroids(spark, sfDir)
+    val ivfProbes = Similarity.ivfProbes(q, cents, nProbes = 4)
+    save(Similarity.withIvfCell(emb, "embedding", cents)
+      .select($"vec_id", $"ivf_cell".isin(ivfProbes: _*).as("in_probe"),
+        round(Similarity.cosineToQuery("embedding", q), 6).as("cos")),
+      "side_ivf")
   }
 }

@@ -136,6 +136,20 @@ object SparkEntry {
     path
   }
 
+  /** Deterministic IVF centroids for the sf dir (k=16, 5 Lloyd iters). */
+  private[graft] def ivfCentroids(s: SparkSession, dir: String): Array[Array[Float]] =
+    Similarity.trainIvfCentroids(t(s, dir, "embeddings").filter(col("vec_id") =!= 0),
+      "vec_id", "embedding", k = 16, iters = 5)
+
+  private[graft] def ensureIvfIndex(s: SparkSession, dir: String,
+                                    cents: Array[Array[Float]]): String = {
+    val path = s"/tmp/graft_ivf_idx_${Integer.toHexString((dir + "#k16i5").hashCode)}"
+    if (!new java.io.File(s"$path/_SUCCESS").exists())
+      Similarity.writeIvf(t(s, dir, "embeddings").filter(col("vec_id") =!= 0),
+        path, "embedding", cents)
+    path
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- aggregations (SURVEY §2.5) ----
     "q_agg_pricing" -> ((s, dir) => {
@@ -267,6 +281,12 @@ object SparkEntry {
       val idx = ensureAnnIndex(s, dir)
       Similarity.lshTopKIndexed(s, idx, "vec_id", "embedding",
         queryVec(s, dir), 10, bits = 8, nProbes = 4)
+    }),
+    "q_ann_ivf_topk" -> ((s, dir) => {
+      val cents = ivfCentroids(s, dir)
+      val idx = ensureIvfIndex(s, dir, cents)
+      Similarity.ivfTopK(s, idx, "vec_id", "embedding",
+        queryVec(s, dir), 10, cents, nProbes = 4)
     }),
 
     // ---- extraction queries (oracled via Verify side tables) ----
@@ -529,6 +549,9 @@ object SparkEntry {
          |FROM documents d JOIN ${side("side_textstats")} s ON d.doc_id = s.doc_id""".stripMargin,
     "q_ann_lsh_topk" ->
       s"""SELECT vec_id, cos FROM ${side("side_ann")}
+         |WHERE in_probe ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+    "q_ann_ivf_topk" ->
+      s"""SELECT vec_id, cos FROM ${side("side_ivf")}
          |WHERE in_probe ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
     "q_priority_scores" ->
       // the ENTIRE calculate_priority formula re-derived in SQL over the

@@ -96,6 +96,116 @@ object Similarity {
       .limit(k)
   }
 
+  // ---------- IVF (inverted-file) ANN — the second scale path ----------
+
+  /** Deterministic k-means centroids (Lloyd, fixed iterations): seeded by
+    * the first k vectors in id order from a bounded id-ordered sample;
+    * argmin ties break to the lowest centroid index; an emptied cell keeps
+    * its previous centroid. Training is driver-side over the bounded
+    * sample (at 10^12 rows you train on a sample anyway); ASSIGNMENT stays
+    * fully distributed. */
+  def trainIvfCentroids(emb: DataFrame, idCol: String, embCol: String,
+                        k: Int = 16, iters: Int = 5,
+                        maxSample: Int = 4096): Array[Array[Float]] = {
+    val sample = emb.orderBy(col(idCol)).limit(maxSample)
+      .select(col(embCol)).collect().map(_.getSeq[Float](0).toArray)
+    require(sample.length >= k, s"need >= $k sample vectors, got ${sample.length}")
+    val dim = sample(0).length
+    var centroids = Array.tabulate(k)(i => sample(i).clone())
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Long](k)
+      sample.foreach { v =>
+        val c = nearestCentroid(v, centroids)
+        counts(c) += 1
+        var d = 0
+        while (d < dim) { sums(c)(d) += v(d); d += 1 }
+      }
+      centroids = Array.tabulate(k) { c =>
+        if (counts(c) == 0) centroids(c) // empty cell: keep previous
+        else Array.tabulate(dim)(d => (sums(c)(d) / counts(c)).toFloat)
+      }
+      it += 1
+    }
+    centroids
+  }
+
+  /** Squared-L2 argmin; ties to the lowest index (determinism rule). */
+  def nearestCentroid(v: Array[Float], centroids: Array[Array[Float]]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < centroids.length) {
+      val cent = centroids(c)
+      var d = 0.0
+      var i = 0
+      while (i < v.length) {
+        val diff = v(i).toDouble - cent(i)
+        d += diff * diff
+        i += 1
+      }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** The nProbes nearest centroid indices to the query (ascending L2,
+    * ties to the lower index). */
+  def ivfProbes(q: Array[Float], centroids: Array[Array[Float]],
+                nProbes: Int): Seq[Int] = {
+    centroids.indices
+      .map { c =>
+        var d = 0.0
+        var i = 0
+        while (i < q.length) {
+          val diff = q(i).toDouble - centroids(c)(i)
+          d += diff * diff
+          i += 1
+        }
+        (d, c)
+      }
+      .sortBy(identity)
+      .take(math.min(nProbes, centroids.length))
+      .map(_._2)
+  }
+
+  /** Add the ivf_cell column (typed map; assignment is per-row pure). */
+  def withIvfCell(emb: DataFrame, embCol: String,
+                  centroids: Array[Array[Float]]): DataFrame = {
+    val outSchema = org.apache.spark.sql.types.StructType(
+      emb.schema.fields :+ org.apache.spark.sql.types.StructField(
+        "ivf_cell", org.apache.spark.sql.types.IntegerType))
+    val idx = emb.schema.fieldIndex(embCol)
+    emb.mapPartitions { rows =>
+      rows.map { r =>
+        val v = r.getSeq[Float](idx).toArray
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ nearestCentroid(v, centroids))
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
+  /** Persist the IVF index partitioned by cell (partition-pruned probes,
+    * like `writeBucketed` for the RHP-LSH path). */
+  def writeIvf(emb: DataFrame, path: String, embCol: String,
+               centroids: Array[Array[Float]]): Unit =
+    withIvfCell(emb, embCol, centroids)
+      .write.mode("overwrite").partitionBy("ivf_cell").parquet(path)
+
+  /** ANN over the persisted IVF index: scan only the nProbes nearest
+    * cells' files, rank by exact cosine. */
+  def ivfTopK(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+              idCol: String, embCol: String, q: Array[Float], k: Int,
+              centroids: Array[Array[Float]], nProbes: Int = 4): DataFrame = {
+    val probes = ivfProbes(q, centroids, nProbes)
+    spark.read.parquet(indexPath)
+      .filter(col("ivf_cell").isin(probes: _*))
+      .select(col(idCol), round(cosineToQuery(embCol, q), 6).as("cos"))
+      .orderBy(desc("cos"), col(idCol))
+      .limit(k)
+  }
+
   /** Recall@k of the LSH path vs brute force (diagnostics / tests). */
   def recallAtK(emb: DataFrame, idCol: String, embCol: String, q: Array[Float],
                 k: Int, bits: Int = 12, nProbes: Int = 4): Double = {

@@ -62,6 +62,22 @@ class SimilaritySpec extends AnyFunSuite {
     assert(indexed.select($"vec_id", $"cos").collect().toSeq == onTheFly)
   }
 
+  test("IVF: deterministic centroids, partition-pruned probes, planted neighbors recalled") {
+    val cents = Similarity.trainIvfCentroids(emb, "vec_id", "embedding", k = 8, iters = 5)
+    val cents2 = Similarity.trainIvfCentroids(emb, "vec_id", "embedding", k = 8, iters = 5)
+    assert(cents.map(_.toSeq).toSeq == cents2.map(_.toSeq).toSeq) // deterministic
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString + "/idx"
+    Similarity.writeIvf(emb, path, "embedding", cents)
+    val top = Similarity.ivfTopK(spark, path, "vec_id", "embedding", q, 5, cents, nProbes = 3)
+    val plan = top.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("ivf_cell"), plan.take(1200))
+    // the 5 planted near-duplicates of q cluster into q's cell → recalled
+    val got = top.select($"vec_id").as[Long].collect().toSet
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 5)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(got.intersect(exact).size >= 3, s"got=$got exact=$exact")
+  }
+
   test("bucketing deterministic and partition-prunable") {
     val b1 = Similarity.withBucket(emb, "embedding", bits = 8)
       .select($"vec_id", $"lsh_bucket").as[(Long, Long)].collect().toMap
