@@ -333,6 +333,8 @@ object SparkEntry {
       Dedup.fingerprints(t(s, dir, "documents"), "doc_id", "text", numPerm = 32)
         .select(col("id"), col("simhash"), col("n_shingles"))),
     "q_lang_detect" -> ((s, dir) => textstatsFrame(s, dir)),
+    "q_training_prep" -> ((s, dir) =>
+      graft.ops.TrainingData.prepare(t(s, dir, "documents"))),
 
     // ---- crawl scheduling / sources (SURVEY §2.7 faithful + §2.1) ----
     "q_priority_scores" -> ((s, _) => {
@@ -541,6 +543,25 @@ object SparkEntry {
          |ORDER BY hamming, id_a, id_b LIMIT 50""".stripMargin,
     "q_doc_fingerprints" ->
       s"""SELECT id, simhash, n_shingles FROM ${side("side_fp")}""".stripMargin,
+    "q_training_prep" ->
+      // fully relational oracle — the whole composite filter re-derived
+      """WITH base AS (SELECT doc_id, lang,
+        |    len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+        |    round(length(regexp_replace(text, '[^a-z ]', '', 'g')) * 1.0 /
+        |          length(text), 4) AS alpha_ratio,
+        |    min(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+        |  FROM documents),
+        |reasons AS (SELECT doc_id, lang, n_tokens, alpha_ratio,
+        |    CASE WHEN doc_id <> keeper THEN 'duplicate'
+        |         WHEN lang NOT IN ('en','de','fr','es','pt') THEN 'lang'
+        |         WHEN n_tokens < 10 THEN 'too_short'
+        |         WHEN n_tokens > 100000 THEN 'too_long'
+        |         WHEN alpha_ratio < 0.5 THEN 'low_alpha'
+        |         ELSE NULL END AS drop_reason
+        |  FROM base)
+        |SELECT doc_id, lang, n_tokens, alpha_ratio,
+        |  drop_reason IS NULL AS kept, drop_reason
+        |FROM reasons""".stripMargin,
     "q_lang_detect" ->
       // lang_detected is the precomputed scalar; bpeish_tokens is
       // INDEPENDENTLY recomputed by DuckDB's regex engine

@@ -1,0 +1,55 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Composite training-data preparation over a documents table — the glue a
+ * corpus pipeline runs between extraction and tokenization: exact dedup
+ * (keep min-id per content hash), quality gates, language allowlist.
+ * Emits EVERY row with diagnostics (kept + first failing drop_reason) so
+ * the filter is auditable, not silent.
+ *
+ * All Catalyst: the only shuffle is the md5-keyed window, and it carries
+ * (hash, id, two small numbers) — the text column is projected away
+ * BEFORE the window, so at 10^12 docs the shuffle is ~50 B/row. Gate
+ * precedence is fixed (duplicate → lang → too_short → too_long →
+ * low_alpha) for deterministic reasons across engines.
+ */
+object TrainingData {
+
+  def prepare(docs: DataFrame,
+              idCol: String = "doc_id", textCol: String = "text",
+              langCol: String = "lang",
+              minTokens: Int = 10, maxTokens: Int = 100000,
+              minAlpha: Double = 0.5,
+              langs: Seq[String] = Seq("en", "de", "fr", "es", "pt")): DataFrame = {
+    // narrow projection FIRST: hash + per-row stats; text never shuffles
+    val slim = docs.select(
+      col(idCol).as("doc_id"),
+      col(langCol).as("lang"),
+      md5(col(textCol)).as("__h"),
+      size(split(trim(col(textCol)), "\\s+")).as("n_tokens"),
+      round(length(regexp_replace(col(textCol), "[^a-z ]", "")).cast("double") /
+        length(col(textCol)), 4).as("alpha_ratio"))
+    val w = Window.partitionBy(col("__h"))
+    slim
+      .withColumn("__keeper", min(col("doc_id")).over(w))
+      .withColumn("drop_reason",
+        when(col("doc_id") =!= col("__keeper"), "duplicate")
+          .when(!col("lang").isin(langs: _*), "lang")
+          .when(col("n_tokens") < minTokens, "too_short")
+          .when(col("n_tokens") > maxTokens, "too_long")
+          .when(col("alpha_ratio") < minAlpha, "low_alpha"))
+      .withColumn("kept", col("drop_reason").isNull)
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("alpha_ratio"),
+        col("kept"), col("drop_reason"))
+  }
+
+  /** Only the surviving ids (join back to texts downstream). */
+  def keptIds(docs: DataFrame, idCol: String = "doc_id",
+              textCol: String = "text", langCol: String = "lang"): DataFrame =
+    prepare(docs, idCol, textCol, langCol)
+      .filter(col("kept")).select(col("doc_id"))
+}
