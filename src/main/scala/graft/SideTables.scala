@@ -40,6 +40,11 @@ object SideTables {
       length($"text").as("text_len"), $"parse_failed"), "side_docs")
     save(docs.select($"url"), "side_urls")
     save(docs.select($"meta.url".as("url"), $"meta.canonical".as("canonical")), "side_meta")
+    // full metadata through the doc_meta SIDECAR write path (not the
+    // nested column) — pins sidecar-derive ≡ direct-map for metadata too
+    save(spark.read.parquet(s"$runDir/doc_meta")
+      .select($"url", $"title", $"description", $"keywords",
+        $"last_modified_iso", $"canonical", $"lang"), "side_meta_full")
     save(spark.read.parquet(s"$runDir/links")
       .select($"src_url", $"dst_url", $"kind", $"src_tag", $"anchor", $"is_internal"),
       "side_links")

@@ -298,6 +298,14 @@ object SparkEntry {
           (p.doc.url, l.dst_url, l.kind, l.src_tag, l.anchor, l.is_internal)))
         .toDF("src_url", "dst_url", "kind", "src_tag", "anchor", "is_internal")
     }),
+    "q_extract_meta" -> ((s, _) => {
+      import s.implicits._
+      Extract.extract(Extract.latestPerUrl(PagesGen.pages(s, ExtractN)))
+        .map(_.meta)
+        .select($"url", $"title", $"description", $"keywords",
+          $"last_modified_iso", $"canonical", $"lang")
+        .toDF()
+    }),
     "q_snapshot_diff_ops" -> ((s, _) => snapshotDiffSummary(s)),
     "q_link_report" -> ((s, _) => {
       import s.implicits._
@@ -462,6 +470,11 @@ object SparkEntry {
     "q_extract_links" ->
       s"""SELECT src_url, dst_url, kind, src_tag, anchor, is_internal
          |FROM ${side("side_links")}""".stripMargin,
+    "q_extract_meta" ->
+      // side_meta_full flows through the doc_meta sidecar WRITE path
+      s"""SELECT url, title, description, keywords, last_modified_iso,
+         |  canonical, lang
+         |FROM ${side("side_meta_full")}""".stripMargin,
     "q_link_report" ->
       s"""WITH l AS (SELECT * FROM ${side("side_links")}),
          |u AS (SELECT url FROM ${side("side_urls")}),
