@@ -44,7 +44,8 @@ object SideTables {
     // nested column) — pins sidecar-derive ≡ direct-map for metadata too
     save(spark.read.parquet(s"$runDir/doc_meta")
       .select($"url", $"title", $"description", $"keywords",
-        $"last_modified_iso", $"canonical", $"lang"), "side_meta_full")
+        $"last_modified_iso", $"canonical", $"lang",
+        size($"structured_data").as("n_structured")), "side_meta_full")
     save(spark.read.parquet(s"$runDir/links")
       .select($"src_url", $"dst_url", $"kind", $"src_tag", $"anchor", $"is_internal"),
       "side_links")

@@ -14,7 +14,7 @@ final case class PageMeta(
     dateMetas: Seq[(String, String)],      // (name → ISO) for date/pubdate/lastmod/modified
     authors: Seq[String],
     og: Seq[(String, String)],             // og:* property (sans "og:") → content
-    structuredData: Seq[String],           // raw JSON-LD script bodies
+    structuredData: Seq[StructuredEntry],  // json-ld (raw) + microdata + rdfa
     canonical: Option[String])
 
 /**
@@ -83,12 +83,21 @@ object MetadataExtractor {
     }.headOption
   }
 
-  def extract(doc: Document): PageMeta = {
-    // single walk: metas, json-ld scripts, canonical link, first title
+  def extract(doc: Document): PageMeta = extract(doc, "")
+
+  def extract(doc: Document, pageUrl: String): PageMeta = {
+    // single walk: metas, json-ld scripts, canonical link, first title,
+    // plus the microdata/RDFa candidate lists (itemscope/typeof/property
+    // elements, document order) so the structured-data harvest never
+    // re-traverses the DOM
     val metas = scala.collection.mutable.ArrayBuffer.empty[Element]
     val ldScripts = scala.collection.mutable.ArrayBuffer.empty[Element]
+    val itemscopeEls = scala.collection.mutable.ArrayBuffer.empty[Element]
+    val typeofEls = scala.collection.mutable.ArrayBuffer.empty[Element]
+    val propertyEls = scala.collection.mutable.ArrayBuffer.empty[Element]
     var canonicalEl: Element = null
     var titleEl: Element = null
+    var baseEl: Element = null
     def walk(e: Element): Unit = {
       var i = 0
       while (i < e.children.length) {
@@ -103,8 +112,12 @@ object MetadataExtractor {
                     el.attr("rel").exists(_.split("\\s+").contains("canonical")) &&
                     el.attr("href").exists(_.nonEmpty)) canonicalEl = el
               case "title" => if (titleEl == null) titleEl = el
+              case "base"  => if (baseEl == null) baseEl = el
               case _ =>
             }
+            if (el.hasAttr("itemscope")) itemscopeEls += el
+            if (el.hasAttr("typeof")) typeofEls += el
+            if (el.hasAttr("property")) propertyEls += el
             walk(el)
           case _ =>
         }
@@ -144,8 +157,24 @@ object MetadataExtractor {
     // extract_metadata: raw content first, then ISO-normalized when parseable
     val lastModified = lastModifiedRaw.map(raw => parseDateIso(raw).getOrElse(raw))
 
-    // structured data: raw <script type="application/ld+json"> bodies
-    val jsonLd = ldScripts.map(_.getText)
+    // structured data, extruct syntax order (json-ld, microdata, rdfa):
+    // raw <script type="application/ld+json"> bodies; microdata items;
+    // RDFa subjects (og:/dc: metas land in the document-level subject)
+    val base = baseEl match {
+      case null => pageUrl
+      case b    => b.attr("href").filter(_.nonEmpty)
+        .map(h => try graft.url.PyUrl.urljoin(pageUrl, h)
+                  catch { case _: Exception => pageUrl })
+        .getOrElse(pageUrl)
+    }
+    val structured = scala.collection.mutable.ArrayBuffer.empty[StructuredEntry]
+    ldScripts.foreach(s => structured += StructuredEntry("json-ld", s.getText))
+    if (itemscopeEls.nonEmpty)
+      StructuredData.microdata(itemscopeEls.toSeq, base)
+        .foreach(structured += StructuredEntry("microdata", _))
+    if (typeofEls.nonEmpty || propertyEls.nonEmpty)
+      StructuredData.rdfa(typeofEls.toSeq, propertyEls.toSeq, base)
+        .foreach(structured += StructuredEntry("rdfa", _))
 
     // get_canonical_url: <link rel=canonical href>
     val canonical = Option(canonicalEl).flatMap(_.attr("href"))
@@ -158,6 +187,6 @@ object MetadataExtractor {
     }
 
     PageMeta(title, description, keywords, lastModified,
-      dateMetas.toSeq, authors.toSeq, og.toSeq, jsonLd.toSeq, canonical)
+      dateMetas.toSeq, authors.toSeq, og.toSeq, structured.toSeq, canonical)
   }
 }

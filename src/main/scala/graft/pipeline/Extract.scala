@@ -35,6 +35,11 @@ object Extract {
 
   val DefaultBuckets = 16
 
+  /** JVM-local diagnostic: total `extractPage` invocations. Meaningful in
+    * local mode only (specs assert extraction-pass sharing with it);
+    * one relaxed increment per row — noise next to a ~100µs parse. */
+  val extractCalls = new java.util.concurrent.atomic.LongAdder()
+
   /** url-hash bucket — EXACT parity with the SQL `pmod(xxhash64(url), n)`
     * (same XxHash64, seed 42, over UTF-8 bytes), so typed-map outputs and
     * relational bucket filters never disagree. */
@@ -50,6 +55,7 @@ object Extract {
     * (core/scraper.py:500-517, core/scraper_core.py:42-44) keyed off content
     * shape: PDF magic → pdf; leading `<?xml` → xml; url extension fallback. */
   def extractPage(row: PageRow, numBuckets: Int): ExtractedPage = {
+    extractCalls.increment()
     val bucket = urlBucket(row.url, numBuckets)
     def emptyMeta = DocMetaRow(row.url, row.warc_ts, null, null, null, null,
       Nil, Map.empty, Nil, null, row.lang)
@@ -114,7 +120,7 @@ object Extract {
         // vacuous because cleaning removes every <meta>/<link> first — the
         // raw-dom order is the intended semantics, SURVEY §2.3/§2.9)
         val rawDoc = HtmlParser.parse(content)
-        val m = MetadataExtractor.extract(rawDoc)
+        val m = MetadataExtractor.extract(rawDoc, row.url)
         val edges = LinkExtractor.edges(rawDoc, row.url)
         val anchors = LinkExtractor.anchorIds(rawDoc)
         // clean in place (same DOM — extraction already materialized)

@@ -36,7 +36,7 @@ final case class DocMetaRow(
     last_modified_iso: String,
     authors: Seq[String],
     og: Map[String, String],
-    structured_data: Seq[String],
+    structured_data: Seq[graft.meta.StructuredEntry],
     canonical: String,
     lang: String)
 

@@ -24,9 +24,56 @@ object TextAnalysis {
     "pt" -> Set(" o ", " a ", " os ", " as ", " é ", " uma ", " para ", " que ", " com ", " não "),
     "it" -> Set(" il ", " la ", " che ", " di ", " è ", " una ", " per ", " con ", " del ", " non "))
 
+  /** Unicode-script voting pre-classifier (VERDICT r02 next #6): counts
+    * letters per script block and returns the dominant non-Latin script's
+    * language directly — CJK/Cyrillic/Arabic/Devanagari/... pages stop
+    * collapsing to "und". Latin-dominant text falls through to the trigram
+    * profiles. Thresholds: ≥25% of letters non-Latin-majority script wins
+    * (web pages embed Latin URLs/code, so a strict majority is too strict).
+    * Han disambiguation: any kana → ja, any hangul → ko, else zh. */
+  private def scriptVote(text: String): String = {
+    var latin, han, kana, hangul, cyr, arab, deva, greek, hebrew, thai = 0
+    var letters = 0
+    var i = 0
+    val n = math.min(text.length, 4096) // bounded sample — ample signal
+    while (i < n) {
+      val c = text.charAt(i)
+      if (Character.isLetter(c)) {
+        letters += 1
+        val cp = c.toInt
+        if (cp < 0x250) latin += 1
+        else if (cp >= 0x4E00 && cp <= 0x9FFF) han += 1
+        else if (cp >= 0x3040 && cp <= 0x30FF) kana += 1
+        else if ((cp >= 0xAC00 && cp <= 0xD7AF) || (cp >= 0x1100 && cp <= 0x11FF)) hangul += 1
+        else if (cp >= 0x400 && cp <= 0x4FF) cyr += 1
+        else if ((cp >= 0x600 && cp <= 0x6FF) || (cp >= 0x750 && cp <= 0x77F)) arab += 1
+        else if (cp >= 0x900 && cp <= 0x97F) deva += 1
+        else if (cp >= 0x370 && cp <= 0x3FF) greek += 1
+        else if (cp >= 0x590 && cp <= 0x5FF) hebrew += 1
+        else if (cp >= 0xE00 && cp <= 0xE7F) thai += 1
+      }
+      i += 1
+    }
+    if (letters == 0) return null
+    val cjk = han + kana + hangul
+    val t = letters / 4 // 25% threshold
+    if (cjk > t) {
+      if (kana > 0) "ja" else if (hangul > 0) "ko" else "zh"
+    }
+    else if (cyr > t) "ru"
+    else if (arab > t) "ar"
+    else if (deva > t) "hi"
+    else if (greek > t) "el"
+    else if (hebrew > t) "he"
+    else if (thai > t) "th"
+    else null // Latin (or mixed) → trigram profiles
+  }
+
   /** Deterministic language guess; "und" when nothing matches. */
   def detectLanguage(text: String): String = {
     if (text == null || text.isEmpty) return "und"
+    val byScript = scriptVote(text)
+    if (byScript != null) return byScript
     val hay = " " + text.toLowerCase.replaceAll("[^\\p{L}]+", " ") + " "
     var best = "und"
     var bestScore = 0

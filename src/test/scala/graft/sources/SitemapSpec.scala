@@ -45,6 +45,29 @@ class SitemapSpec extends AnyFunSuite {
     assert(!seeds.exists(_.contains("orphan")))
   }
 
+  test("seedUrls stays distributed: 125k seeds, no driver collect (r02 wrong #1)") {
+    import graft.pipeline.PageRow
+    val ts = new java.sql.Timestamp(1700000000000L)
+    val nSets = 50
+    val perSet = 2500
+    val rows = PageRow(s"$host/big.xml", ts,
+      (s"""<?xml version="1.0"?><sitemapindex>""" +
+        (0 until nSets).map(i => s"<sitemap><loc>$host/set$i.xml</loc></sitemap>").mkString +
+        "</sitemapindex>").getBytes("UTF-8"), null, "en") +:
+      (0 until nSets).map { i =>
+        PageRow(s"$host/set$i.xml", ts,
+          (s"""<?xml version="1.0"?><urlset>""" +
+            (0 until perSet).map(j => s"<url><loc>$host/p/${i}_$j.html</loc></url>").mkString +
+            "</urlset>").getBytes("UTF-8"), null, "en")
+      }
+    val seeds = Sitemap.seedUrls(spark.createDataset(rows), s"$host/big.xml")
+    // the returned frame must read executor-side checkpointed partitions,
+    // not a driver-materialized LocalRelation (the old collect() shape)
+    val logical = seeds.queryExecution.logical.toString()
+    assert(!logical.contains("LocalRelation"), s"driver-materialized plan:\n$logical")
+    assert(seeds.count() == nSets.toLong * perSet)
+  }
+
   test("entries emits one row per loc with kind; parse_error rows carry null loc") {
     val e = Sitemap.entries(Sitemap.syntheticSitemapPages(spark))
       .as[(String, String, String)].collect()

@@ -18,6 +18,24 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(TextAnalysis.detectLanguage("zzz qqq xxx") == "und")
   }
 
+  test("script-range pre-classifier covers non-Latin families (r02 next #6)") {
+    assert(TextAnalysis.detectLanguage("这是一个中文网页的正文内容测试段落") == "zh")
+    assert(TextAnalysis.detectLanguage("これは日本語のページですかなカナ混じり文") == "ja")
+    assert(TextAnalysis.detectLanguage("한국어 웹 페이지 본문 내용입니다") == "ko")
+    assert(TextAnalysis.detectLanguage("Это страница на русском языке для теста") == "ru")
+    assert(TextAnalysis.detectLanguage("هذه صفحة باللغة العربية للاختبار فقط") == "ar")
+    assert(TextAnalysis.detectLanguage("यह हिन्दी भाषा का एक परीक्षण पृष्ठ है") == "hi")
+    assert(TextAnalysis.detectLanguage("Αυτή είναι μια ελληνική σελίδα δοκιμής") == "el")
+    assert(TextAnalysis.detectLanguage("זהו דף אינטרנט בעברית לבדיקה בלבד") == "he")
+    assert(TextAnalysis.detectLanguage("นี่คือหน้าเว็บภาษาไทยสำหรับการทดสอบ") == "th")
+    // mixed page: Latin boilerplate + dominant Han body still → zh
+    assert(TextAnalysis.detectLanguage(
+      "home login http://x.com 中文内容主体段落在这里继续延伸更多文字") == "zh")
+    // Latin-dominant text still routes through the trigram profiles
+    assert(TextAnalysis.detectLanguage(
+      "the cat and the dog is in the house 中") == "en")
+  }
+
   test("token counts") {
     assert(TextAnalysis.wsTokenCount("  a b   c ") == 3)
     assert(TextAnalysis.wsTokenCount("") == 0)
