@@ -11,13 +11,16 @@ import graft.pipeline.{Extract, PagesGen}
  * two-cluster-size scaling evidence (BASELINE.md).
  *
  * The throughput numbers of record are MEDIANS over SPARK_GRAFT_BENCH_RUNS
- * (default 3) interleaved map/full runs at the corpus size BASELINE.md's
+ * (default 5) interleaved map/full runs at the corpus size BASELINE.md's
  * claim is made at (default 1,280,000 docs) — this VM shows ±2x
  * run-to-run variance on identical Spark jobs, so single-shot numbers are
- * not evidence (VERDICT r01 next #4). All raw run times are emitted.
+ * not evidence (VERDICT r01 next #4). Warmup is a FULL untimed map pass +
+ * a FULL untimed pipeline run (VERDICT r02 next #5 — the old 4k-doc
+ * warmup left a 14× cold first run in the r2 artifact), so the raw runs
+ * array itself is credible evidence. All raw run rates are emitted.
  *
  * env knobs: SPARK_GRAFT_BENCH_DOCS (default 1280000),
- *            SPARK_GRAFT_BENCH_RUNS (default 3),
+ *            SPARK_GRAFT_BENCH_RUNS (default 5),
  *            SPARK_GRAFT_BENCH_ONLY=extract to skip the query sweep.
  */
 object Bench {
@@ -25,7 +28,7 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val nDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "1280000").toLong
-    val nRuns = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
+    val nRuns = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "5").toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", math.max(cpus.toInt * 4, 64))
@@ -65,14 +68,19 @@ object Bench {
     }
     val pages = spark.read.parquet(pagesPath)
       .as[graft.pipeline.PageRow](org.apache.spark.sql.Encoders.product[graft.pipeline.PageRow])
-    // JIT warmup (not timed): the parser/cleaner hot loop compiles before the
-    // measured runs, so throughput reflects steady state at every
-    // parallelism level
-    Extract.extract(pages.limit(4000)).map(_.doc.parse_failed)(
-      org.apache.spark.sql.Encoders.scalaBoolean).count()
     // bucket count scales with the cluster (at 10^12 docs it would be 10^4+);
     // locally 64 keeps the bucket-aligned write stage wider than the core count
     val nBuckets = sys.env.getOrElse("SPARK_GRAFT_BUCKETS", "64").toInt
+    // warmup (not timed): one FULL map pass + one FULL pipeline run — JIT,
+    // codec, and write paths all reach steady state before any timed run
+    // (a 4k-doc warmup left a 14× cold first run in BENCH_r02's raw array)
+    Extract.extract(pages, nBuckets).map(_.doc.parse_failed)(
+      org.apache.spark.sql.Encoders.scalaBoolean).count()
+    locally {
+      val warmOut = s"$benchRoot/out_warm_${System.nanoTime()}"
+      Extract.run(spark, pages, warmOut, runId = "bench_warm", numBuckets = nBuckets)
+      rmrf(new java.io.File(warmOut))
+    }
 
     // interleaved map/full runs → medians (noise-robust number of record)
     val mapRuns = scala.collection.mutable.ArrayBuffer.empty[Double]

@@ -61,6 +61,44 @@ object Cleaner {
 
   private def isPyWs(c: Char): Boolean = PyStr.isPyWs(c)
 
+  /** Fusion of `normalize_whitespace(soup.get_text())`: runs the same
+    * state machine directly over the text-node walk instead of
+    * materializing the full getText concatenation first (the doc-sized
+    * intermediate string + second scan were ~15% of per-doc cost).
+    * Byte-identical: the machine consumes exactly the concatenation
+    * getText would have produced, in the same order. */
+  def normalizedText(root: Element): String = {
+    val sb = new java.lang.StringBuilder(512)
+    var pendingSpace = false
+    def walk(e: Element): Unit = {
+      val cs = e.children
+      var i = 0
+      while (i < cs.length) {
+        cs(i) match {
+          case t: Text =>
+            val s = t.data
+            val n = s.length
+            var j = 0
+            while (j < n) {
+              val c = s.charAt(j)
+              if (isPyWs(c)) pendingSpace = true
+              else {
+                if (pendingSpace && sb.length > 0) sb.append(' ')
+                pendingSpace = false
+                sb.append(c)
+              }
+              j += 1
+            }
+          case c: Element => walk(c)
+          case _ =>
+        }
+        i += 1
+      }
+    }
+    walk(root)
+    sb.toString
+  }
+
   /** Pass 1: `normalize_html_structure` (core/scraper.py:187-196).
     * Semantics pinned to bs4: pre-order SNAPSHOT of all elements taken
     * before any removal; empty ⇔ no element descendant AND every text
@@ -113,11 +151,15 @@ object Cleaner {
   def absolutizeHrefs(doc: Document, baseUrl: String): Unit = {
     def walk(e: Element): Unit = {
       if (e.name == "a") e.attr("href").foreach { href =>
-        var abs = PyUrl.urljoin(baseUrl, href)
-        val parsed = PyUrl.urlparse(abs)
-        val qd = PyUrl.parseQs(parsed.query, keepBlankValues = true)
-        val filtered = qd.filterNot { case (k, _) => k.startsWith("utm_") }
-        abs = PyUrl.urlunparse(parsed.copy(query = PyUrl.urlencodeSeq(filtered)))
+        // pure transform of (baseUrl, href) — memoized per thread (hot
+        // path: every <a> of every page; nav/footer hrefs repeat heavily)
+        val abs = graft.url.UrlMemo.hrefAbs(baseUrl, href) {
+          val joined = graft.url.UrlMemo.urljoin(baseUrl, href)
+          val parsed = PyUrl.urlparse(joined)
+          val qd = PyUrl.parseQs(parsed.query, keepBlankValues = true)
+          val filtered = qd.filterNot { case (k, _) => k.startsWith("utm_") }
+          PyUrl.urlunparse(parsed.copy(query = PyUrl.urlencodeSeq(filtered)))
+        }
         e.setAttr("href", abs)
       }
       val cs = e.children
@@ -176,7 +218,7 @@ object Cleaner {
     unescapeTextNodes(doc)
     absolutizeHrefs(doc, url)
     removeCommentsAndHidden(doc)
-    normalizeWhitespace(doc.getText)
+    normalizedText(doc)
   }
 
   /** Full `clean_and_normalize_content` order; returns the byte-contract

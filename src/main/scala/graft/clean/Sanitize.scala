@@ -53,9 +53,65 @@ object Sanitize {
     el.append(new Text(s))
   }
 
+  /** One-walk element index for the whole post-clean pass chain
+    * (updateAssetReferences + processHtmlContent previously walked the
+    * tree ~9× via findAll — ~10% of per-doc cost). Lists are document
+    * order; `mathCands` merges script|span|div in ONE list because
+    * `find_all(['script','span','div'])` is doc-ordered across tags. */
+  final class PostCleanIndex {
+    val links = ArrayBuffer.empty[Element]
+    val scripts = ArrayBuffer.empty[Element]
+    val imgs = ArrayBuffer.empty[Element]
+    val mathCands = ArrayBuffer.empty[Element] // script | span | div
+    val preCodes = ArrayBuffer.empty[Element]  // pre | code
+    val svgs = ArrayBuffer.empty[Element]
+    val iframes = ArrayBuffer.empty[Element]
+  }
+
+  def indexPostClean(doc: Document): PostCleanIndex = {
+    val ix = new PostCleanIndex
+    def walk(e: Element): Unit = {
+      var i = 0
+      while (i < e.children.length) {
+        e.children(i) match {
+          case c: Element =>
+            c.name match {
+              case "script" => ix.scripts += c; ix.mathCands += c
+              case "span" | "div" => ix.mathCands += c
+              case "pre" | "code" => ix.preCodes += c
+              case "svg" => ix.svgs += c
+              case "iframe" => ix.iframes += c
+              case "link" => ix.links += c
+              case "img" => ix.imgs += c
+              case _ =>
+            }
+            walk(c)
+          case _ =>
+        }
+        i += 1
+      }
+    }
+    walk(doc)
+    ix
+  }
+
+  /** Pass-start snapshot: exactly the elements a fresh `findAll` would
+    * return NOW — pre-collected doc-order list minus anything an EARLIER
+    * pass detached (within-pass detachments still get processed, matching
+    * the reference's snapshot-Vector iteration). */
+  private def attached(doc: Document, els: ArrayBuffer[Element]): Seq[Element] =
+    els.filter { el =>
+      var cur: Element = el
+      while (cur.parent != null) cur = cur.parent
+      cur eq doc
+    }.toSeq
+
   /** `preserve_latex` (core/scraper.py:374-377). */
-  def preserveLatex(doc: Document): Unit = {
-    doc.findAll("script").foreach { el =>
+  def preserveLatex(doc: Document): Unit =
+    preserveLatex(doc.findAll("script"))
+
+  private def preserveLatex(scripts: Seq[Element]): Unit = {
+    scripts.foreach { el =>
       if (el.attr("type").contains("math/tex")) {
         val cls = (el.classes :+ "preserved-latex").mkString(" ")
         el.setAttr("class", cls)
@@ -71,8 +127,11 @@ object Sanitize {
   /** `preserve_math_content` (content_processor.py:125-128): the element's
     * OWN serialization is regex-rewritten and becomes its string content —
     * twice (mathjax result re-serialized, then katex applied). */
-  def preserveMathContent(doc: Document): Unit = {
-    doc.findAll(Set("script", "span", "div")).foreach { el =>
+  def preserveMathContent(doc: Document): Unit =
+    preserveMathContent(doc.findAll(Set("script", "span", "div")))
+
+  private def preserveMathContent(cands: Seq[Element]): Unit = {
+    cands.foreach { el =>
       if (el.classes.exists(mathClasses.contains)) {
         setString(el, preserveMathjax(Serializer.serialize(el)))
         setString(el, preserveKatex(Serializer.serialize(el)))
@@ -84,8 +143,11 @@ object Sanitize {
     * {pre, code}, no attributes — the serialized block is re-tokenized,
     * allowed tags kept bare, all other markup entity-escaped, and the result
     * becomes the element's string content. */
-  def preserveCodeBlocks(doc: Document): Unit = {
-    doc.findAll(Set("pre", "code")).foreach { el =>
+  def preserveCodeBlocks(doc: Document): Unit =
+    preserveCodeBlocks(doc.findAll(Set("pre", "code")))
+
+  private def preserveCodeBlocks(preCodes: Seq[Element]): Unit = {
+    preCodes.foreach { el =>
       setString(el, bleachClean(Serializer.serialize(el), Set("pre", "code")))
     }
   }
@@ -118,8 +180,9 @@ object Sanitize {
   /** `extract_and_convert_svgs` (core/scraper.py:394-407) — structural part:
     * each `<svg>` replaced by `<img src="diagram_{i}.png"/>` (rasterization
     * is out of the snapshot contract; SURVEY §2.3). Returns count. */
-  def convertSvgs(doc: Document): Int = {
-    val svgs = doc.findAll("svg")
+  def convertSvgs(doc: Document): Int = convertSvgs(doc.findAll("svg"))
+
+  private def convertSvgs(svgs: Seq[Element]): Int = {
     svgs.zipWithIndex.foreach { case (svg, i) =>
       val img = new Element("img")
       img.isVoid = true
@@ -133,15 +196,18 @@ object Sanitize {
     * with a src are replaced by `<img src="diagram_{i}.png"/>` when the
     * (closed-world) fetch+convert would succeed; we replicate the structural
     * replacement for `.svg` sources only. */
-  def convertIframeSvgs(doc: Document, baseUrl: String): Int = {
+  def convertIframeSvgs(doc: Document, baseUrl: String): Int =
+    convertIframeSvgs(doc.findAll("iframe"), baseUrl)
+
+  private def convertIframeSvgs(iframes: Seq[Element], baseUrl: String): Int = {
     var replaced = 0
     // reference enumerates ALL iframe[src]; only convertible (svg) ones are
     // replaced, named by their enumerate index (collisions with convertSvgs
     // outputs are the reference's own behavior)
-    doc.findAll("iframe").filter(_.hasAttr("src")).zipWithIndex.foreach {
+    iframes.filter(_.hasAttr("src")).zipWithIndex.foreach {
       case (ifr, idx) =>
         val src = ifr.attr("src").get
-        val full = PyUrl.urljoin(baseUrl, src)
+        val full = graft.url.UrlMemo.urljoin(baseUrl, src)
         if (full.endsWith(".svg") && ifr.parent != null) {
           val img = new Element("img")
           img.isVoid = true
@@ -181,8 +247,15 @@ object Sanitize {
     *    practice only `<script src=abs>with body</script>` survives to be
     *    rewritten; the function itself is generic for direct use.
     * Returns the number of rewritten attributes. */
-  def updateAssetReferences(doc: Document, baseUrl: String): Int = {
-    val assets = graft.links.LinkExtractor.assetEdges(doc, baseUrl)
+  def updateAssetReferences(doc: Document, baseUrl: String): Int =
+    updateAssetReferences(baseUrl, indexPostClean(doc))
+
+  def updateAssetReferences(baseUrl: String, ix: PostCleanIndex): Int = {
+    val pix = new graft.links.LinkExtractor.PageIndex
+    pix.linkTags ++= ix.links
+    pix.scripts ++= ix.scripts
+    pix.imgs ++= ix.imgs
+    val assets = graft.links.LinkExtractor.assetEdges(pix, baseUrl)
     def set(kind: String) = assets.filter(_.kind == kind).map(_.dstUrl).toSet
     val css = set("css")
     val js = set("js")
@@ -191,18 +264,18 @@ object Sanitize {
       posixNormpathRel(s"assets/$kindDir/" +
         PyUrl.urlparse(attr).path.dropWhile(_ == '/'))
     var n = 0
-    doc.findAll("link").foreach { l =>
+    ix.links.foreach { l =>
       if (l.attr("rel").exists(_.split("\\s+").contains("stylesheet")))
         l.attr("href").foreach { h =>
           if (css.contains(h)) { l.setAttr("href", target("css", h)); n += 1 }
         }
     }
-    doc.findAll("script").foreach { s =>
+    ix.scripts.foreach { s =>
       s.attr("src").foreach { src =>
         if (js.contains(src)) { s.setAttr("src", target("js", src)); n += 1 }
       }
     }
-    doc.findAll("img").foreach { i =>
+    ix.imgs.foreach { i =>
       i.attr("src").foreach { src =>
         if (images.contains(src)) { i.setAttr("src", target("images", src)); n += 1 }
       }
@@ -211,11 +284,17 @@ object Sanitize {
   }
 
   /** Full `process_html_content` pass order. */
-  def processHtmlContent(doc: Document, url: String): Unit = {
-    preserveLatex(doc)
-    preserveMathContent(doc)
-    preserveCodeBlocks(doc)
-    convertSvgs(doc)
-    convertIframeSvgs(doc, url)
+  def processHtmlContent(doc: Document, url: String): Unit =
+    processHtmlContent(doc, url, indexPostClean(doc))
+
+  /** Index-sharing variant: each pass starts from the pre-collected list
+    * filtered to still-attached elements — byte-equivalent to the fresh
+    * findAll the sequential version does at each pass boundary. */
+  def processHtmlContent(doc: Document, url: String, ix: PostCleanIndex): Unit = {
+    preserveLatex(attached(doc, ix.scripts))
+    preserveMathContent(attached(doc, ix.mathCands))
+    preserveCodeBlocks(attached(doc, ix.preCodes))
+    convertSvgs(attached(doc, ix.svgs))
+    convertIframeSvgs(attached(doc, ix.iframes), url)
   }
 }

@@ -1,7 +1,7 @@
 package graft.links
 
 import graft.html._
-import graft.url.{PyUrl, UrlNormalizer}
+import graft.url.{PyUrl, UrlMemo, UrlNormalizer}
 import scala.collection.mutable.{ArrayBuffer, LinkedHashSet}
 
 /** One extracted edge: src page → destination, with classification.
@@ -30,6 +30,19 @@ object LinkExtractor {
   private val firstLast = P.compile("First|Last|Primeira|Última", P.CASE_INSENSITIVE)
   private val loadMore = P.compile(
     "Load More|Show More|Ver Mais|Carregar Mais", P.CASE_INSENSITIVE)
+  /** Hot-path fusion of the three word families: the classification only
+    * needs "any of them matched", so one alternation == three `search`es
+    * (same union of accepted strings; the reference's four separate
+    * patterns are kept above for documentation parity). */
+  private val anyPagWord = P.compile(
+    "Next|Previous|Próximo|Anterior|Prev|Next Page|Previous Page|" +
+      "First|Last|Primeira|Última|Load More|Show More|Ver Mais|Carregar Mais",
+    P.CASE_INSENSITIVE)
+
+  private def isPaginationText(s: String): Boolean =
+    // numbered kept as a real matcher: `$` has before-trailing-newline
+    // semantics a hand loop would get wrong
+    numbered.matcher(s).find() || anyPagWord.matcher(s).find()
 
   /** bs4 text-filter semantics: the element's `.string` (single text child),
     * no match when fragmented. `^\d+$` is anchored; the rest use `search`. */
@@ -45,9 +58,7 @@ object LinkExtractor {
     val out = LinkedHashSet.empty[String]
     doc.findAll("a").foreach { a =>
       if (a.hasAttr("href")) anchorString(a).foreach { s =>
-        val isPag = numbered.matcher(s).find() || nextPrev.matcher(s).find() ||
-          firstLast.matcher(s).find() || loadMore.matcher(s).find()
-        if (isPag) out += PyUrl.urljoin(baseUrl, a.attr("href").get)
+        if (isPaginationText(s)) out += UrlMemo.urljoin(baseUrl, a.attr("href").get)
       }
     }
     out.toSeq
@@ -64,7 +75,7 @@ object LinkExtractor {
         val hrefOrSrc = el.attr("href").orElse(el.attr("src"))
         hrefOrSrc.foreach { h =>
           try {
-            val normalized = UrlNormalizer.normalize(PyUrl.urljoin(url, h))
+            val normalized = UrlMemo.normalize(UrlMemo.urljoin(url, h))
             if (UrlNormalizer.isValidLink(normalized, baseDomain, startPath))
               links += normalized
           } catch { case _: Exception => } // extract_links swallows per-link errors
@@ -115,9 +126,7 @@ object LinkExtractor {
     val out = LinkedHashSet.empty[String]
     anchors.foreach { a =>
       if (a.hasAttr("href")) anchorString(a).foreach { s =>
-        val isPag = numbered.matcher(s).find() || nextPrev.matcher(s).find() ||
-          firstLast.matcher(s).find() || loadMore.matcher(s).find()
-        if (isPag) out += PyUrl.urljoin(baseUrl, a.attr("href").get)
+        if (isPaginationText(s)) out += UrlMemo.urljoin(baseUrl, a.attr("href").get)
       }
     }
     out.toSeq
@@ -134,9 +143,9 @@ object LinkExtractor {
     ix.media.foreach { el =>
       val attrVal = el.attr("href").orElse(el.attr("src"))
       attrVal.foreach { h =>
-        val joined = PyUrl.urljoin(url, h)
+        val joined = UrlMemo.urljoin(url, h)
         val normalized =
-          try UrlNormalizer.normalize(joined) catch { case _: Exception => joined }
+          try UrlMemo.normalize(joined) catch { case _: Exception => joined }
         val anchor = {
           val i = joined.indexOf('#')
           if (i >= 0) joined.substring(i + 1) else ""
@@ -161,26 +170,26 @@ object LinkExtractor {
     val out = ArrayBuffer.empty[Edge]
     ix.linkTags.foreach { l =>
       if (l.attr("rel").exists(_.split("\\s+").contains("stylesheet")))
-        l.attr("href").foreach(h => out += Edge(PyUrl.urljoin(baseUrl, h), "css", "link", ""))
+        l.attr("href").foreach(h => out += Edge(UrlMemo.urljoin(baseUrl, h), "css", "link", ""))
     }
     ix.scripts.foreach { s =>
       s.attr("src") match {
-        case Some(src) => out += Edge(PyUrl.urljoin(baseUrl, src), "js", "script", "")
+        case Some(src) => out += Edge(UrlMemo.urljoin(baseUrl, src), "js", "script", "")
         case None =>
           val body = s.getText
           if (body.contains("MathJax.Hub.Config")) {
             val m = mathjaxConfig.matcher(body)
             if (m.find()) {
               parseMathjaxExtensions(m.group(1)).foreach { ext =>
-                out += Edge(PyUrl.urljoin(baseUrl, s"mathjax/extensions/$ext.js"), "math", "script", "")
+                out += Edge(UrlMemo.urljoin(baseUrl, s"mathjax/extensions/$ext.js"), "math", "script", "")
               }
-              out += Edge(PyUrl.urljoin(baseUrl, "mathjax/MathJax.js"), "js", "script", "")
+              out += Edge(UrlMemo.urljoin(baseUrl, "mathjax/MathJax.js"), "js", "script", "")
             }
           }
       }
     }
     ix.imgs.foreach { i =>
-      i.attr("src").foreach(src => out += Edge(PyUrl.urljoin(baseUrl, src), "image", "img", ""))
+      i.attr("src").foreach(src => out += Edge(UrlMemo.urljoin(baseUrl, src), "image", "img", ""))
     }
     out.toSeq
   }

@@ -115,9 +115,18 @@ object MetadataExtractor {
               case "base"  => if (baseEl == null) baseEl = el
               case _ =>
             }
-            if (el.hasAttr("itemscope")) itemscopeEls += el
-            if (el.hasAttr("typeof")) typeofEls += el
-            if (el.hasAttr("property")) propertyEls += el
+            // one scan over the attr list (3× hasAttr = 3 closure scans)
+            val as = el.attrs
+            var j = 0
+            while (j < as.length) {
+              as(j)._1 match {
+                case "itemscope" => itemscopeEls += el
+                case "typeof"    => typeofEls += el
+                case "property"  => propertyEls += el
+                case _ =>
+              }
+              j += 1
+            }
             walk(el)
           case _ =>
         }

@@ -109,7 +109,7 @@ object Extract {
         // application/xml branch (core/scraper.py:512-514): parsed, stored;
         // text = whitespace-normalized character data
         val doc = HtmlParser.parse(content, xmlMode = true)
-        ("xml", Cleaner.normalizeWhitespace(doc.getText),
+        ("xml", Cleaner.normalizedText(doc),
           Serializer.serialize(doc, content.length + 64), None, Nil, Nil)
       } else if (!head.contains("<")) {
         ("text", Cleaner.cleanPlainText(content), null, None, Nil, Nil)
@@ -126,9 +126,11 @@ object Extract {
         // clean in place (same DOM — extraction already materialized)
         val text = Cleaner.cleanDocument(rawDoc, row.url)
         // reference order (core/scraper.py:502-510): clean → asset-ref
-        // rewrite on the CLEANED soup → process_html_content
-        Sanitize.updateAssetReferences(rawDoc, row.url)
-        Sanitize.processHtmlContent(rawDoc, row.url)
+        // rewrite on the CLEANED soup → process_html_content; ONE shared
+        // post-clean index feeds both (was ~9 findAll walks)
+        val pcix = Sanitize.indexPostClean(rawDoc)
+        Sanitize.updateAssetReferences(row.url, pcix)
+        Sanitize.processHtmlContent(rawDoc, row.url, pcix)
         val metaRow = DocMetaRow(row.url, row.warc_ts, m.title.orNull,
           m.description.orNull, m.keywords.orNull, m.lastModified.orNull,
           m.authors, m.og.toMap, m.structuredData, m.canonical.orNull, row.lang)

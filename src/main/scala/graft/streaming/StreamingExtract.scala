@@ -88,6 +88,63 @@ object StreamingExtract {
         })
   }
 
+  final case class DocStats(doc_id: Long, lang: String, h: String,
+                            n_tokens: Int, alpha_ratio: Double)
+  final case class HashState(keeper: Long)
+  final case class PrepRow(doc_id: Long, lang: String, n_tokens: Int,
+                           alpha_ratio: Double, kept: Boolean, drop_reason: String)
+
+  /** Streaming face of `TrainingData.prepare` (VERDICT r02 next #9): the
+    * stateless gates (lang / length / alpha) run per row; the DUPLICATE
+    * gate keeps per-content-hash state across micro-batches via
+    * flatMapGroupsWithState — the keeper is the min doc_id seen SO FAR
+    * (within one batch that is the batch min, identical to the batch
+    * window; across batches the earlier-arrived keeper wins, which is the
+    * only causally-possible incremental semantics — an already-emitted
+    * keeper cannot be retracted in Append mode). Same narrow-projection
+    * discipline: text is hashed/measured per row and never enters state
+    * or shuffle. */
+  def prepareStream(docs: DataFrame,
+                    idCol: String = "doc_id", textCol: String = "text",
+                    langCol: String = "lang",
+                    minTokens: Int = 10, maxTokens: Int = 100000,
+                    minAlpha: Double = 0.5,
+                    langs: Seq[String] = Seq("en", "de", "fr", "es", "pt")): Dataset[PrepRow] = {
+    import docs.sparkSession.implicits._
+    val langSet = langs.toSet
+    docs.select(
+        col(idCol).cast("long").as("doc_id"),
+        col(langCol).as("lang"),
+        md5(col(textCol)).as("h"),
+        size(split(trim(col(textCol)), "\\s+")).as("n_tokens"),
+        round(length(regexp_replace(col(textCol), "[^a-z ]", "")).cast("double") /
+          length(col(textCol)), 4).as("alpha_ratio"))
+      .as[DocStats]
+      .groupByKey(_.h)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (_: String, rows: Iterator[DocStats], state: GroupState[HashState]) => {
+          val batch = rows.toSeq.sortBy(_.doc_id)
+          // keeper is immutable once set: the already-emitted kept row
+          // cannot be retracted in Append mode, so a later lower id is a
+          // duplicate rather than a new keeper
+          val keeper = state.getOption.map(_.keeper).getOrElse {
+            val k = batch.head.doc_id
+            state.update(HashState(k))
+            k
+          }
+          batch.iterator.map { r =>
+            val reason =
+              if (r.doc_id != keeper) "duplicate"
+              else if (!langSet.contains(r.lang)) "lang"
+              else if (r.n_tokens < minTokens) "too_short"
+              else if (r.n_tokens > maxTokens) "too_long"
+              else if (r.alpha_ratio < minAlpha) "low_alpha"
+              else null
+            PrepRow(r.doc_id, r.lang, r.n_tokens, r.alpha_ratio, reason == null, reason)
+          }
+        })
+  }
+
   private def sha256Hex(bytes: Array[Byte]): String = {
     if (bytes == null) return null
     val d = java.security.MessageDigest.getInstance("SHA-256").digest(bytes)

@@ -45,6 +45,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(agg.agg(sum($"docs")).as[Long].head() == pages.count())
   }
 
+  test("streaming training-prep: cross-batch dedup state, gates, exactly-once") {
+    val in = Files.createTempDirectory("graft_tpin").toString
+    val outDir = Files.createTempDirectory("graft_tpout").toString
+    val ckpt = Files.createTempDirectory("graft_tpckpt").toString
+    val goodText = "the quick brown fox jumps over the lazy dog again and again ok"
+
+    // batch 1: keeper (id 1), short doc, wrong lang
+    Seq((1L, "en", goodText), (2L, "en", "too short"), (3L, "ja", goodText + " x"))
+      .toDF("doc_id", "lang", "text").coalesce(1).write.mode("append").parquet(in)
+    def drain(): Unit = {
+      val schema = "doc_id LONG, lang STRING, text STRING"
+      val q = StreamingExtract.prepareStream(
+          spark.readStream.schema(schema).parquet(in))
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    drain()
+    val r1 = spark.read.parquet(outDir)
+    assert(r1.count() == 3)
+    assert(r1.filter($"doc_id" === 1 && $"kept").count() == 1)
+    assert(r1.filter($"doc_id" === 2).select($"drop_reason").as[String].head() == "too_short")
+    assert(r1.filter($"doc_id" === 3).select($"drop_reason").as[String].head() == "lang")
+
+    // batch 2: same text as id 1 arrives later (even with a LOWER id) →
+    // duplicate via cross-batch state; a fresh text is kept
+    Seq((0L, "en", goodText), (4L, "en", goodText), (5L, "en", goodText + " fresh"))
+      .toDF("doc_id", "lang", "text").coalesce(1).write.mode("append").parquet(in)
+    drain()
+    val r2 = spark.read.parquet(outDir)
+    assert(r2.count() == 6)
+    assert(r2.filter($"doc_id" === 0).select($"drop_reason").as[String].head() == "duplicate")
+    assert(r2.filter($"doc_id" === 4).select($"drop_reason").as[String].head() == "duplicate")
+    assert(r2.filter($"doc_id" === 5 && $"kept").count() == 1)
+    // exactly-once: no doc_id appears twice
+    assert(r2.groupBy($"doc_id").count().filter($"count" > 1).count() == 0)
+  }
+
   test("stateful dedup stream emits only new/changed snapshots") {
     val in = Files.createTempDirectory("graft_sdin").toString
     val outDir = Files.createTempDirectory("graft_sdout").toString
