@@ -118,5 +118,11 @@ object SideTables {
       .select($"vec_id", $"ivf_cell".isin(ivfProbes: _*).as("in_probe"),
         round(Similarity.cosineToQuery("embedding", q), 6).as("cos")),
       "side_ivf")
+
+    // ---- embedding near-dup: per-table RHP-LSH bucket keys (params MUST
+    // match q_embedding_neardup; the oracle re-derives the candidate join
+    // and recomputes cosine from the raw embeddings table) ----
+    save(Dedup.embeddingBuckets(emb, "vec_id", "embedding", bits = 6, tables = 8),
+      "side_embbuckets")
   }
 }

@@ -329,6 +329,14 @@ object SparkEntry {
       Similarity.ivfTopK(s, idx, "vec_id", "embedding",
         queryVec(s, dir), 10, cents, nProbes = 4)
     }),
+    "q_embedding_neardup" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").filter(col("vec_id") =!= 0)
+      val cands = Dedup.embeddingCandidatePairs(emb, "vec_id", "embedding",
+        bits = 6, tables = 8)
+      Dedup.verifyCosine(cands, emb, "vec_id", "embedding")
+        .withColumn("near_dup", col("cos") >= 0.45)
+        .orderBy(desc("cos"), col("id_a"), col("id_b")).limit(50)
+    }),
 
     // ---- extraction queries (oracled via Verify side tables) ----
     "q_extract_docs" -> ((s, _) => entry(s)),
@@ -650,6 +658,21 @@ object SparkEntry {
     "q_ann_ivf_topk" ->
       s"""SELECT vec_id, cos FROM ${side("side_ivf")}
          |WHERE in_probe ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+    "q_embedding_neardup" ->
+      // candidate pair generation re-derived relationally in DuckDB from
+      // the per-table bucket keys; exact cosine recomputed independently
+      // by DuckDB's list engine over the raw embeddings table
+      s"""WITH bk AS (SELECT * FROM ${side("side_embbuckets")}),
+         |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |         FROM bk a JOIN bk b ON a.table_key = b.table_key AND a.id < b.id),
+         |e AS (SELECT CAST(vec_id AS BIGINT) AS id, CAST(embedding AS DOUBLE[]) AS v
+         |      FROM embeddings WHERE vec_id <> 0),
+         |scored AS (SELECT c.id_a, c.id_b,
+         |    round(list_dot_product(ea.v, eb.v) /
+         |      (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))), 6) AS cos
+         |  FROM cand c JOIN e ea ON c.id_a = ea.id JOIN e eb ON c.id_b = eb.id)
+         |SELECT id_a, id_b, cos, cos >= 0.45 AS near_dup
+         |FROM scored ORDER BY cos DESC, id_a, id_b LIMIT 50""".stripMargin,
     "q_priority_scores" ->
       // the ENTIRE calculate_priority formula re-derived in SQL over the
       // raw (url, last_updated) history side table

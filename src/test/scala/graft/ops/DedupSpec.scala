@@ -105,6 +105,84 @@ class DedupSpec extends AnyFunSuite {
     assert(m.truncatedRows.value == 16L * 7, s"rows=${m.truncatedRows.value}")
   }
 
+  // ---------- embedding-cosine near-dup ----------
+
+  /** Deterministic pseudo-random unit-ish vector. */
+  private def vec(seed: Int, dim: Int = 16): Array[Float] = {
+    import graft.textstats.TextAnalysis.hash64
+    Array.tabulate(dim)(i =>
+      (hash64(s"v$seed/$i").toDouble / Long.MaxValue).toFloat)
+  }
+
+  private val embRows = {
+    val v0 = vec(1000)
+    val near = v0.clone(); near(0) = near(0) + 0.01f // tiny perturbation
+    ((0 until 40).map(i => (i.toLong, vec(i))) ++
+      Seq((200L, v0), (201L, v0), (202L, near))).toDF("vec_id", "embedding")
+  }
+
+  test("embedding near-dup: identical vectors are always candidates with cos 1") {
+    val pairs = Dedup.embeddingNearDupPairs(embRows, "vec_id", "embedding",
+      minCosine = 0.9)
+    val got = pairs.select($"id_a", $"id_b", $"cos")
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, c) => (a, b) -> c }.toMap
+    // identical vectors share every table's bucket — candidate guaranteed
+    assert(got.contains((200L, 201L)))
+    assert(got((200L, 201L)) == 1.0)
+    // the perturbed clone: candidate iff it shares >=1 bucket (deterministic)
+    import graft.textstats.TextAnalysis.rhpBucket
+    val near = embRows.filter($"vec_id" === 202L)
+      .select($"embedding").as[Array[Float]].head()
+    val v0 = embRows.filter($"vec_id" === 200L)
+      .select($"embedding").as[Array[Float]].head()
+    val shares = (0 until 8).exists { t =>
+      val s = 42L + t * 0x9E3779B97F4A7C15L
+      rhpBucket(v0, 6, s) == rhpBucket(near, 6, s)
+    }
+    if (shares) {
+      assert(got.contains((200L, 202L)), got.keySet.toString)
+      assert(got((200L, 202L)) >= 0.99)
+    }
+  }
+
+  test("embedding near-dup: cosine matches the scalar recompute; random vectors filtered out") {
+    import graft.textstats.TextAnalysis
+    val all = Dedup.verifyCosine(
+      Dedup.embeddingCandidatePairs(embRows, "vec_id", "embedding"),
+      embRows, "vec_id", "embedding")
+      .as[(Long, Long, Double)].collect()
+    assert(all.nonEmpty)
+    val byId = embRows.as[(Long, Array[Float])].collect().toMap
+    all.foreach { case (a, b, c) =>
+      val expect = BigDecimal(TextAnalysis.cosine(byId(a), byId(b)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(c == expect, s"($a,$b): $c vs $expect")
+    }
+    // near-dup threshold excludes the unrelated random vectors
+    val nd = Dedup.embeddingNearDupPairs(embRows, "vec_id", "embedding", 0.9)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(nd.forall { case (a, b) => a >= 200L && b >= 200L }, nd.toString)
+  }
+
+  test("embedding near-dup: bucket shuffle carries (table_key, id) only and the skew guard reports") {
+    // schema of the shuffled frame: two longs — never the vector
+    val bk = Dedup.embeddingBuckets(embRows, "vec_id", "embedding")
+    assert(bk.schema.fieldNames.toSeq == Seq("table_key", "id"))
+    assert(bk.schema.fields.forall(_.dataType ==
+      org.apache.spark.sql.types.LongType))
+    // 12 identical vectors, maxBucket=5 → smallest 5 kept per bucket,
+    // truncation REPORTED (8 tables × 1 bucket each)
+    val m = new Dedup.LshMetrics(spark)
+    val clones = (0 until 12).map(i => (i.toLong, vec(7))).toDF("vec_id", "embedding")
+    val got = Dedup.embeddingCandidatePairs(clones, "vec_id", "embedding",
+      maxBucket = 5, metrics = Some(m))
+      .as[(Long, Long)].collect().toSet
+    assert(got == (for { a <- 0 until 5; b <- (a + 1) until 5 } yield (a.toLong, b.toLong)).toSet)
+    assert(m.truncatedBuckets.value == 8L, s"buckets=${m.truncatedBuckets.value}")
+    assert(m.truncatedRows.value == 8L * 7, s"rows=${m.truncatedRows.value}")
+  }
+
   test("fingerprints deterministic across evaluations") {
     val a = Dedup.fingerprints(docs, "doc_id", "text").orderBy($"id")
       .select($"id", $"simhash").as[(Long, Long)].collect().toSeq
