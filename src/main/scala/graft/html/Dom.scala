@@ -36,8 +36,28 @@ class Element(val name: String) extends Node {
   val children = ArrayBuffer.empty[Node]
   var isVoid: Boolean = false
 
-  def attr(key: String): Option[String] = attrs.find(_._1 == key).map(_._2)
-  def hasAttr(key: String): Boolean = attrs.exists(_._1 == key)
+  // index loops, not find/exists: attr() runs per element per extractor —
+  // the iterator + closure + Option chain was a visible slice of per-doc
+  // cost (tag/attr names are interned, so == hits the identity fast path)
+  def attr(key: String): Option[String] = {
+    val a = attrs
+    var i = 0
+    while (i < a.length) {
+      val kv = a(i)
+      if (kv._1 == key) return Some(kv._2)
+      i += 1
+    }
+    None
+  }
+  def hasAttr(key: String): Boolean = {
+    val a = attrs
+    var i = 0
+    while (i < a.length) {
+      if (a(i)._1 == key) return true
+      i += 1
+    }
+    false
+  }
   def setAttr(key: String, value: String): Unit = {
     val i = attrs.indexWhere(_._1 == key)
     if (i >= 0) attrs(i) = (key, value) else attrs += ((key, value))

@@ -1,7 +1,7 @@
 package graft.html
 
 import scala.collection.mutable.ArrayBuffer
-import java.nio.charset.{Charset, CodingErrorAction, StandardCharsets}
+import java.nio.charset.{Charset, StandardCharsets}
 
 /**
  * Streaming tag tokenizer + tree builder emulating Python's stdlib
@@ -41,7 +41,31 @@ object HtmlParser {
 
   def parseBytes(bytes: Array[Byte]): Document = parse(decode(bytes))
 
-  /** Charset sniff: BOM → `<meta charset>` → UTF-8 (replacement on error). */
+  // Charset sniff: BOM → `<meta charset>` → UTF-8 (replacement on error).
+
+  /** Compiled once (was recompiled per page — a visible slice of per-doc
+    * cost); CASE_INSENSITIVE replaces the head.toLowerCase allocation.
+    * Charset.forName is itself case-insensitive. */
+  private val metaCharset = java.util.regex.Pattern.compile(
+    """<meta[^>]*charset\s*=\s*["']?([a-z0-9._-]+)""",
+    java.util.regex.Pattern.CASE_INSENSITIVE)
+
+  /** ASCII case-insensitive scan for "charset" in the first `len` bytes —
+    * the common page has no meta charset (or none in the head), so the
+    * 2 KiB head string + regex run only when the literal is present. */
+  private def headHasCharset(bytes: Array[Byte], len: Int): Boolean = {
+    val lit = "charset"
+    var i = 0
+    val end = len - lit.length
+    while (i <= end) {
+      var j = 0
+      while (j < lit.length && (bytes(i + j) | 0x20) == lit.charAt(j)) j += 1
+      if (j == lit.length) return true
+      i += 1
+    }
+    false
+  }
+
   def decode(bytes: Array[Byte]): String = {
     if (bytes.length >= 3 && bytes(0) == 0xEF.toByte && bytes(1) == 0xBB.toByte && bytes(2) == 0xBF.toByte)
       return decodeWith(bytes, 3, StandardCharsets.UTF_8)
@@ -50,21 +74,23 @@ object HtmlParser {
     if (bytes.length >= 2 && bytes(0) == 0xFE.toByte && bytes(1) == 0xFF.toByte)
       return decodeWith(bytes, 2, StandardCharsets.UTF_16BE)
     val headLen = math.min(bytes.length, 2048)
-    val head = new String(bytes, 0, headLen, StandardCharsets.ISO_8859_1).toLowerCase
-    val metaCharset = """<meta[^>]*charset\s*=\s*["']?([a-z0-9._-]+)""".r
-    metaCharset.findFirstMatchIn(head).foreach { m =>
-      try return decodeWith(bytes, 0, Charset.forName(m.group(1)))
-      catch { case _: Exception => }
+    if (headHasCharset(bytes, headLen)) {
+      val head = new String(bytes, 0, headLen, StandardCharsets.ISO_8859_1)
+      val m = metaCharset.matcher(head)
+      if (m.find()) {
+        try return decodeWith(bytes, 0, Charset.forName(m.group(1)))
+        catch { case _: Exception => }
+      }
     }
     decodeWith(bytes, 0, StandardCharsets.UTF_8)
   }
 
-  private def decodeWith(bytes: Array[Byte], offset: Int, cs: Charset): String = {
-    val dec = cs.newDecoder()
-      .onMalformedInput(CodingErrorAction.REPLACE)
-      .onUnmappableCharacter(CodingErrorAction.REPLACE)
-    dec.decode(java.nio.ByteBuffer.wrap(bytes, offset, bytes.length - offset)).toString
-  }
+  /** `new String(bytes, cs)` has exactly the decoder-with-REPLACE
+    * semantics (the constructor always replaces malformed/unmappable
+    * sequences) and is JIT-intrinsified — the explicit CharsetDecoder +
+    * ByteBuffer path it replaces was ~15% of spin samples. */
+  private def decodeWith(bytes: Array[Byte], offset: Int, cs: Charset): String =
+    new String(bytes, offset, bytes.length - offset, cs)
 
   def parse(html: String, xmlMode: Boolean): Document = {
     new Parser(html, xmlMode).run()

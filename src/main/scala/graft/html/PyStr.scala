@@ -13,11 +13,21 @@ package graft.html
  */
 object PyStr {
 
+  // ASCII table: the normalize/strip scanners test every text char, so
+  // one load beats the 5-compare branch tree (exhaustively pinned by the
+  // py_isspace_bmp golden like the branches it replaces)
+  private[this] val asciiWs: Array[Boolean] = {
+    val a = new Array[Boolean](0x80)
+    var c = 0
+    while (c < 0x80) {
+      a(c) = (c >= 0x09 && c <= 0x0d) || c == 0x20 || (c >= 0x1c && c <= 0x1f)
+      c += 1
+    }
+    a
+  }
+
   def isPyWs(c: Char): Boolean =
-    if (c < 0x80)
-      // ASCII fast path — the overwhelming majority of chars; the old
-      // unconditional Character.getType call was a measured hot spot
-      (c >= 0x09 && c <= 0x0d) || c == ' ' || (c >= 0x1c && c <= 0x1f)
+    if (c < 0x80) asciiWs(c)
     else if (c == 0x85 || c == 0xA0) true
     else if (c < 0x1680) false // no SPACE_SEPARATOR below OGHAM except NBSP
     else Character.getType(c) == Character.SPACE_SEPARATOR ||

@@ -23,10 +23,44 @@ object UrlMemo {
 
   private val Max = 16384
 
+  /** Two-level memo: outer key = the base's directory slice, inner key =
+    * the reference. A page's links all share one base, so the outer hop
+    * amortizes to a single reference compare via the (base eq lastBase)
+    * one-entry cache — per link the memo costs ONE inner get on the bare
+    * href (the old concatenated pair key allocated + hashed dir+href per
+    * lookup; HashMap.getNode + String.hashCode were ~13% of spin samples). */
   private final class Maps {
-    val join = new java.util.HashMap[String, String](1024)
+    val join = new java.util.HashMap[String, java.util.HashMap[String, String]](256)
+    val href = new java.util.HashMap[String, java.util.HashMap[String, String]](256)
     val norm = new java.util.HashMap[String, String](1024)
-    val href = new java.util.HashMap[String, String](1024)
+    var joinEntries = 0 // each map gets its own Max budget (like the old
+    var hrefEntries = 0 // flat maps — a shared budget clears twice as often)
+    var lastBase: String = null
+    var lastDir: String = null
+
+    def dirFor(base: String): String = {
+      if (base eq lastBase) return lastDir
+      val d = dirOf(base)
+      lastBase = base
+      lastDir = d
+      d
+    }
+
+    def innerFor(outer: java.util.HashMap[String, java.util.HashMap[String, String]],
+                 dir: String): java.util.HashMap[String, String] = {
+      var in = outer.get(dir)
+      if (in == null) {
+        in = new java.util.HashMap[String, String](32)
+        outer.put(dir, in)
+      }
+      in
+    }
+
+    def boundJoin(): Unit =
+      if (joinEntries >= Max) { join.clear(); joinEntries = 0 }
+
+    def boundHref(): Unit =
+      if (hrefEntries >= Max) { href.clear(); hrefEntries = 0 }
   }
 
   private val tl: ThreadLocal[Maps] = ThreadLocal.withInitial(() => new Maps)
@@ -62,25 +96,21 @@ object UrlMemo {
   private def needsFullBase(url: String): Boolean =
     url.isEmpty || url.charAt(0) == '#' || url.charAt(0) == '?'
 
-  /** Length-prefixed pair key — unambiguous for ANY contents. */
-  private def pairKey(a: String, b: String): String =
-    new java.lang.StringBuilder(a.length + b.length + 12)
-      .append(a.length).append(':').append(a).append(b).toString
-
-  private def joinKey(base: String, url: String): String = {
-    if (needsFullBase(url)) return pairKey(base, url)
-    val dir = dirOf(base)
-    if (dir == null) pairKey(base, url) else pairKey(dir, url)
-  }
-
   def urljoin(base: String, url: String): String = {
-    val m = tl.get().join
-    val k = joinKey(base, url)
-    val hit = m.get(k)
+    // exempt classes (empty/#/? refs read base path+query; schemeless
+    // bases have no dir slice) compute directly — rare, and skipping the
+    // memo keeps results byte-identical by construction
+    if (needsFullBase(url)) return PyUrl.urljoin(base, url)
+    val m = tl.get()
+    val dir = m.dirFor(base)
+    if (dir == null) return PyUrl.urljoin(base, url)
+    val in = m.innerFor(m.join, dir)
+    val hit = in.get(url)
     if (hit != null) return hit
     val v = PyUrl.urljoin(base, url)
-    if (m.size >= Max) m.clear()
-    m.put(k, v)
+    m.boundJoin()
+    m.innerFor(m.join, dir).put(url, v) // re-resolve: bound may have cleared
+    m.joinEntries += 1
     v
   }
 
@@ -89,13 +119,17 @@ object UrlMemo {
     * exactly (base, href) — and, like the join it wraps, of no more of the
     * base than its directory for path-type hrefs. */
   def hrefAbs(base: String, href: String)(f: => String): String = {
-    val m = tl.get().href
-    val k = joinKey(base, href)
-    val hit = m.get(k)
+    if (needsFullBase(href)) return f
+    val m = tl.get()
+    val dir = m.dirFor(base)
+    if (dir == null) return f
+    val in = m.innerFor(m.href, dir)
+    val hit = in.get(href)
     if (hit != null) return hit
     val v = f
-    if (m.size >= Max) m.clear()
-    m.put(k, v)
+    m.boundHref()
+    m.innerFor(m.href, dir).put(href, v)
+    m.hrefEntries += 1
     v
   }
 
