@@ -83,6 +83,18 @@ object SideTables {
     // ---- per-row scalar frames (deterministic recompute gates) ----
     save(SparkEntry.boilerFrame(spark), "side_boiler")
     save(SparkEntry.mediaFrame(spark), "side_media")
+    // raw resized payloads / frame windows — the oracle recomputes
+    // octet_length + md5(hex(...)) from the bytes themselves
+    save(graft.ops.Multimodal.withResized(
+        graft.ops.Multimodal.syntheticMedia(spark, 200), "payload", 32, 24)
+      .select($"media_id", $"resized",
+        $"resized_meta.width".as("width"), $"resized_meta.height".as("height")),
+      "side_resized")
+    save(graft.ops.Multimodal.explodeFrames(
+        graft.ops.Multimodal.withSampledFrames(
+          graft.ops.Multimodal.syntheticMedia(spark, 100), "payload", 4, 40L),
+        "media_id"),
+      "side_frames")
     save(SparkEntry.textstatsFrame(spark, sfDir)
       .select($"doc_id", $"lang_detected"), "side_textstats")
 

@@ -130,6 +130,27 @@ object SparkEntry {
         round(element_at(col("features"), 1), 5).as("f0"))
   }
 
+  /** Resized media (stub transform, real metadata/plumbing): the oracle
+    * recomputes byte length + md5-over-hex from the raw resized payload. */
+  private[graft] def mediaResizedFrame(s: SparkSession): DataFrame =
+    graft.ops.Multimodal.withResized(
+        graft.ops.Multimodal.syntheticMedia(s, 200), "payload", 32, 24)
+      .select(col("media_id"),
+        col("resized_meta.width").as("width"),
+        col("resized_meta.height").as("height"),
+        col("resized_meta.n_bytes").as("n_bytes"),
+        md5(hex(col("resized"))).as("payload_md5h"))
+
+  /** Per-frame rows from the stub video sampler (4 frames @ 40ms). */
+  private[graft] def mediaFramesFrame(s: SparkSession): DataFrame =
+    graft.ops.Multimodal.explodeFrames(
+        graft.ops.Multimodal.withSampledFrames(
+          graft.ops.Multimodal.syntheticMedia(s, 100), "payload", 4, 40L),
+        "media_id")
+      .select(col("media_id"), col("frame_idx"), col("ts_ms"),
+        length(col("frame")).cast("long").as("n_bytes"),
+        md5(hex(col("frame"))).as("frame_md5h"))
+
   private[graft] def textstatsFrame(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     t(s, dir, "documents").select(col("doc_id"), col("lang"), col("text"))
@@ -376,6 +397,8 @@ object SparkEntry {
     }),
     "q_boilerplate_main" -> ((s, _) => boilerFrame(s)),
     "q_media_features" -> ((s, _) => mediaFrame(s)),
+    "q_media_resize" -> ((s, _) => mediaResizedFrame(s)),
+    "q_media_frames" -> ((s, _) => mediaFramesFrame(s)),
 
     // ---- dedup / fingerprints / text stats (oracled via side tables) ----
     "q_minhash_lsh_pairs" -> ((s, dir) => {
@@ -597,6 +620,19 @@ object SparkEntry {
     "q_media_features" ->
       s"""SELECT media_id, kind, width, height, f0
          |FROM ${side("side_media")}""".stripMargin,
+    "q_media_resize" ->
+      // n_bytes + digest recomputed INDEPENDENTLY by DuckDB from the raw
+      // resized payload (md5 over the uppercase hex — both engines'
+      // hex() agree, and DuckDB's md5 only takes VARCHAR)
+      s"""SELECT media_id, width, height,
+         |  octet_length(resized) AS n_bytes,
+         |  md5(hex(resized)) AS payload_md5h
+         |FROM ${side("side_resized")}""".stripMargin,
+    "q_media_frames" ->
+      s"""SELECT media_id, frame_idx, ts_ms,
+         |  CAST(octet_length(frame) AS BIGINT) AS n_bytes,
+         |  md5(hex(frame)) AS frame_md5h
+         |FROM ${side("side_frames")}""".stripMargin,
     "q_minhash_lsh_pairs" ->
       // candidate pair generation + ranking re-derived relationally in
       // DuckDB from the per-doc band keys / signatures / shingle sets

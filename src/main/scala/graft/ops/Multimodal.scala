@@ -83,6 +83,90 @@ object Multimodal {
     }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 
+  /** STUBBED resize: emits a PNG-shaped payload with the TARGET dims in a
+    * real IHDR and a body that deterministically subsamples the source
+    * bytes (a real implementation replaces this one function with an image
+    * library call — schema, metadata, and plumbing stay as-is). */
+  def stubResize(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val sig = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+    val ihdr = Array[Byte](0, 0, 0, 13, 'I', 'H', 'D', 'R',
+      (w >> 24).toByte, (w >> 16).toByte, (w >> 8).toByte, w.toByte,
+      (h >> 24).toByte, (h >> 16).toByte, (h >> 8).toByte, h.toByte)
+    val src = if (bytes == null) Array.emptyByteArray else bytes
+    // body size tracks the target area; samples stride through the source
+    val bodyLen = math.max(1, (w.toLong * h / 64).toInt)
+    val body = new Array[Byte](bodyLen)
+    if (src.nonEmpty) {
+      var j = 0
+      while (j < bodyLen) {
+        body(j) = src((j.toLong * src.length / bodyLen).toInt)
+        j += 1
+      }
+    }
+    sig ++ ihdr ++ body
+  }
+
+  /** Attach a resized payload + its metadata struct. Typed per-row pass
+    * (mapInPandas-shaped); the pixel transform is the stub above. */
+  def withResized(df: DataFrame, binCol: String,
+                  targetW: Int, targetH: Int): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("resized", BinaryType),
+      StructField("resized_meta", mediaMetaSchema)))
+    val idx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val out = stubResize(r.getAs[Array[Byte]](idx), targetW, targetH)
+        val dims = pngDims(out)
+        Row.fromSeq(r.toSeq :+ out :+ Row(mediaKind(out), out.length.toLong,
+          dims.map(_._1).orNull, dims.map(_._2).orNull))
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
+  val frameSchema: StructType = StructType(Seq(
+    StructField("frame_idx", IntegerType),
+    StructField("ts_ms", LongType),
+    StructField("frame", BinaryType)))
+
+  /** STUBBED frame sampling: `n` evenly spaced byte windows stand in for
+    * decoded frames, timestamped at `frameMs` intervals (a real
+    * implementation replaces this with a video decoder; the fan-out shape
+    * downstream — explode to per-frame rows — is the real contract). */
+  def stubSampleFrames(bytes: Array[Byte], n: Int,
+                       frameMs: Long): Seq[(Int, Long, Array[Byte])] = {
+    val src = if (bytes == null) Array.emptyByteArray else bytes
+    (0 until n).map { i =>
+      val start = (i.toLong * src.length / n).toInt
+      val end = ((i + 1).toLong * src.length / n).toInt
+      (i, i * frameMs, java.util.Arrays.copyOfRange(src, start, math.max(end, start)))
+    }
+  }
+
+  /** Attach an array-of-frame-structs column (one row per media). */
+  def withSampledFrames(df: DataFrame, binCol: String, nFrames: Int,
+                        frameMs: Long): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+
+      StructField("frames", ArrayType(frameSchema, containsNull = false)))
+    val idx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val fs = stubSampleFrames(r.getAs[Array[Byte]](idx), nFrames, frameMs)
+          .map { case (i, ts, b) => Row(i, ts, b) }
+        Row.fromSeq(r.toSeq :+ fs)
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
+  /** Per-frame rows (media fan-out — the partition-count multiplier a real
+    * video pipeline plans around). Pure Catalyst explode; the big binary
+    * parent column is projected AWAY before the explode so the fan-out
+    * duplicates only the id. */
+  def explodeFrames(framed: DataFrame, idCol: String): DataFrame =
+    framed.select(col(idCol), explode(col("frames")).as("f"))
+      .select(col(idCol), col("f.frame_idx").as("frame_idx"),
+        col("f.ts_ms").as("ts_ms"), col("f.frame").as("frame"))
+
   /** Deterministic synthetic media corpus (tiny PNG-headed blobs) for tests
     * and rows-only queries — no external data. */
   def syntheticMedia(spark: org.apache.spark.sql.SparkSession, n: Int): DataFrame = {
