@@ -104,7 +104,7 @@ object HtmlParser {
     private val pendingText = new java.lang.StringBuilder
     private var cdataElem: String = null // inside <script>/<style>
 
-    private def top: Element = stack.last
+    private def top: Element = stack(stack.length - 1)
 
     private def flushText(): Unit = {
       if (pendingText.length > 0) {
@@ -224,7 +224,11 @@ object HtmlParser {
         else if (xmlMode) raw.substring(nameStart, j)
         else raw.substring(nameStart, j).toLowerCase
       }
-      val attrs = ArrayBuffer.empty[(String, String)]
+      // attrs land straight on the element (the old temp buffer + foreach
+      // copy double-handled every attr); class-collapse at insert time is
+      // equivalent because collapse is per-value and last-wins
+      val el = new Element(name)
+      val attrs = el.attrs
       var selfClosing = false
       var done = false
       while (!done) {
@@ -269,20 +273,24 @@ object HtmlParser {
             }
             j = k
           }
-          val v = if (value == null) "" else Entities.unescape(value)
-          val existing = attrs.indexWhere(_._1 == aname)
+          val unescaped = if (value == null) "" else Entities.unescape(value)
+          // bs4 collapses multi-valued attrs (class) to space-joined tokens
+          val v =
+            if (!xmlMode && aname == "class")
+              unescaped.split("\\s+").filter(_.nonEmpty).mkString(" ")
+            else unescaped
+          var existing = -1
+          var ai = 0
+          while (existing < 0 && ai < attrs.length) {
+            if (attrs(ai)._1 == aname) existing = ai
+            ai += 1
+          }
           if (existing >= 0) attrs(existing) = (aname, v) // bs4 REPLACE: last wins
           else attrs += ((aname, v))
         }
       }
       i = j
       flushText()
-      val el = new Element(name)
-      // bs4 collapses multi-valued attrs (class) to single-space-joined tokens
-      attrs.foreach { case (k0, v0) =>
-        val v = if (!xmlMode && k0 == "class") v0.split("\\s+").filter(_.nonEmpty).mkString(" ") else v0
-        el.attrs += ((k0, v))
-      }
       val isVoid = !xmlMode && voidElements.contains(name)
       el.isVoid = isVoid
       top.append(el)
