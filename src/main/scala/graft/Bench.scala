@@ -21,7 +21,9 @@ import graft.pipeline.{Extract, PagesGen}
  *
  * env knobs: SPARK_GRAFT_BENCH_DOCS (default 1280000),
  *            SPARK_GRAFT_BENCH_RUNS (default 5),
- *            SPARK_GRAFT_BENCH_ONLY=extract to skip the query sweep.
+ *            SPARK_GRAFT_BENCH_ONLY=extract to skip the query sweep, or a
+ *            comma-separated list of query names to time ONLY those
+ *            (skips the extraction headline — fast isolation of one query).
  */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -56,64 +58,75 @@ object Bench {
       p.delete()
     }
 
+    val only = sys.env.getOrElse("SPARK_GRAFT_BENCH_ONLY", "")
+    // "" = headline + full sweep; "extract" = headline only; otherwise a
+    // comma-separated query-name filter (no headline — query isolation)
+    val qFilter: Option[Set[String]] =
+      if (only.isEmpty || only == "extract") None
+      else Some(only.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    val runHeadline = qFilter.isEmpty
+
     // ---- headline: extraction throughput over the synthetic pages table ----
     val benchRoot = s"/tmp/graft_bench_c${cpus}_n$nDocs"
     val pagesPath = s"$benchRoot/pages"
     // materialize input once (not timed): fixed file layout so every
     // parallelism level reads identical bytes
-    if (!new java.io.File(s"$pagesPath/_SUCCESS").exists()) {
-      PagesGen.pages(spark, nDocs)
-        .repartition(128)
-        .write.mode("overwrite").parquet(pagesPath)
-    }
-    val pages = spark.read.parquet(pagesPath)
-      .as[graft.pipeline.PageRow](org.apache.spark.sql.Encoders.product[graft.pipeline.PageRow])
-    // bucket count scales with the cluster (at 10^12 docs it would be 10^4+);
-    // locally 64 keeps the bucket-aligned write stage wider than the core count
     val nBuckets = sys.env.getOrElse("SPARK_GRAFT_BUCKETS", "64").toInt
-    // warmup (not timed): one FULL map pass + one FULL pipeline run — JIT,
-    // codec, and write paths all reach steady state before any timed run
-    // (a 4k-doc warmup left a 14× cold first run in BENCH_r02's raw array)
-    Extract.extract(pages, nBuckets).map(_.doc.parse_failed)(
-      org.apache.spark.sql.Encoders.scalaBoolean).count()
-    locally {
-      val warmOut = s"$benchRoot/out_warm_${System.nanoTime()}"
-      Extract.run(spark, pages, warmOut, runId = "bench_warm", numBuckets = nBuckets)
-      rmrf(new java.io.File(warmOut))
-    }
-
     // interleaved map/full runs → medians (noise-robust number of record)
     val mapRuns = scala.collection.mutable.ArrayBuffer.empty[Double]
     val fullRuns = scala.collection.mutable.ArrayBuffer.empty[Double]
     var docsExtracted = 0L
-    (1 to nRuns).foreach { i =>
-      // pure distributed extraction throughput: scan → typed map → count
-      // (no shuffles/writes) — the docs/sec core of the BASELINE metric
-      val (mapDocs, mapSecs) = secs {
-        Extract.extract(pages, nBuckets)
-          .map(_.doc.parse_failed)(org.apache.spark.sql.Encoders.scalaBoolean)
-          .count()
+    if (runHeadline) {
+      if (!new java.io.File(s"$pagesPath/_SUCCESS").exists()) {
+        PagesGen.pages(spark, nDocs)
+          .repartition(128)
+          .write.mode("overwrite").parquet(pagesPath)
       }
-      mapRuns += mapDocs / mapSecs
-      // FRESH output dir per timed run — a leftover progress ledger would
-      // resume-skip every bucket and fake a 100x throughput
-      val outDir = s"$benchRoot/out_${System.nanoTime()}"
-      val (summary, fullSecs) = secs {
-        Extract.run(spark, pages, outDir, runId = s"bench_$i", numBuckets = nBuckets)
+      val pages = spark.read.parquet(pagesPath)
+        .as[graft.pipeline.PageRow](org.apache.spark.sql.Encoders.product[graft.pipeline.PageRow])
+      // bucket count scales with the cluster (at 10^12 docs it would be
+      // 10^4+); locally 64 keeps the bucket-aligned write stage wider than
+      // the core count
+      // warmup (not timed): one FULL map pass + one FULL pipeline run — JIT,
+      // codec, and write paths all reach steady state before any timed run
+      // (a 4k-doc warmup left a 14× cold first run in BENCH_r02's raw array)
+      Extract.extract(pages, nBuckets).map(_.doc.parse_failed)(
+        org.apache.spark.sql.Encoders.scalaBoolean).count()
+      locally {
+        val warmOut = s"$benchRoot/out_warm_${System.nanoTime()}"
+        Extract.run(spark, pages, warmOut, runId = "bench_warm", numBuckets = nBuckets)
+        rmrf(new java.io.File(warmOut))
       }
-      docsExtracted = summary.docs
-      fullRuns += summary.docs / fullSecs
-      rmrf(new java.io.File(outDir)) // bound /tmp usage across runs
+
+      (1 to nRuns).foreach { i =>
+        // pure distributed extraction throughput: scan → typed map → count
+        // (no shuffles/writes) — the docs/sec core of the BASELINE metric
+        val (mapDocs, mapSecs) = secs {
+          Extract.extract(pages, nBuckets)
+            .map(_.doc.parse_failed)(org.apache.spark.sql.Encoders.scalaBoolean)
+            .count()
+        }
+        mapRuns += mapDocs / mapSecs
+        // FRESH output dir per timed run — a leftover progress ledger would
+        // resume-skip every bucket and fake a 100x throughput
+        val outDir = s"$benchRoot/out_${System.nanoTime()}"
+        val (summary, fullSecs) = secs {
+          Extract.run(spark, pages, outDir, runId = s"bench_$i", numBuckets = nBuckets)
+        }
+        docsExtracted = summary.docs
+        fullRuns += summary.docs / fullSecs
+        rmrf(new java.io.File(outDir)) // bound /tmp usage across runs
+      }
     }
-    val docsPerSec = median(fullRuns.toSeq)
-    val mapRate = median(mapRuns.toSeq)
+    val docsPerSec = if (fullRuns.nonEmpty) median(fullRuns.toSeq) else 0.0
+    val mapRate = if (mapRuns.nonEmpty) median(mapRuns.toSeq) else 0.0
 
     // ---- optional: exchange-free full pipeline over bucket-ALIGNED input
     // (the Iceberg bucket(url) story measured end-to-end: input partitioned
     // by url_bucket → Extract.run(repartitionForWrite = false) writes the
     // partitioned output without shuffling extracted payloads) ----
     val alignedRuns = scala.collection.mutable.ArrayBuffer.empty[Double]
-    if (sys.env.getOrElse("SPARK_GRAFT_BENCH_ALIGNED", "") == "1") {
+    if (runHeadline && sys.env.getOrElse("SPARK_GRAFT_BENCH_ALIGNED", "") == "1") {
       import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
       val alignedPath = s"$benchRoot/pages_aligned"
       if (!new java.io.File(s"$alignedPath/_SUCCESS").exists()) {
@@ -137,22 +150,24 @@ object Bench {
     }
 
     // ---- per-query sweep on the sf dir ----
-    val only = sys.env.getOrElse("SPARK_GRAFT_BENCH_ONLY", "")
     val results: Map[String, Double] =
       if (only == "extract") Map.empty
-      else SparkEntry.queries.map { case (name, fn) =>
-        val (_, t) = try secs(fn(spark, sfDir).count()) catch {
-          case _: Throwable => ((), -1.0)
+      else SparkEntry.queries
+        .filter { case (name, _) => qFilter.forall(_.contains(name)) }
+        .map { case (name, fn) =>
+          val (_, t) = try secs(fn(spark, sfDir).count()) catch {
+            case _: Throwable => ((), -1.0)
+          }
+          name -> t
         }
-        name -> t
-      }
 
     val qs = results.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     def arr(xs: Seq[Double]): String =
       xs.map(x => f"$x%.1f").mkString("[", ",", "]")
-    val total = results.values.filter(_ > 0).sum + docsExtracted / docsPerSec
+    val total = results.values.filter(_ > 0).sum +
+      (if (docsPerSec > 0) docsExtracted / docsPerSec else 0.0)
     val alignedJson =
       if (alignedRuns.isEmpty) ""
       else s""","aligned_docs_per_sec":${f"${median(alignedRuns.toSeq)}%.1f"},"runs_aligned_docs_per_sec":${arr(alignedRuns.toSeq)}"""
