@@ -395,6 +395,22 @@ object SparkEntry {
       val meta = ex.map(p => (p.meta.url, p.meta.canonical)).toDF("url", "canonical")
       graft.ops.LinkGraph.canonicalGroups(urls, meta)
     }),
+    "q_skew_topk" -> ((s, _) => {
+      // top-3 most-linked destination urls per destination host via the
+      // salted (skew-safe) two-stage window — hosts are Zipfian at crawl
+      // scale, so the naive single window over a hot host is one task
+      import s.implicits._
+      val links = extractedPersisted(s)
+        .flatMap(p => p.links.map(l => (p.doc.url, l.dst_url)))
+        .toDF("src_url", "dst_url")
+      val counts = links
+        .select(expr("parse_url(dst_url, 'HOST')").as("dst_host"), col("dst_url"))
+        .groupBy(col("dst_host"), col("dst_url"))
+        .agg(count(lit(1)).as("cnt"))
+      graft.ops.Skew.saltedTopKPerKey(counts, "dst_host", "cnt", "dst_url",
+          k = 3, S = 8)
+        .orderBy(col("dst_host"), col("rnk"))
+    }),
     "q_boilerplate_main" -> ((s, _) => boilerFrame(s)),
     "q_media_features" -> ((s, _) => mediaFrame(s)),
     "q_media_resize" -> ((s, _) => mediaResizedFrame(s)),
@@ -600,6 +616,19 @@ object SparkEntry {
          |SELECT representative, count(*) AS n_aliases,
          |  CAST(sum(CASE WHEN via_canonical THEN 1 ELSE 0 END) AS BIGINT) AS n_canonicalized
          |FROM resolved GROUP BY representative""".stripMargin,
+    "q_skew_topk" ->
+      // the salted two-stage window must equal the straightforward
+      // single-window top-k — DuckDB re-derives host, counts, and ranking
+      // from the raw link rows
+      s"""WITH c AS (
+         |  SELECT NULLIF(regexp_extract(dst_url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1), '') AS dst_host,
+         |         dst_url, count(*) AS cnt
+         |  FROM ${side("side_links")} GROUP BY 1, 2),
+         |r AS (
+         |  SELECT dst_host, dst_url, cnt, row_number() OVER (
+         |    PARTITION BY dst_host ORDER BY cnt DESC, dst_url) AS rnk
+         |  FROM c)
+         |SELECT dst_host, dst_url, cnt, rnk FROM r WHERE rnk <= 3""".stripMargin,
     "q_snapshot_diff_ops" ->
       // md5s recomputed INDEPENDENTLY by DuckDB over the raw pair contents
       s"""WITH m AS (SELECT * FROM ${side("side_diff_meta")}),
