@@ -62,10 +62,16 @@ object SparkEntry {
   private val extractedMemo =
     new java.util.concurrent.ConcurrentHashMap[SparkSession, Dataset[ExtractedPage]]()
 
-  private[graft] def extractedPersisted(s: SparkSession): Dataset[ExtractedPage] =
+  private[graft] def extractedPersisted(s: SparkSession): Dataset[ExtractedPage] = {
+    // evict entries whose session has stopped (their cached blocks are
+    // gone) — a WeakHashMap cannot do this because the Dataset value holds
+    // its session strongly, so entries would never be collected
+    val it = extractedMemo.keySet.iterator()
+    while (it.hasNext) if (it.next().sparkContext.isStopped) it.remove()
     extractedMemo.computeIfAbsent(s, k =>
       Extract.extract(Extract.latestPerUrl(PagesGen.pages(k, ExtractN)))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
 
   /** Snapshot pairs of every changed url (old/new decoded content).
     * Shuffle-slim (VERDICT r02 wrong #4): the min/max aggregate runs over
@@ -590,7 +596,7 @@ object SparkEntry {
          |u AS (SELECT url FROM ${side("side_urls")}),
          |a AS (SELECT url AS an_url, anchor_id FROM ${side("side_anchors")}),
          |j AS (
-         |  SELECT NULLIF(regexp_extract(l.dst_url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1), '') AS dst_host,
+         |  SELECT NULLIF(regexp_extract(l.dst_url, '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]*)', 1), '') AS dst_host,
          |         l.kind,
          |         u.url IS NOT NULL AS target_exists,
          |         l.anchor <> '' AS has_anchor,
@@ -621,7 +627,7 @@ object SparkEntry {
       // single-window top-k — DuckDB re-derives host, counts, and ranking
       // from the raw link rows
       s"""WITH c AS (
-         |  SELECT NULLIF(regexp_extract(dst_url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1), '') AS dst_host,
+         |  SELECT NULLIF(regexp_extract(dst_url, '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]*)', 1), '') AS dst_host,
          |         dst_url, count(*) AS cnt
          |  FROM ${side("side_links")} GROUP BY 1, 2),
          |r AS (

@@ -104,14 +104,6 @@ object StructuredData {
   private def wsSplit(s: String): Seq[String] =
     s.split("\\s+").iterator.filter(_.nonEmpty).toSeq
 
-  /** Page base url: first `<base href>` joined onto the page url
-    * (w3lib `get_base_url` semantics used by the reference). */
-  def baseUrl(doc: Document, pageUrl: String): String =
-    doc.findFirst("base").flatMap(_.attr("href")).filter(_.nonEmpty) match {
-      case Some(h) => absolutize(pageUrl, h)
-      case None    => pageUrl
-    }
-
   // ---------- microdata ----------
 
   private val srcTags =

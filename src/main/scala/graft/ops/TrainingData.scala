@@ -31,8 +31,11 @@ object TrainingData {
       col(langCol).as("lang"),
       md5(col(textCol)).as("__h"),
       size(split(trim(col(textCol)), "\\s+")).as("n_tokens"),
+      // nullif: empty text must yield a NULL ratio (matching DuckDB's
+      // divide-by-zero = NULL), not an ANSI DIVIDE_BY_ZERO error — Spark 4
+      // runs ANSI mode by default
       round(length(regexp_replace(col(textCol), "[^a-z ]", "")).cast("double") /
-        length(col(textCol)), 4).as("alpha_ratio"))
+        nullif(length(col(textCol)), lit(0)), 4).as("alpha_ratio"))
     val w = Window.partitionBy(col("__h"))
     slim
       .withColumn("__keeper", min(col("doc_id")).over(w))

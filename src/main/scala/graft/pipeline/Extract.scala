@@ -234,7 +234,6 @@ object Extract {
           blocklist: Option[Dataset[String]] = None,
           repartitionForWrite: Boolean = true): RunSummary = {
     import spark.implicits._
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
     val ledgerPath = s"$outDir/progress"
     val doneBuckets: Set[Int] =
@@ -285,7 +284,8 @@ object Extract {
       if (repartitionForWrite) extracted.repartition(numBuckets, col("url_bucket"))
       else extracted
     toWrite
-      .write.mode("overwrite").partitionBy("url_bucket")
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic").partitionBy("url_bucket")
       .parquet(s"$outDir/docs_clean")
 
     val written = spark.read.parquet(s"$outDir/docs_clean")
@@ -295,14 +295,17 @@ object Extract {
     // all sidecars partitioned by url_bucket so a resume run's dynamic
     // overwrite only touches the buckets it processed
     writtenRun.select($"meta.*", $"url_bucket")
-      .write.mode("overwrite").partitionBy("url_bucket")
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic").partitionBy("url_bucket")
       .parquet(s"$outDir/doc_meta")
     writtenRun.select($"url".as("src_url"), explode($"links").as("l"), $"url_bucket")
       .select($"src_url", $"l.*", $"url_bucket")
-      .write.mode("overwrite").partitionBy("url_bucket")
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic").partitionBy("url_bucket")
       .parquet(s"$outDir/links")
     writtenRun.select($"url", explode($"anchors").as("anchor_id"), $"url_bucket")
-      .write.mode("overwrite").partitionBy("url_bucket")
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic").partitionBy("url_bucket")
       .parquet(s"$outDir/anchors")
 
     // metrics from the WRITTEN columnar output (no recompute of the
@@ -323,7 +326,8 @@ object Extract {
     // run only replaces the buckets it processed — a full overwrite here
     // would wipe completed buckets' metrics (and an all-done idempotent
     // rerun would empty the whole sidecar the BASELINE metric reads).
-    metrics.write.mode("overwrite").partitionBy("url_bucket")
+    metrics.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic").partitionBy("url_bucket")
       .parquet(s"$outDir/metrics")
 
     // ledger append: every processed bucket marked done for this run

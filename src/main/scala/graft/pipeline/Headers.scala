@@ -31,18 +31,50 @@ object Headers {
   /** Columns `has_headers_changed` compares, in reference order. */
   val headerCols: Seq[String] = Seq("last_modified", "etag", "content_length")
 
-  /** Write/refresh the sidecar: latest headers per url, partitioned by
-    * url bucket with dynamic overwrite — the INSERT OR REPLACE analog
-    * (a refresh run only rewrites the buckets it touches). */
+  /** Write/refresh the sidecar: the INSERT OR REPLACE analog, per URL.
+    * The batch is deduped to one row per url (deterministic max of the
+    * header triple — a no-op on already-unique input), stored rows in the
+    * touched buckets that the batch does NOT replace are carried forward,
+    * and only the touched buckets are rewritten (dynamic overwrite,
+    * writer-scoped — the session conf is never mutated). A partial-batch
+    * refresh therefore loses nothing: urls sharing a bucket with a
+    * refreshed url keep their stored headers. On an Iceberg deployment
+    * this whole function is `MERGE INTO`; the carried slice is
+    * localCheckpoint-ed (touched buckets only — bounded by the batch's
+    * bucket spread) so the write never reads the files it overwrites. */
   def writeSidecar(headers: DataFrame, outDir: String,
                    numBuckets: Int = Extract.DefaultBuckets): Unit = {
     val s = headers.sparkSession
-    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    headers
+    val fresh = headers
       .select((col("url") +: headerCols.map(col)): _*)
+      .groupBy(col("url"))
+      .agg(max(struct(headerCols.map(col): _*)).as("__h"))
+      .select(col("url") +: headerCols.map(c => col(s"__h.$c").as(c)): _*)
       .withColumn("url_bucket", pmod(xxhash64(col("url")), lit(numBuckets)).cast("int"))
+    // the dynamic-overwrite committer writes no _SUCCESS marker — detect
+    // an existing sidecar by its partition directories
+    val sidecarExists = {
+      val d = new java.io.File(outDir)
+      val fs = if (d.isDirectory) d.listFiles() else null
+      fs != null && fs.exists(_.getName.startsWith("url_bucket="))
+    }
+    val merged =
+      if (!sidecarExists) fresh
+      else {
+        val stored = s.read.parquet(outDir)
+        val touched = fresh.select(col("url_bucket")).distinct()
+        val carry = stored
+          .join(broadcast(touched), Seq("url_bucket"), "left_semi")
+          .join(fresh.select(col("url").as("__new_url")),
+            col("url") === col("__new_url"), "left_anti")
+          .select(fresh.columns.map(col): _*)
+        fresh.unionByName(carry).localCheckpoint()
+      }
+    merged
       .repartition(numBuckets, col("url_bucket"))
-      .write.mode("overwrite").partitionBy("url_bucket").parquet(outDir)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("url_bucket").parquet(outDir)
   }
 
   /** Keep CURRENT rows whose headers are new or changed vs `stored`

@@ -88,11 +88,15 @@ object StreamingExtract {
         })
   }
 
+  // n_tokens/alpha_ratio are Options: empty text makes the alpha division
+  // null (x/0 in non-ANSI Spark) and null text nulls both — a primitive
+  // field would crash the deserializer and kill the query
   final case class DocStats(doc_id: Long, lang: String, h: String,
-                            n_tokens: Int, alpha_ratio: Double)
+                            n_tokens: Option[Int], alpha_ratio: Option[Double])
   final case class HashState(keeper: Long)
-  final case class PrepRow(doc_id: Long, lang: String, n_tokens: Int,
-                           alpha_ratio: Double, kept: Boolean, drop_reason: String)
+  final case class PrepRow(doc_id: Long, lang: String, n_tokens: Option[Int],
+                           alpha_ratio: Option[Double], kept: Boolean,
+                           drop_reason: String)
 
   /** Streaming face of `TrainingData.prepare` (VERDICT r02 next #9): the
     * stateless gates (lang / length / alpha) run per row; the DUPLICATE
@@ -117,8 +121,10 @@ object StreamingExtract {
         col(langCol).as("lang"),
         md5(col(textCol)).as("h"),
         size(split(trim(col(textCol)), "\\s+")).as("n_tokens"),
+        // nullif denominator: ANSI-safe null ratio on empty text (see
+        // TrainingData.prepare — identical expression by contract)
         round(length(regexp_replace(col(textCol), "[^a-z ]", "")).cast("double") /
-          length(col(textCol)), 4).as("alpha_ratio"))
+          nullif(length(col(textCol)), lit(0)), 4).as("alpha_ratio"))
       .as[DocStats]
       .groupByKey(_.h)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
@@ -133,12 +139,15 @@ object StreamingExtract {
             k
           }
           batch.iterator.map { r =>
+            // null-lenient gates, mirroring the batch plan exactly: a null
+            // lang/n_tokens/alpha_ratio makes the batch `when` predicate
+            // null => gate skipped => kept
             val reason =
               if (r.doc_id != keeper) "duplicate"
-              else if (!langSet.contains(r.lang)) "lang"
-              else if (r.n_tokens < minTokens) "too_short"
-              else if (r.n_tokens > maxTokens) "too_long"
-              else if (r.alpha_ratio < minAlpha) "low_alpha"
+              else if (r.lang != null && !langSet.contains(r.lang)) "lang"
+              else if (r.n_tokens.exists(_ < minTokens)) "too_short"
+              else if (r.n_tokens.exists(_ > maxTokens)) "too_long"
+              else if (r.alpha_ratio.exists(_ < minAlpha)) "low_alpha"
               else null
             PrepRow(r.doc_id, r.lang, r.n_tokens, r.alpha_ratio, reason == null, reason)
           }

@@ -91,10 +91,43 @@ object UrlMemo {
     if (last < 0) base.substring(0, end) else base.substring(0, last + 1)
   }
 
-  /** True when the reference may read more of the base than its directory
-    * (empty / fragment-only / query-only references keep base path+query). */
-  private def needsFullBase(url: String): Boolean =
-    url.isEmpty || url.charAt(0) == '#' || url.charAt(0) == '?'
+  /** True when the reference may read more of the base than its directory.
+    * These are exactly the routes into PyUrl.urljoin's full-base branch
+    * (`u.path.isEmpty && u.params.isEmpty`, which keeps base path+params
+    * +query): the reference — after an optional scheme prefix — is empty
+    * or starts with '#'/'?'/';' (fragment-/query-/params-only), or is
+    * "//" with an EMPTY netloc and empty path ("//", "//?q", "//#f").
+    * A ';' start is over-conservative (";x" has params and resolves by
+    * directory) but merely skips memoization for a rare class. */
+  private[url] def needsFullBase(url: String): Boolean = {
+    if (url.isEmpty) return true
+    // optional scheme prefix (CPython urlparse: leading alpha then
+    // alnum/+/-/. up to ':') — "http:" style refs resolve against the
+    // base when schemes match, so the REST after ':' is what matters
+    var rest = url
+    val colon = url.indexOf(':')
+    if (colon > 0 && Character.isLetter(url.charAt(0))) {
+      var ok = true
+      var j = 1
+      while (ok && j < colon) {
+        val c = url.charAt(j)
+        ok = Character.isLetterOrDigit(c) || c == '+' || c == '-' || c == '.'
+        j += 1
+      }
+      if (ok) rest = url.substring(colon + 1)
+    }
+    if (rest.isEmpty) return true
+    val c0 = rest.charAt(0)
+    if (c0 == '#' || c0 == '?' || c0 == ';') return true
+    if (rest.length >= 2 && c0 == '/' && rest.charAt(1) == '/') {
+      // "//" netloc runs to the next '/', '?', or '#'; an empty netloc
+      // with an empty path falls back to the whole base
+      if (rest.length == 2) return true
+      val c2 = rest.charAt(2)
+      if (c2 == '?' || c2 == '#') return true
+    }
+    false
+  }
 
   def urljoin(base: String, url: String): String = {
     // exempt classes (empty/#/? refs read base path+query; schemeless

@@ -72,15 +72,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(r1.filter($"doc_id" === 3).select($"drop_reason").as[String].head() == "lang")
 
     // batch 2: same text as id 1 arrives later (even with a LOWER id) →
-    // duplicate via cross-batch state; a fresh text is kept
-    Seq((0L, "en", goodText), (4L, "en", goodText), (5L, "en", goodText + " fresh"))
+    // duplicate via cross-batch state; a fresh text is kept; empty/null
+    // text and null lang must not crash the query and must gate exactly
+    // like the batch plan (null predicate => gate skipped => kept)
+    Seq((0L, "en", goodText), (4L, "en", goodText), (5L, "en", goodText + " fresh"),
+        (6L, "en", ""), (7L, null, goodText + " nulllang"), (8L, "en", null))
       .toDF("doc_id", "lang", "text").coalesce(1).write.mode("append").parquet(in)
     drain()
     val r2 = spark.read.parquet(outDir)
-    assert(r2.count() == 6)
+    assert(r2.count() == 9)
     assert(r2.filter($"doc_id" === 0).select($"drop_reason").as[String].head() == "duplicate")
     assert(r2.filter($"doc_id" === 4).select($"drop_reason").as[String].head() == "duplicate")
     assert(r2.filter($"doc_id" === 5 && $"kept").count() == 1)
+    // empty text: n_tokens = 1 (Spark split("") = [""]) → too_short, null
+    // alpha_ratio survives the typed pipeline
+    assert(r2.filter($"doc_id" === 6).select($"drop_reason").as[String].head() == "too_short")
+    assert(r2.filter($"doc_id" === 6).select($"alpha_ratio".isNull).as[Boolean].head())
+    // null lang / null text: every affected gate's predicate is null in
+    // the batch plan → kept
+    assert(r2.filter($"doc_id" === 7 && $"kept").count() == 1)
+    assert(r2.filter($"doc_id" === 8 && $"kept").count() == 1)
+    // the streaming verdicts equal the batch operator's on the same rows
+    val batchEquiv = graft.ops.TrainingData.prepare(
+        spark.read.parquet(in))
+      .select($"doc_id", $"kept", $"drop_reason")
+      .as[(Long, Boolean, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    Seq(2L, 3L, 5L, 6L, 7L, 8L).foreach { id =>
+      val got = r2.filter($"doc_id" === id).select($"kept", $"drop_reason")
+        .as[(Boolean, String)].head()
+      assert(got == batchEquiv(id), s"doc $id: stream $got vs batch ${batchEquiv(id)}")
+    }
     // exactly-once: no doc_id appears twice
     assert(r2.groupBy($"doc_id").count().filter($"count" > 1).count() == 0)
   }

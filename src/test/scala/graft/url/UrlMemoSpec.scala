@@ -28,7 +28,11 @@ class UrlMemoSpec extends AnyFunSuite {
     "page2.html", "./x", "../up.html", "/root.html", "sub/dir/f.txt",
     "//other.com/y", "https://abs.com/z?k=v#f", "g:h", ".", "..",
     "x.html?only=q", "y.html#only-frag", "a b.html", "%7Euser/",
-    "", "#frag", "?q=2", "page.html?utm_source=x&b=2")
+    "", "#frag", "?q=2", "page.html?utm_source=x&b=2",
+    // full-base classes (resolve to the WHOLE base incl. its last path
+    // segment/query — must be exempt from dir-keyed memoization)
+    ";", ";x", ";#f", "//", "//?q", "//#f", "http:", "https:", "https:?q",
+    "http:;", "ftp:", "//;nl")
 
   private val tailG = Gen.zip(fileG, queryG, fragG)
 
@@ -38,7 +42,7 @@ class UrlMemoSpec extends AnyFunSuite {
       val b1 = s"$sch://$host$dir${t1._1}${t1._2}${t1._3}"
       val b2 = s"$sch://$host$dir${t2._1}${t2._2}${t2._3}"
       // exempt classes use the full base as key — nothing to prove there
-      val exempt = href.isEmpty || href.startsWith("#") || href.startsWith("?")
+      val exempt = UrlMemo.needsFullBase(href)
       exempt || {
         val j1 = try PyUrl.urljoin(b1, href) catch { case e: Exception => "E:" + e.getClass }
         val j2 = try PyUrl.urljoin(b2, href) catch { case e: Exception => "E:" + e.getClass }
@@ -65,6 +69,26 @@ class UrlMemoSpec extends AnyFunSuite {
         val memod = try UrlMemo.normalize(u) catch { case _: Exception => null }
         direct == memod
     })
+  }
+
+  test("full-base refs are never dir-memoized across sibling pages (cache-poisoning regression)") {
+    // page A and page B share a directory; the ref resolves to the WHOLE
+    // base — a dir-keyed cache entry from A would poison B's result
+    val pairs = Seq(
+      ("https://h.com/docs/a.html?x=1", "https://h.com/docs/b.html"),
+      ("https://h.com/d/p1.html#f", "https://h.com/d/p2.html?q=2"))
+    val refs = Seq(";", "//", "//?q", "//#f", "http:", "https:", ";#f", "https:?q")
+    for ((b1, b2) <- pairs; r <- refs) {
+      assert(UrlMemo.needsFullBase(r), s"ref $r must be exempt")
+      val m1 = UrlMemo.urljoin(b1, r) // would seed a poisoned entry if memoized
+      val m2 = UrlMemo.urljoin(b2, r)
+      assert(m1 == PyUrl.urljoin(b1, r), s"($b1, $r)")
+      assert(m2 == PyUrl.urljoin(b2, r), s"($b2, $r)")
+    }
+    // path-type refs with a scheme prefix stay memoizable
+    assert(!UrlMemo.needsFullBase("http:x.html"))
+    assert(!UrlMemo.needsFullBase("//other.com/y"))
+    assert(!UrlMemo.needsFullBase("page.html"))
   }
 
   test("dirOf edge shapes") {
