@@ -278,7 +278,10 @@ object Dedup {
       .join(vecs.withColumnRenamed("id", "id_b").withColumnRenamed("v", "v_b"), "id_b")
       .withColumn("cos", round(
         expr(dotE("v_a", "v_b")) /
-          (sqrt(expr(dotE("v_a", "v_a"))) * sqrt(expr(dotE("v_b", "v_b")))), 6))
+          // nullif: a zero vector yields NULL cosine (ANSI-safe, and
+          // DuckDB's x/0 is NULL — oracle-consistent), never a crash
+          nullif(sqrt(expr(dotE("v_a", "v_a"))) * sqrt(expr(dotE("v_b", "v_b"))),
+            lit(0d)), 6))
       .select(col("id_a"), col("id_b"), col("cos"))
   }
 

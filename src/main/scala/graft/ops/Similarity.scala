@@ -19,13 +19,16 @@ object Similarity {
 
   /** Cosine between an array<float> column and a literal query vector, as a
     * pure Catalyst expression tree (double math, sequential order — matches
-    * the DuckDB oracle's list-function semantics). */
+    * the DuckDB oracle's list-function semantics). A zero vector on either
+    * side yields NULL (nullif denominator): Spark 4's default ANSI mode
+    * throws DIVIDE_BY_ZERO even for doubles, and DuckDB's x/0 is NULL, so
+    * NULL is both the crash-free and the oracle-consistent value. */
   def cosineToQuery(embCol: String, q: Array[Float]): Column = {
     val qArr = s"array(${q.map(v => s"CAST(${v.toDouble} AS DOUBLE)").mkString(",")})"
     val dot = s"aggregate(zip_with($embCol, $qArr, (x, y) -> CAST(x AS DOUBLE) * y), 0D, (a, v) -> a + v)"
     val na = s"sqrt(aggregate($embCol, 0D, (a, v) -> a + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
     val nb = math.sqrt(q.map(v => v.toDouble * v.toDouble).sum)
-    expr(s"$dot / ($na * CAST($nb AS DOUBLE))")
+    expr(s"$dot / nullif($na * CAST($nb AS DOUBLE), 0D)")
   }
 
   /** Exact top-k by cosine for one query vector. */

@@ -183,6 +183,27 @@ class DedupSpec extends AnyFunSuite {
     assert(m.truncatedRows.value == 8L * 7, s"rows=${m.truncatedRows.value}")
   }
 
+  test("zero vectors yield NULL cosine, not an ANSI divide-by-zero crash") {
+    val emb = Seq((1L, Array(0f, 0f, 0f)), (2L, Array(1f, 2f, 2f)),
+        (3L, Array(2f, 1f, 2f))).toDF("vec_id", "embedding")
+    // pair path (verifyCosine)
+    val pairs = Dedup.verifyCosine(
+      Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b"), emb, "vec_id", "embedding")
+      .orderBy($"id_a").collect()
+    assert(pairs(0).isNullAt(2), "zero-vector pair must have null cos")
+    assert(!pairs(1).isNullAt(2) && pairs(1).getDouble(2) > 0.8)
+    // query path (Similarity.cosineToQuery): zero ROW vector → null row;
+    // zero QUERY vector → all null (orderBy desc puts nulls last, so
+    // top-k still works)
+    val q = emb.select($"vec_id",
+      Similarity.cosineToQuery("embedding", Array(1f, 2f, 2f)).as("c")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    assert(q(1L) == null && q(2L) != null)
+    val allNull = emb.select(
+      Similarity.cosineToQuery("embedding", Array(0f, 0f, 0f)).as("c")).collect()
+    assert(allNull.forall(_.isNullAt(0)))
+  }
+
   test("fingerprints deterministic across evaluations") {
     val a = Dedup.fingerprints(docs, "doc_id", "text").orderBy($"id")
       .select($"id", $"simhash").as[(Long, Long)].collect().toSeq
