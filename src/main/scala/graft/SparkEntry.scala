@@ -323,15 +323,17 @@ object SparkEntry {
       Dedup.exactGroups(t(s, dir, "documents"), "doc_id", "text")),
     "q_token_counts" -> ((s, dir) => {
       t(s, dir, "documents").select(col("doc_id"),
-        size(split(trim(col("text")), "\\s+")).as("n_tokens"),
+        graft.ops.TrainingData.nTokens(col("text")).as("n_tokens"),
         length(col("text")).as("n_chars_calc"))
     }),
     "q_quality_docs" -> ((s, dir) => {
+      // shared ANSI-safe expressions (TrainingData): empty text → NULL
+      // ratios, matching DuckDB's x/0 = NULL on the oracle side
       t(s, dir, "documents").select(col("doc_id"),
-        round(length(regexp_replace(col("text"), "[^a-z ]", "")).cast("double") /
-          length(col("text")), 4).as("alpha_ratio"),
+        graft.ops.TrainingData.alphaRatio(col("text")).as("alpha_ratio"),
         round(length(regexp_replace(col("text"), " ", "")).cast("double") /
-          size(split(trim(col("text")), "\\s+")), 4).as("mean_token_len"))
+          nullif(graft.ops.TrainingData.nTokens(col("text")), lit(0)), 4)
+          .as("mean_token_len"))
     }),
     "q_lang_stats" -> ((s, dir) => {
       t(s, dir, "documents").groupBy(col("lang"))
@@ -596,7 +598,7 @@ object SparkEntry {
          |u AS (SELECT url FROM ${side("side_urls")}),
          |a AS (SELECT url AS an_url, anchor_id FROM ${side("side_anchors")}),
          |j AS (
-         |  SELECT NULLIF(regexp_extract(l.dst_url, '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]*)', 1), '') AS dst_host,
+         |  SELECT NULLIF(regexp_extract(l.dst_url, '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?(\\[[^\\]/?#]*\\]|[^/?#:]*)', 1), '') AS dst_host,
          |         l.kind,
          |         u.url IS NOT NULL AS target_exists,
          |         l.anchor <> '' AS has_anchor,
@@ -627,7 +629,7 @@ object SparkEntry {
       // single-window top-k — DuckDB re-derives host, counts, and ranking
       // from the raw link rows
       s"""WITH c AS (
-         |  SELECT NULLIF(regexp_extract(dst_url, '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]*)', 1), '') AS dst_host,
+         |  SELECT NULLIF(regexp_extract(dst_url, '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?(\\[[^\\]/?#]*\\]|[^/?#:]*)', 1), '') AS dst_host,
          |         dst_url, count(*) AS cnt
          |  FROM ${side("side_links")} GROUP BY 1, 2),
          |r AS (

@@ -19,6 +19,21 @@ import org.apache.spark.sql.functions._
  */
 object TrainingData {
 
+  import org.apache.spark.sql.Column
+
+  /** Whitespace token count — THE shared definition (batch prep, streaming
+    * prep, and q_quality_docs all use this one expression; Spark's
+    * split("") yields [""], so empty text counts 1). */
+  def nTokens(text: Column): Column = size(split(trim(text), "\\s+"))
+
+  /** Lowercase-alpha ratio, NULL on empty text: the nullif denominator is
+    * load-bearing — Spark 4's default ANSI mode throws DIVIDE_BY_ZERO even
+    * for doubles, and DuckDB's x/0 is NULL, so NULL is both the crash-free
+    * and the oracle-consistent value. */
+  def alphaRatio(text: Column): Column =
+    round(length(regexp_replace(text, "[^a-z ]", "")).cast("double") /
+      nullif(length(text), lit(0)), 4)
+
   def prepare(docs: DataFrame,
               idCol: String = "doc_id", textCol: String = "text",
               langCol: String = "lang",
@@ -30,12 +45,8 @@ object TrainingData {
       col(idCol).as("doc_id"),
       col(langCol).as("lang"),
       md5(col(textCol)).as("__h"),
-      size(split(trim(col(textCol)), "\\s+")).as("n_tokens"),
-      // nullif: empty text must yield a NULL ratio (matching DuckDB's
-      // divide-by-zero = NULL), not an ANSI DIVIDE_BY_ZERO error — Spark 4
-      // runs ANSI mode by default
-      round(length(regexp_replace(col(textCol), "[^a-z ]", "")).cast("double") /
-        nullif(length(col(textCol)), lit(0)), 4).as("alpha_ratio"))
+      nTokens(col(textCol)).as("n_tokens"),
+      alphaRatio(col(textCol)).as("alpha_ratio"))
     val w = Window.partitionBy(col("__h"))
     slim
       .withColumn("__keeper", min(col("doc_id")).over(w))

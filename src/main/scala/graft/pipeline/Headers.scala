@@ -52,19 +52,25 @@ object Headers {
       .select(col("url") +: headerCols.map(c => col(s"__h.$c").as(c)): _*)
       .withColumn("url_bucket", pmod(xxhash64(col("url")), lit(numBuckets)).cast("int"))
     // the dynamic-overwrite committer writes no _SUCCESS marker — detect
-    // an existing sidecar by its partition directories
+    // an existing sidecar by its partition directories, through Hadoop FS
+    // so scheme-qualified paths (file://, hdfs://, s3a://) are seen too
+    // (a java.io.File check would silently skip the carry and lose data)
     val sidecarExists = {
-      val d = new java.io.File(outDir)
-      val fs = if (d.isDirectory) d.listFiles() else null
-      fs != null && fs.exists(_.getName.startsWith("url_bucket="))
+      val p = new org.apache.hadoop.fs.Path(outDir)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.startsWith("url_bucket="))
     }
     val merged =
       if (!sidecarExists) fresh
       else {
-        val stored = s.read.parquet(outDir)
+        // touched buckets collected driver-side (≤ numBuckets small ints):
+        // a static isin filter guarantees partition pruning at plan time —
+        // runtime DPP on a semi-join is heuristic and may decline, which
+        // would full-scan the stored sidecar on every partial refresh
         val touched = fresh.select(col("url_bucket")).distinct()
-        val carry = stored
-          .join(broadcast(touched), Seq("url_bucket"), "left_semi")
+          .collect().map(_.getInt(0)).toSeq
+        val carry = s.read.parquet(outDir)
+          .filter(col("url_bucket").isin(touched: _*))
           .join(fresh.select(col("url").as("__new_url")),
             col("url") === col("__new_url"), "left_anti")
           .select(fresh.columns.map(col): _*)

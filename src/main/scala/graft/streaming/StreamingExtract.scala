@@ -120,11 +120,8 @@ object StreamingExtract {
         col(idCol).cast("long").as("doc_id"),
         col(langCol).as("lang"),
         md5(col(textCol)).as("h"),
-        size(split(trim(col(textCol)), "\\s+")).as("n_tokens"),
-        // nullif denominator: ANSI-safe null ratio on empty text (see
-        // TrainingData.prepare — identical expression by contract)
-        round(length(regexp_replace(col(textCol), "[^a-z ]", "")).cast("double") /
-          nullif(length(col(textCol)), lit(0)), 4).as("alpha_ratio"))
+        graft.ops.TrainingData.nTokens(col(textCol)).as("n_tokens"),
+        graft.ops.TrainingData.alphaRatio(col(textCol)).as("alpha_ratio"))
       .as[DocStats]
       .groupByKey(_.h)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
