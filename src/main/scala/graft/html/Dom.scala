@@ -103,6 +103,22 @@ class Element(val name: String) extends Node {
     out.result()
   }
 
+  /** bs4 `Tag.string`: the single NavigableString child (Text or Comment —
+    * bs4 Comment extends NavigableString), RECURSING through a chain of
+    * single-Element children ("if a tag's only child is another tag, and
+    * that tag has a .string, then the parent is considered to have the
+    * same .string"); None when empty or multi-child. The text filter in
+    * `find_all('a', text=...)` and `soup.title.string` both read this. */
+  def bs4String: Option[String] = {
+    if (children.length != 1) return None
+    children(0) match {
+      case t: Text    => Some(t.data)
+      case c: Comment => Some(c.data)
+      case e: Element => e.bs4String
+      case _          => None
+    }
+  }
+
   /** bs4 `get_text()`: concatenation of plain-text descendants, no separator. */
   def getText: String = {
     val sb = new java.lang.StringBuilder(512)

@@ -44,13 +44,11 @@ object LinkExtractor {
     // semantics a hand loop would get wrong
     numbered.matcher(s).find() || anyPagWord.matcher(s).find()
 
-  /** bs4 text-filter semantics: the element's `.string` (single text child),
-    * no match when fragmented. `^\d+$` is anchored; the rest use `search`. */
-  private def anchorString(a: Element): Option[String] =
-    a.children.toList match {
-      case (t: Text) :: Nil => Some(t.data)
-      case _                => None
-    }
+  /** bs4 text-filter semantics: the element's `.string` — single
+    * NavigableString child, recursing through single-Element chains, so
+    * `<a><span>Next</span></a>` matches exactly as bs4's
+    * `find_all('a', text=...)` does. No match when fragmented. */
+  private def anchorString(a: Element): Option[String] = a.bs4String
 
   /** `extract_pagination_links` (link_extractor.py:33-58): urljoined, NOT
     * normalized, NOT validity-filtered (reference behavior). */
@@ -65,24 +63,33 @@ object LinkExtractor {
   }
 
   /** `extract_links` (link_extractor.py:13-31): normalized + validity-filtered
-    * content links. Returns (links, pagination). */
+    * content links. Returns (links, pagination). Error granularity is the
+    * reference's, faithfully: the try wraps the WHOLE function — one link
+    * whose normalize raises (bad port, IDNA failure) empties BOTH sets for
+    * the page (`except ... return set(), set()`), while pagination
+    * extraction has its own inner try (link_extractor.py:56-58) returning
+    * just an empty pagination set. (The Spark links-table operator
+    * `edges` is a graft-side superset surface with per-row isolation —
+    * that is a deliberate robustness deviation, documented there.) */
   def extractLinks(doc: Document, url: String, baseDomain: String,
                    startPath: String): (Seq[String], Seq[String]) = {
-    val pagination = paginationLinks(doc, url)
-    val links = LinkedHashSet.empty[String]
-    doc.descendantElements.foreach { el =>
-      if (mediaTags.contains(el.name)) {
-        val hrefOrSrc = el.attr("href").orElse(el.attr("src"))
-        hrefOrSrc.foreach { h =>
-          try {
+    try {
+      val pagination =
+        try paginationFromAnchors(index(doc).anchors, url)
+        catch { case _: Exception => Seq.empty[String] }
+      val links = LinkedHashSet.empty[String]
+      doc.descendantElements.foreach { el =>
+        if (mediaTags.contains(el.name)) {
+          val hrefOrSrc = el.attr("href").orElse(el.attr("src"))
+          hrefOrSrc.foreach { h =>
             val normalized = UrlMemo.normalize(UrlMemo.urljoin(url, h))
             if (UrlNormalizer.isValidLink(normalized, baseDomain, startPath))
               links += normalized
-          } catch { case _: Exception => } // extract_links swallows per-link errors
+          }
         }
       }
-    }
-    (links.toSeq, pagination)
+      (links.toSeq, pagination)
+    } catch { case _: Exception => (Seq.empty, Seq.empty) }
   }
 
   /** One-walk element index for the per-page extractors (meta/link/script/

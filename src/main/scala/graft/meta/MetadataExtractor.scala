@@ -26,16 +26,12 @@ final case class PageMeta(
  */
 object MetadataExtractor {
 
-  /** `soup.title.string`: the first <title>'s single text child; None when
-    * absent/fragmented (reference's @handle_metadata_errors → None). */
-  def extractTitle(doc: Document): Option[String] = {
-    doc.findFirst("title").flatMap { t =>
-      t.children.toList match {
-        case (txt: Text) :: Nil => Some(txt.data)
-        case _                  => None
-      }
-    }
-  }
+  /** `soup.title.string`: the first <title>'s `.string` (single
+    * NavigableString child, recursing through single-Element chains —
+    * bs4 semantics via `Element.bs4String`); None when absent/fragmented
+    * (reference's @handle_metadata_errors → None). */
+  def extractTitle(doc: Document): Option[String] =
+    doc.findFirst("title").flatMap(_.bs4String)
 
   private val dateNames = Set("date", "pubdate", "lastmod", "modified")
 

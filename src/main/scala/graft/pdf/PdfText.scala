@@ -70,15 +70,22 @@ object PdfText {
     out.toSeq
   }
 
+  /** Decompression-bomb guard: a crafted stream can expand ~10^6:1, and an
+    * unbounded inflate would OOM the shared executor heap (destabilizing
+    * every task on it, not just this row). Real PDF content streams are
+    * text-operator programs — far below this cap. */
+  private val MaxInflated = 64 << 20 // 64 MiB per stream
+
   private def inflate(data: Array[Byte]): Array[Byte] = {
     try {
       val inf = new Inflater()
       inf.setInput(data)
-      val out = new java.io.ByteArrayOutputStream(data.length * 4)
+      val out = new java.io.ByteArrayOutputStream(math.min(data.length * 4, 1 << 20))
       val buf = new Array[Byte](8192)
       while (!inf.finished() && !inf.needsInput()) {
         val n = inf.inflate(buf)
         if (n == 0 && !inf.finished()) return null
+        if (out.size() + n > MaxInflated) { inf.end(); return null }
         out.write(buf, 0, n)
       }
       inf.end()

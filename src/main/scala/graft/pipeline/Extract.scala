@@ -83,7 +83,10 @@ object Extract {
 
   private val hexChars = "0123456789abcdef".toCharArray
 
-  private def hexSha256(bytes: Array[Byte]): String = {
+  /** Lowercase-hex SHA-256 — the ONE definition both the batch extractor
+    * and the streaming dedup hash with (they must agree byte-for-byte for
+    * dedupStream's sha to match docs_clean's content_sha256). */
+  private[graft] def hexSha256(bytes: Array[Byte]): String = {
     val d = java.security.MessageDigest.getInstance("SHA-256").digest(bytes)
     val out = new Array[Char](d.length * 2)
     var i = 0
@@ -207,7 +210,12 @@ object Extract {
     val curKeys = current.select($"url", $"warc_ts",
       sha2($"html", 256).as("c_sha"), length($"html").cast("long").as("c_size"))
     val changedKeys = curKeys.join(prevSlim, $"url" === $"p_url", "left_outer")
-      .filter($"p_sha".isNull || $"p_sha" =!= $"c_sha" || $"p_size" =!= $"c_size")
+      // null-SAFE compares: a null current sha/size (null html) must read
+      // as CHANGED — the reference's "can't check ⇒ assume changed"
+      // (core/scraper.py:592); plain =!= evaluates NULL and silently
+      // drops such rows as unchanged
+      .filter($"p_sha".isNull ||
+        !($"p_sha" <=> $"c_sha") || !($"p_size" <=> $"c_size"))
       .select($"url".as("k_url"), $"warc_ts".as("k_ts"))
     current.join(changedKeys,
       current("url") === $"k_url" && current("warc_ts") === $"k_ts", "left_semi")
@@ -278,7 +286,15 @@ object Extract {
     // each task holds one bucket's rows, so the partitioned write emits one
     // file per split WITHOUT shuffling the extracted payloads at all — the
     // exchange-free path (BucketedSpec proves the plan; Bench measures it).
+    // record the buckets THIS run's extraction actually produced (an
+    // accumulator filled during the docs_clean write job — retried tasks
+    // may double-add, deduped on the driver). "All written buckets minus
+    // this runId's done set" is NOT equivalent: a reused outDir holding a
+    // DIFFERENT run's output would sweep those stale buckets into this
+    // run's sidecars, metrics, ledger, and summary.
+    val bucketAcc = spark.sparkContext.collectionAccumulator[Int]("graft.run.buckets")
     val extracted = extract(current, numBuckets)
+      .map { p => bucketAcc.add(p.doc.url_bucket); p }
       .select(col("doc.*"), col("meta"), col("links"), col("anchors"))
     val toWrite =
       if (repartitionForWrite) extracted.repartition(numBuckets, col("url_bucket"))
@@ -288,10 +304,14 @@ object Extract {
       .option("partitionOverwriteMode", "dynamic").partitionBy("url_bucket")
       .parquet(s"$outDir/docs_clean")
 
+    import scala.jdk.CollectionConverters._
+    val processedBuckets = bucketAcc.value.asScala.toSet
     val written = spark.read.parquet(s"$outDir/docs_clean")
-    val writtenRun =
-      if (doneBuckets.isEmpty) written
-      else written.filter(!$"url_bucket".isin(doneBuckets.toSeq: _*))
+    // POSITIVE partition filter on the processed set: prunes to exactly
+    // this run's buckets (an incremental run over a few buckets no longer
+    // rewrites every sidecar partition in the dir)
+    val writtenRun = written.filter(
+      $"url_bucket".isin(processedBuckets.toSeq: _*))
     // all sidecars partitioned by url_bucket so a resume run's dynamic
     // overwrite only touches the buckets it processed
     writtenRun.select($"meta.*", $"url_bucket")
@@ -310,11 +330,10 @@ object Extract {
 
     // metrics from the WRITTEN columnar output (no recompute of the
     // extraction; scans 4 narrow columns). Scoped to the buckets this run
-    // actually processed (done buckets were skipped, their files untouched).
-    val docsCleanAll = spark.read.parquet(s"$outDir/docs_clean")
-    val docsClean =
-      if (doneBuckets.isEmpty) docsCleanAll
-      else docsCleanAll.filter(!$"url_bucket".isin(doneBuckets.toSeq: _*))
+    // actually processed (accumulator set above — stale/done buckets'
+    // files are untouched and keep their metrics rows).
+    val docsClean = spark.read.parquet(s"$outDir/docs_clean")
+      .filter($"url_bucket".isin(processedBuckets.toSeq: _*))
     val metrics = docsClean.groupBy($"url_bucket").agg(
       count(lit(1)).as("docs_parsed"),
       sum(when($"parse_failed", 1L).otherwise(0L)).as("parse_failures"),
@@ -330,16 +349,23 @@ object Extract {
       .option("partitionOverwriteMode", "dynamic").partitionBy("url_bucket")
       .parquet(s"$outDir/metrics")
 
-    // ledger append: every processed bucket marked done for this run
+    // ledger append: every processed bucket marked done for this run.
+    // Derived from the just-WRITTEN metrics parquet (tiny — one row per
+    // bucket), not the unpersisted `metrics` frame: re-planning that frame
+    // would re-run the whole groupBy scan a second time.
+    val writtenMetrics = spark.read.parquet(s"$outDir/metrics")
+      .filter($"run_id" === runId)
     val seq = doneBuckets.size.toLong
-    val ledger = metrics.select(lit(runId).as("run_id"), $"url_bucket",
-      lit("done").as("status"), $"docs_parsed".as("docs"),
-      lit(seq).as("completed_seq"))
+    val ledger = writtenMetrics
+      .filter($"url_bucket".isin(processedBuckets.toSeq: _*))
+      .select(lit(runId).as("run_id"), $"url_bucket",
+        lit("done").as("status"), $"docs_parsed".as("docs"),
+        lit(seq).as("completed_seq"))
     ledger.write.mode("append").parquet(ledgerPath)
 
-    // summary comes from the already-computed metrics rows (no extra scan)
-    val m = spark.read.parquet(s"$outDir/metrics")
-      .filter($"run_id" === runId)
+    // summary covers the whole run across resume attempts (all metrics
+    // rows carrying this runId), matching the resume-idempotence contract
+    val m = writtenMetrics
       .agg(coalesce(sum($"docs_parsed"), lit(0L)),
         coalesce(sum($"parse_failures"), lit(0L))).collect()(0)
     RunSummary(m.getLong(0), m.getLong(1), numBuckets)

@@ -56,6 +56,10 @@ object Sitemap {
     val spark = pages.sparkSession
     import spark.implicits._
     pages.flatMap { p =>
+      // row-isolation: a null html payload yields no entries rather than
+      // an NPE that fails the task (matching extractPage's per-row policy)
+      if (p.html == null) Nil
+      else {
       val content = HtmlParser.decode(p.html)
       if (!content.take(256).contains("<")) Nil
       else parseSitemap(content) match {
@@ -63,6 +67,7 @@ object Sitemap {
         case ("sitemapindex", locs) => locs.map(SitemapEntry(p.url, "sitemapindex", _))
         case ("parse_error", _)     => Seq(SitemapEntry(p.url, "parse_error", null))
         case _                      => Nil
+      }
       }
     }.toDF()
   }

@@ -151,17 +151,6 @@ object StreamingExtract {
         })
   }
 
-  private def sha256Hex(bytes: Array[Byte]): String = {
-    if (bytes == null) return null
-    val d = java.security.MessageDigest.getInstance("SHA-256").digest(bytes)
-    val hexChars = "0123456789abcdef"
-    val out = new Array[Char](d.length * 2)
-    var i = 0
-    while (i < d.length) {
-      out(i * 2) = hexChars.charAt((d(i) >> 4) & 0xf)
-      out(i * 2 + 1) = hexChars.charAt(d(i) & 0xf)
-      i += 1
-    }
-    new String(out)
-  }
+  private def sha256Hex(bytes: Array[Byte]): String =
+    if (bytes == null) null else Extract.hexSha256(bytes)
 }

@@ -29,8 +29,13 @@ object PyUrl {
       h.toLowerCase
     }
 
-    /** `parsed.port`: None when absent or non-numeric (fixtures avoid the
-      * CPython ValueError edge). */
+    /** `parsed.port`, CPython-faithful (urllib.parse SplitResult.port):
+      * None when absent or empty; ValueError-analog
+      * (IllegalArgumentException) when not ASCII digits or outside
+      * 0–65535 — pinned against this container's CPython:
+      * "h:" → None, "h:abc"/"h:١٢" → raise, "h:00080" → 80,
+      * "h:99999" → raise (out of range). Callers that must not crash
+      * catch at the reference's granularity (extract_links page-level). */
     def port: Option[Int] = {
       var h = netloc
       val at = h.lastIndexOf('@')
@@ -40,7 +45,19 @@ object PyUrl {
       if (colon < 0) None
       else {
         val p = h.substring(colon + 1)
-        if (p.nonEmpty && p.forall(_.isDigit)) Some(p.toInt) else None
+        if (p.isEmpty) None
+        else if (!p.forall(c => c >= '0' && c <= '9'))
+          throw new IllegalArgumentException(
+            s"Port could not be cast to integer value as '$p'")
+        else {
+          val v =
+            try p.toInt
+            catch { case _: NumberFormatException =>
+              throw new IllegalArgumentException("Port out of range 0-65535") }
+          if (v > 65535)
+            throw new IllegalArgumentException("Port out of range 0-65535")
+          Some(v)
+        }
       }
     }
   }

@@ -32,11 +32,37 @@ class LinksSpec extends AnyFunSuite {
     assert(es.exists(_.srcTag == "source"))
   }
 
-  test("F11b numbered pagination anchored, fragmented anchors skipped") {
+  test("F11b numbered pagination anchored; bs4 .string recursion; fragmented skipped") {
+    // bs4 Tag.string recurses through a chain of SINGLE element children,
+    // so <a><b>3</b></a> matches the numbered-pagination filter exactly as
+    // find_all('a', text=re.compile(r'^\d+$')) does; an anchor with more
+    // than one child has .string None and is skipped
     val d = HtmlParser.parse(
-      """<a href="x.html">12</a><a href="y.html">12b</a><a href="z.html"><b>3</b></a>""")
+      """<a href="x.html">12</a><a href="y.html">12b</a><a href="z.html"><b>3</b></a>
+        |<a href="w.html">1<b>2</b></a><a href="v.html"><span><em>Next</em></span></a>""".stripMargin)
     val pag = LinkExtractor.paginationLinks(d, url).toSet
-    assert(pag == Set("https://docs.example.com/docs/x.html"))
+    assert(pag == Set(
+      "https://docs.example.com/docs/x.html",
+      "https://docs.example.com/docs/z.html",
+      "https://docs.example.com/docs/v.html"))
+  }
+
+  test("extract_links error granularity is page-level, like the reference") {
+    // one link whose normalize raises (port out of range) empties BOTH
+    // sets for the page (link_extractor.py:13-31 wraps the WHOLE loop)
+    val d = HtmlParser.parse(
+      """<a href="/docs/good.html">ok</a><a href="2.html">2</a>
+        |<a href="https://docs.example.com:99999/docs/bad.html">boom</a>""".stripMargin)
+    val (links, pag) = LinkExtractor.extractLinks(d, url, "docs.example.com", "/docs")
+    assert(links.isEmpty && pag.isEmpty)
+    // without the poisoned link the same page yields its links
+    val ok = HtmlParser.parse("""<a href="/docs/good.html">ok</a><a href="2.html">2</a>""")
+    val (links2, pag2) = LinkExtractor.extractLinks(ok, url, "docs.example.com", "/docs")
+    // the pagination anchor is ALSO a valid content link (the reference's
+    // loop iterates every media tag — the sets overlap)
+    assert(links2 == Seq("https://docs.example.com/docs/good.html",
+      "https://docs.example.com/docs/2.html"))
+    assert(pag2 == Seq("https://docs.example.com/docs/2.html"))
   }
 
   test("extract_links validity filter: domain + path prefix") {

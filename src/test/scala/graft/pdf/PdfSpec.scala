@@ -61,4 +61,23 @@ class PdfSpec extends AnyFunSuite {
     assert(PdfText.extract("%PDF-1.4 truncated garbage".getBytes("US-ASCII")) == "")
     assert(PdfText.extract(Array.tabulate[Byte](100)(i => (i * 7).toByte)) == "")
   }
+
+  test("decompression bomb is capped, not inflated onto the heap") {
+    // ~200 MB of zeros deflates to ~200 KB; the inflate cap must reject
+    // the stream (empty text) instead of attempting the full allocation
+    val d = new java.util.zip.Deflater(java.util.zip.Deflater.BEST_COMPRESSION)
+    val chunk = new Array[Byte](1 << 20)
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](1 << 16)
+    (0 until 200).foreach { _ =>
+      d.setInput(chunk)
+      while (!d.needsInput()) out.write(buf, 0, d.deflate(buf))
+    }
+    d.finish()
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    val bomb = "%PDF-1.5\n2 0 obj << /Filter /FlateDecode >>\nstream\n".getBytes("ISO-8859-1") ++
+      out.toByteArray ++ "\nendstream\nendobj".getBytes("ISO-8859-1")
+    assert(out.size() < (1 << 21), "bomb payload itself should be small")
+    assert(PdfText.extract(bomb) == "")
+  }
 }

@@ -115,6 +115,53 @@ class ExtractE2ESpec extends AnyFunSuite {
     assert(changed.count() < snap2.count())
   }
 
+  test("changed-only: null current html reads as CHANGED (can't check => assume changed)") {
+    val out = Files.createTempDirectory("graft_prevnull").toString
+    val snap1 = Extract.latestPerUrl(PagesGen.pages(spark, 20L))
+    Extract.run(spark, snap1, out, "prevnull_run")
+    val prev = spark.read.parquet(s"$out/docs_clean")
+    // re-capture of url 1 with a NULL payload (failed re-fetch): sha/size
+    // are null on the current side — null-propagating compares would
+    // silently classify it unchanged and keep the stale version
+    val u1 = PagesGen.urlOf(1)
+    val ts = new java.sql.Timestamp(1800000000000L)
+    val cur = spark.createDataset(Seq(PageRow(u1, ts, null, null, "en")))
+    val kept = Extract.changedOnly(cur, prev).select($"url").as[String].collect()
+    assert(kept.toSeq == Seq(u1), "null-payload re-capture must be treated as changed")
+  }
+
+  test("reused outDir, new runId: metrics/ledger/summary cover only THIS run's buckets") {
+    val out = Files.createTempDirectory("graft_reuse").toString
+    // run 1 fills many buckets
+    val s1 = Extract.run(spark, Extract.latestPerUrl(PagesGen.pages(spark, 120L)),
+      out, "reuse_r1")
+    assert(s1.docs > 0)
+    // run 2, DIFFERENT runId, same dir, a small disjoint slice
+    val slice = Extract.latestPerUrl(PagesGen.pages(spark, 126L))
+      .filter($"url".rlike("page12[0-5]\\."))
+    val sliceBuckets = slice.select(
+        org.apache.spark.sql.functions.pmod(
+          org.apache.spark.sql.functions.xxhash64($"url"),
+          org.apache.spark.sql.functions.lit(Extract.DefaultBuckets)).cast("int"))
+      .distinct().as[Int].collect().toSet
+    val nSlice = slice.count()
+    assert(nSlice > 0 && sliceBuckets.size < 60)
+    val s2 = Extract.run(spark, slice, out, "reuse_r2")
+    // summary counts run-2 docs only — not run 1's corpus
+    assert(s2.docs == nSlice, s"summary ${s2.docs} != slice $nSlice")
+    // ledger marks done ONLY the buckets run 2 actually processed
+    val done2 = spark.read.parquet(s"$out/progress")
+      .filter($"run_id" === "reuse_r2" && $"status" === "done")
+      .select($"url_bucket").as[Int].collect().toSet
+    assert(done2 == sliceBuckets, s"ledger $done2 vs $sliceBuckets")
+    // metrics rows for run 2 exist only for its buckets; run 1 rows survive
+    val m = spark.read.parquet(s"$out/metrics")
+    assert(m.filter($"run_id" === "reuse_r2").select($"url_bucket")
+      .as[Int].collect().toSet == sliceBuckets)
+    assert(m.filter($"run_id" === "reuse_r1").count() > 0,
+      "run 1's untouched metrics rows must survive run 2's dynamic overwrite")
+  }
+
   test("resume: completed buckets are skipped; outputs stay identical") {
     val out = Files.createTempDirectory("graft_resume").toString
     val pages = PagesGen.pages(spark, N)

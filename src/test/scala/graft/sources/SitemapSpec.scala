@@ -68,6 +68,16 @@ class SitemapSpec extends AnyFunSuite {
     assert(seeds.count() == nSets.toLong * perSet)
   }
 
+  test("null html rows are skipped, not task-fatal") {
+    val ts = new java.sql.Timestamp(1700000000000L)
+    val withNull = Sitemap.syntheticSitemapPages(spark).union(
+      spark.createDataset(Seq(
+        graft.pipeline.PageRow(s"$host/broken.xml", ts, null, null, "en"))))
+    val e = Sitemap.entries(withNull)
+    assert(e.filter(e("url") === s"$host/broken.xml").count() == 0)
+    assert(e.count() == Sitemap.entries(Sitemap.syntheticSitemapPages(spark)).count())
+  }
+
   test("entries emits one row per loc with kind; parse_error rows carry null loc") {
     val e = Sitemap.entries(Sitemap.syntheticSitemapPages(spark))
       .as[(String, String, String)].collect()

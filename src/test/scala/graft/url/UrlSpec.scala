@@ -74,6 +74,24 @@ class UrlSpec extends AnyFunSuite {
       Seq(("a", "1"), ("b", ""), ("c", ""), ("d", "2")))
   }
 
+  test("port matches CPython SplitResult.port (pinned against this container's CPython)") {
+    assert(PyUrl.urlparse("http://h/x").port.isEmpty)
+    assert(PyUrl.urlparse("http://h:/x").port.isEmpty)       // empty port → None
+    assert(PyUrl.urlparse("http://h:80/x").port.contains(80))
+    assert(PyUrl.urlparse("http://h:00080/x").port.contains(80))
+    assert(PyUrl.urlparse("http://h:65535/x").port.contains(65535))
+    assert(PyUrl.urlparse("http://u@h:8080/x").port.contains(8080))
+    // ValueError analogs: non-ASCII-digit or out-of-range ports RAISE
+    intercept[IllegalArgumentException](PyUrl.urlparse("http://h:abc/x").port)
+    intercept[IllegalArgumentException](PyUrl.urlparse("http://h:123abc/x").port)
+    intercept[IllegalArgumentException](PyUrl.urlparse("http://h: 80/x").port)
+    intercept[IllegalArgumentException](PyUrl.urlparse("http://h:99999/x").port)
+    intercept[IllegalArgumentException](PyUrl.urlparse("http://h:99999999999/x").port)
+    // and normalize propagates it (reference normalize_url re-raises as
+    // ParsingError; callers catch at page level)
+    intercept[Exception](UrlNormalizer.normalize("http://h:99999/x"))
+  }
+
   test("urlparse params split on last segment only") {
     val p = PyUrl.urlparse("https://h/a;x/b;p?q=1#f")
     assert(p.path == "/a;x/b" && p.params == "p" && p.query == "q=1" && p.fragment == "f")
