@@ -184,12 +184,9 @@ object MetadataExtractor {
     // get_canonical_url: <link rel=canonical href>
     val canonical = Option(canonicalEl).flatMap(_.attr("href"))
 
-    val title = Option(titleEl).flatMap { t =>
-      t.children.toList match {
-        case (txt: Text) :: Nil => Some(txt.data)
-        case _                  => None
-      }
-    }
+    // soup.title.string — bs4 semantics incl. single-child recursion
+    // (same contract as extractTitle; Element.bs4String is the one source)
+    val title = Option(titleEl).flatMap(_.bs4String)
 
     PageMeta(title, description, keywords, lastModified,
       dateMetas.toSeq, authors.toSeq, og.toSeq, structured.toSeq, canonical)

@@ -56,6 +56,14 @@ class MetaSpec extends AnyFunSuite {
   test("fragmented title yields None (reference handle_metadata_errors)") {
     val d = HtmlParser.parse("<title>a<b>x</b></title>")
     assert(MetadataExtractor.extractTitle(d).isEmpty)
+    assert(MetadataExtractor.extract(d).title.isEmpty)
+  }
+  test("single-tag-wrapped title recurses like bs4 .string") {
+    // html.parser parses tags inside <title> (only script/style are CDATA),
+    // and Tag.string recurses through a single element child
+    val d = HtmlParser.parse("<title><b>T</b></title>")
+    assert(MetadataExtractor.extractTitle(d).contains("T"))
+    assert(MetadataExtractor.extract(d).title.contains("T"))
   }
   test("unparseable date meta dropped") {
     val d = HtmlParser.parse("""<meta name="date" content="not a date">""")
