@@ -561,7 +561,7 @@ object SparkEntry {
         |FROM documents""".stripMargin,
     "q_quality_docs" ->
       """SELECT doc_id,
-        | round(length(regexp_replace(text, '[^a-z ]', '', 'g')) * 1.0 / length(text), 4) AS alpha_ratio,
+        | round(length(regexp_replace(lower(text), '[^a-z ]', '', 'g')) * 1.0 / length(text), 4) AS alpha_ratio,
         | round(length(replace(text, ' ', '')) * 1.0 /
         |   len(regexp_split_to_array(trim(text), '\s+')), 4) AS mean_token_len
         |FROM documents""".stripMargin,
@@ -704,12 +704,14 @@ object SparkEntry {
       // fully relational oracle — the whole composite filter re-derived
       """WITH base AS (SELECT doc_id, lang,
         |    len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
-        |    round(length(regexp_replace(text, '[^a-z ]', '', 'g')) * 1.0 /
+        |    round(length(regexp_replace(lower(text), '[^a-z ]', '', 'g')) * 1.0 /
         |          length(text), 4) AS alpha_ratio,
-        |    min(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+        |    min(doc_id) OVER (PARTITION BY md5(text)) AS keeper,
+        |    text IS NULL AS text_is_null
         |  FROM documents),
         |reasons AS (SELECT doc_id, lang, n_tokens, alpha_ratio,
-        |    CASE WHEN doc_id <> keeper THEN 'duplicate'
+        |    CASE WHEN text_is_null THEN 'null_text'
+        |         WHEN doc_id <> keeper THEN 'duplicate'
         |         WHEN lang NOT IN ('en','de','fr','es','pt') THEN 'lang'
         |         WHEN n_tokens < 10 THEN 'too_short'
         |         WHEN n_tokens > 100000 THEN 'too_long'

@@ -8,17 +8,27 @@ import scala.collection.mutable.ArrayBuffer
  * scoring, tag-class blocklists for nav/footer/script/ads, readability-style
  * block classification"). This is a SEPARATE, flag-gated pass — the
  * byte-identical reference mode (Cleaner) never invokes it (SURVEY §7.1
- * item 2). Pure function over the raw DOM; deterministic.
+ * item 2). Deterministic. NOTE: `mainContent`/`stripBoilerplate` MUTATE
+ * the passed Document in place (boilerplate subtrees are extracted) —
+ * callers sharing a parsed DOM with the byte-identity Cleaner must parse
+ * separately (`mainContentFromHtml` does).
  *
  * Algorithm (readability-family, simplified for determinism):
  *  1. hard-strip: script/style/noscript/template/iframe/svg/form/button +
  *     elements whose class/id match the boilerplate lexicon;
  *  2. per block-level element compute text length, link-text length,
- *     punctuation count → linkDensity = linkChars/chars,
- *     textDensity = chars/(descendant tags + 1);
- *  3. candidate blocks: chars >= minChars ∧ linkDensity <= maxLinkDensity;
- *  4. main content = the subtree with the highest cumulative candidate
- *     score; emit its candidate blocks' text, newline-joined.
+ *     punctuation count → linkDensity = linkChars/chars;
+ *  3. candidate blocks: chars >= minChars ∧ linkDensity <= maxLinkDensity,
+ *     leaf-most block per subtree;
+ *  4. main content = the candidate blocks' text in document order,
+ *     newline-joined. (`Block.score` is exposed for rankers that want the
+ *     classic readability weighting; the default emission keeps every
+ *     candidate — recall over precision for training corpora.)
+ *
+ * All DOM walks use explicit stacks: adversarial 10^4+-deep nesting (the
+ * parser itself is iterative and depth-unbounded) must not overflow the
+ * executor thread stack — unlike the extraction core, these run outside
+ * extractPage's per-row Throwable isolation.
  */
 object Boilerplate {
 
@@ -58,19 +68,20 @@ object Boilerplate {
   /** Strip hard-boilerplate subtrees in place. Returns removed count. */
   def stripBoilerplate(doc: Document): Int = {
     var removed = 0
-    def walk(e: Element): Unit = {
+    val stack = ArrayBuffer[Element](doc)
+    while (stack.nonEmpty) {
+      val e = stack.remove(stack.length - 1)
       var i = e.children.length - 1
       while (i >= 0) {
         e.children(i) match {
           case el: Element =>
             if (isBoilerplateEl(el)) { el.extract(); removed += 1 }
-            else walk(el)
+            else stack += el
           case _ =>
         }
         i -= 1
       }
     }
-    walk(doc)
     removed
   }
 
@@ -78,7 +89,9 @@ object Boilerplate {
     var chars = 0
     var linkChars = 0
     var commas = 0
-    def walk(e: Element, inLink: Boolean): Unit = {
+    val stack = ArrayBuffer[(Element, Boolean)]((el, el.name == "a"))
+    while (stack.nonEmpty) {
+      val (e, inLink) = stack.remove(stack.length - 1)
       e.children.foreach {
         case t: Text =>
           val trimmed = t.data.trim
@@ -89,37 +102,50 @@ object Boilerplate {
             if (trimmed.charAt(i) == ',' || trimmed.charAt(i) == '，') commas += 1
             i += 1
           }
-        case c: Element => walk(c, inLink || c.name == "a")
+        case c: Element => stack += ((c, inLink || c.name == "a"))
         case _ =>
       }
     }
-    walk(el, el.name == "a")
     (chars, linkChars, commas)
   }
 
-  /** Candidate content blocks after stripping, in document order. */
+  /** Explicit post-order frame for `candidateBlocks` (a block counts only
+    * if no descendant block was emitted — leaf-most wins — so the check
+    * runs when the frame POPS, against out.length at entry). */
+  private final class CFrame(val el: Element, val depth: Int, val entryLen: Int) {
+    var i = 0
+  }
+
+  /** Candidate content blocks after stripping, leaf-most per subtree, in
+    * post-order (the same emission order as the recursive formulation). */
   def candidateBlocks(doc: Document, minChars: Int = 25,
                       maxLinkDensity: Double = 0.5): Seq[Block] = {
     val out = ArrayBuffer.empty[Block]
-    def walk(e: Element, depth: Int): Unit = {
-      e.children.foreach {
-        case el: Element =>
-          // a block counts if none of its descendants is itself a block
-          // holding the text (leaf-most block wins): recurse first
-          val before = out.length
-          walk(el, depth + 1)
-          val childBlocks = out.length - before
-          if (childBlocks == 0 && blockTags.contains(el.name)) {
-            val (chars, linkChars, commas) = textStats(el)
+    val stack = ArrayBuffer(new CFrame(doc, 0, 0))
+    while (stack.nonEmpty) {
+      val f = stack.last
+      if (f.i < f.el.children.length) {
+        val c = f.el.children(f.i)
+        f.i += 1
+        c match {
+          case el: Element => stack += new CFrame(el, f.depth + 1, out.length)
+          case _ =>
+        }
+      } else {
+        stack.remove(stack.length - 1)
+        if (stack.nonEmpty) { // the root document frame is not a block
+          val childBlocks = out.length - f.entryLen
+          if (childBlocks == 0 && blockTags.contains(f.el.name)) {
+            val (chars, linkChars, commas) = textStats(f.el)
             if (chars >= minChars) {
-              val b = Block(el, chars, linkChars, commas, depth)
+              // recursive form passed the PARENT's depth to Block
+              val b = Block(f.el, chars, linkChars, commas, f.depth - 1)
               if (b.linkDensity <= maxLinkDensity) out += b
             }
           }
-        case _ =>
+        }
       }
     }
-    walk(doc, 0)
     out.toSeq
   }
 

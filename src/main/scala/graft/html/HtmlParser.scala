@@ -222,7 +222,7 @@ object HtmlParser {
           else Interned.lookupLower(raw, nameStart, j)
         if (interned != null) interned
         else if (xmlMode) raw.substring(nameStart, j)
-        else raw.substring(nameStart, j).toLowerCase
+        else raw.substring(nameStart, j).toLowerCase(java.util.Locale.ROOT)
       }
       // attrs land straight on the element (the old temp buffer + foreach
       // copy double-handled every attr); class-collapse at insert time is
@@ -253,7 +253,7 @@ object HtmlParser {
             else Interned.lookupLower(raw, an, j)
           if (aname == null)
             aname = if (xmlMode) raw.substring(an, j)
-                    else raw.substring(an, j).toLowerCase
+                    else raw.substring(an, j).toLowerCase(java.util.Locale.ROOT)
           // optional  \s*=+\s*  then value
           var k = j
           while (k < n && isSpace(raw.charAt(k))) k += 1
@@ -320,7 +320,7 @@ object HtmlParser {
         else Interned.lookupLower(raw, ns, j)
       if (name == null)
         name = if (xmlMode) raw.substring(ns, j)
-               else raw.substring(ns, j).toLowerCase
+               else raw.substring(ns, j).toLowerCase(java.util.Locale.ROOT)
       val gt = raw.indexOf('>', j)
       if (gt < 0) { // unterminated end tag at EOF → literal data (CPython)
         emitData(raw.substring(i), convert = true)

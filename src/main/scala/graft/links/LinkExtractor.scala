@@ -26,10 +26,10 @@ object LinkExtractor {
   import java.util.regex.{Pattern => P}
   private val numbered = P.compile("^\\d+$")
   private val nextPrev = P.compile(
-    "Next|Previous|Próximo|Anterior|Prev|Next Page|Previous Page", P.CASE_INSENSITIVE)
-  private val firstLast = P.compile("First|Last|Primeira|Última", P.CASE_INSENSITIVE)
+    "Next|Previous|Próximo|Anterior|Prev|Next Page|Previous Page", P.CASE_INSENSITIVE | P.UNICODE_CASE)
+  private val firstLast = P.compile("First|Last|Primeira|Última", P.CASE_INSENSITIVE | P.UNICODE_CASE)
   private val loadMore = P.compile(
-    "Load More|Show More|Ver Mais|Carregar Mais", P.CASE_INSENSITIVE)
+    "Load More|Show More|Ver Mais|Carregar Mais", P.CASE_INSENSITIVE | P.UNICODE_CASE)
   /** Hot-path fusion of the three word families: the classification only
     * needs "any of them matched", so one alternation == three `search`es
     * (same union of accepted strings; the reference's four separate
@@ -37,7 +37,7 @@ object LinkExtractor {
   private val anyPagWord = P.compile(
     "Next|Previous|Próximo|Anterior|Prev|Next Page|Previous Page|" +
       "First|Last|Primeira|Última|Load More|Show More|Ver Mais|Carregar Mais",
-    P.CASE_INSENSITIVE)
+    P.CASE_INSENSITIVE | P.UNICODE_CASE)
 
   private def isPaginationText(s: String): Boolean =
     // numbered kept as a real matcher: `$` has before-trailing-newline

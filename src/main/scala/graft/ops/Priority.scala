@@ -52,9 +52,13 @@ object Priority {
 
   /** 1 / (1 + depth); depth = len(urlparse(url).path.split('/')) - 1
     * (scraper.py:334-336). Spark `split` keeps trailing empties (limit -1),
-    * matching Python's str.split. */
+    * matching Python's str.split. The path comes from the same LEXICAL
+    * regex the DuckDB oracle uses — java.net.URI-backed parse_url returns
+    * NULL for urls Python's urlparse still splits (spaces, stray chars),
+    * which would over-prioritize exactly the malformed frontier urls. */
   def depthScore(urlCol: Column): Column = {
-    val path = coalesce(parse_url(urlCol, lit("PATH")), lit(""))
+    val path = regexp_extract(urlCol,
+      "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1)
     lit(1.0) / (lit(1.0) + (size(split(path, "/")) - lit(1)).cast("double"))
   }
 

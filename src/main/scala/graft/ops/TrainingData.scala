@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -11,11 +10,12 @@ import org.apache.spark.sql.functions._
  * Emits EVERY row with diagnostics (kept + first failing drop_reason) so
  * the filter is auditable, not silent.
  *
- * All Catalyst: the only shuffle is the md5-keyed window, and it carries
- * (hash, id, two small numbers) — the text column is projected away
- * BEFORE the window, so at 10^12 docs the shuffle is ~50 B/row. Gate
- * precedence is fixed (duplicate → lang → too_short → too_long →
- * low_alpha) for deterministic reasons across engines.
+ * All Catalyst: the only shuffles are the md5-keyed keeper aggregate
+ * (map-side partial) and its join back, carrying (hash, id, two small
+ * numbers) — the text column is projected away FIRST, so at 10^12 docs
+ * the shuffle is ~50 B/row. Gate precedence is fixed (null_text →
+ * duplicate → lang → too_short → too_long → low_alpha) for
+ * deterministic reasons across engines.
  */
 object TrainingData {
 
@@ -26,12 +26,13 @@ object TrainingData {
     * split("") yields [""], so empty text counts 1). */
   def nTokens(text: Column): Column = size(split(trim(text), "\\s+"))
 
-  /** Lowercase-alpha ratio, NULL on empty text: the nullif denominator is
-    * load-bearing — Spark 4's default ANSI mode throws DIVIDE_BY_ZERO even
-    * for doubles, and DuckDB's x/0 is NULL, so NULL is both the crash-free
-    * and the oracle-consistent value. */
+  /** Alpha ratio (share of letters+spaces after lowercasing — ALL-CAPS and
+    * capitalized text measure the same as lowercase), NULL on empty text:
+    * the nullif denominator is load-bearing — Spark 4's default ANSI mode
+    * throws DIVIDE_BY_ZERO even for doubles, and DuckDB's x/0 is NULL, so
+    * NULL is both the crash-free and the oracle-consistent value. */
   def alphaRatio(text: Column): Column =
-    round(length(regexp_replace(text, "[^a-z ]", "")).cast("double") /
+    round(length(regexp_replace(lower(text), "[^a-z ]", "")).cast("double") /
       nullif(length(text), lit(0)), 4)
 
   def prepare(docs: DataFrame,
@@ -47,11 +48,17 @@ object TrainingData {
       md5(col(textCol)).as("__h"),
       nTokens(col(textCol)).as("n_tokens"),
       alphaRatio(col(textCol)).as("alpha_ratio"))
-    val w = Window.partitionBy(col("__h"))
-    slim
-      .withColumn("__keeper", min(col("doc_id")).over(w))
+    // keeper per hash via groupBy+join, NOT a window: the window buffers a
+    // hash group's every row in one task (a 10^8-copy viral page = one 5 GB
+    // task), while groupBy(min) partial-aggregates map-side to one row per
+    // hash per mapper and the join streams; AQE splits any skewed probe.
+    // Null-hash rows (null text) are gated explicitly — they never join.
+    val keepers = slim.filter(col("__h").isNotNull)
+      .groupBy(col("__h")).agg(min(col("doc_id")).as("__keeper"))
+    slim.join(keepers, Seq("__h"), "left_outer")
       .withColumn("drop_reason",
-        when(col("doc_id") =!= col("__keeper"), "duplicate")
+        when(col("__h").isNull, "null_text")
+          .when(col("doc_id") =!= col("__keeper"), "duplicate")
           .when(!col("lang").isin(langs: _*), "lang")
           .when(col("n_tokens") < minTokens, "too_short")
           .when(col("n_tokens") > maxTokens, "too_long")

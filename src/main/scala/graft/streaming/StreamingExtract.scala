@@ -125,7 +125,14 @@ object StreamingExtract {
       .as[DocStats]
       .groupByKey(_.h)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
-        (_: String, rows: Iterator[DocStats], state: GroupState[HashState]) => {
+        (h: String, rows: Iterator[DocStats], state: GroupState[HashState]) => {
+          // null hash = null text: gated outright, no keeper state kept
+          // for the (otherwise ever-growing, skew-prone) null group —
+          // mirrors the batch null_text gate exactly
+          if (h == null) {
+            rows.map(r => PrepRow(r.doc_id, r.lang, r.n_tokens, r.alpha_ratio,
+              kept = false, "null_text"))
+          } else {
           val batch = rows.toSeq.sortBy(_.doc_id)
           // keeper is immutable once set: the already-emitted kept row
           // cannot be retracted in Append mode, so a later lower id is a
@@ -147,6 +154,7 @@ object StreamingExtract {
               else if (r.alpha_ratio.exists(_ < minAlpha)) "low_alpha"
               else null
             PrepRow(r.doc_id, r.lang, r.n_tokens, r.alpha_ratio, reason == null, reason)
+          }
           }
         })
   }

@@ -69,12 +69,16 @@ object TextAnalysis {
     else null // Latin (or mixed) → trigram profiles
   }
 
-  /** Deterministic language guess; "und" when nothing matches. */
+  /** Deterministic language guess; "und" when nothing matches. The
+    * stopword haystack is bounded like scriptVote's sample — a 50 MB doc
+    * must not pay O(|profiles|·n) scans plus two full-size copies when the
+    * first 16 KiB classifies it identically. */
   def detectLanguage(text: String): String = {
     if (text == null || text.isEmpty) return "und"
     val byScript = scriptVote(text)
     if (byScript != null) return byScript
-    val hay = " " + text.toLowerCase.replaceAll("[^\\p{L}]+", " ") + " "
+    val sample = if (text.length <= 16384) text else text.substring(0, 16384)
+    val hay = " " + sample.toLowerCase(java.util.Locale.ROOT).replaceAll("[^\\p{L}]+", " ") + " "
     var best = "und"
     var bestScore = 0
     profiles.foreach { case (lang, words) =>
@@ -142,7 +146,7 @@ object TextAnalysis {
     val meanLen = if (nTok == 0) 0.0 else toks.map(_.length).sum.toDouble / nTok
     val stopRatio =
       if (nTok == 0) 0.0
-      else toks.count(t => stopwords.contains(t.toLowerCase.replaceAll("[^a-z]", ""))).toDouble / nTok
+      else toks.count(t => stopwords.contains(t.toLowerCase(java.util.Locale.ROOT).replaceAll("[^a-z]", ""))).toDouble / nTok
     val punctRatio = punct.toDouble / n
     val upperRatio = upper.toDouble / n
     val digitRatio = digit.toDouble / n
@@ -206,7 +210,7 @@ object TextAnalysis {
 
   /** Word n-gram shingles (lowercased, punctuation-stripped). */
   def shingles(text: String, n: Int): Seq[String] = {
-    val toks = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+    val toks = text.toLowerCase(java.util.Locale.ROOT).split("[^a-z0-9]+").filter(_.nonEmpty)
     if (toks.length < n) {
       if (toks.isEmpty) Nil else Seq(toks.mkString(" "))
     } else

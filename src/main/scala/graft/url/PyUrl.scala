@@ -22,11 +22,11 @@ object PyUrl {
       if (at >= 0) h = h.substring(at + 1)
       if (h.startsWith("[")) {
         val close = h.indexOf(']')
-        if (close >= 0) return h.substring(1, close).toLowerCase
+        if (close >= 0) return h.substring(1, close).toLowerCase(java.util.Locale.ROOT)
       }
       val colon = h.indexOf(':')
       if (colon >= 0) h = h.substring(0, colon)
-      h.toLowerCase
+      h.toLowerCase(java.util.Locale.ROOT)
     }
 
     /** `parsed.port`, CPython-faithful (urllib.parse SplitResult.port):
@@ -73,7 +73,7 @@ object PyUrl {
     if (colon > 0) {
       val cand = rest.substring(0, colon)
       if (cand.charAt(0).isLetter && cand.forall(isSchemeChar)) {
-        scheme = cand.toLowerCase
+        scheme = cand.toLowerCase(java.util.Locale.ROOT)
         rest = rest.substring(colon + 1)
       }
     }

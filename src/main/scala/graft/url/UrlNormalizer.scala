@@ -29,7 +29,7 @@ object UrlNormalizer {
   private val sessionIdPatterns: Seq[java.util.regex.Pattern] = Seq(
     "^(session|sid)$", ".*sessionid.*", "^(s|sess)$", ".*phpsessid.*",
     ".*jsessionid.*", ".*aspsessionid.*", ".*cfid.*", ".*cftoken.*"
-  ).map(p => java.util.regex.Pattern.compile(p, java.util.regex.Pattern.CASE_INSENSITIVE))
+  ).map(p => java.util.regex.Pattern.compile(p, java.util.regex.Pattern.CASE_INSENSITIVE | java.util.regex.Pattern.UNICODE_CASE))
 
   /** Python `re.match` (anchored at start only) with IGNORECASE. */
   def isSessionId(param: String): Boolean =
@@ -60,8 +60,8 @@ object UrlNormalizer {
     url = PyUrl.urldefrag(url)
     val parsed = PyUrl.urlparse(url)
 
-    val scheme = parsed.scheme.toLowerCase
-    var netloc = parsed.netloc.toLowerCase
+    val scheme = parsed.scheme.toLowerCase(java.util.Locale.ROOT)
+    var netloc = parsed.netloc.toLowerCase(java.util.Locale.ROOT)
     netloc = idnaEncode(netloc)
 
     if (netloc.startsWith("www."))

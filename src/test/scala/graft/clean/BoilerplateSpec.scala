@@ -54,6 +54,18 @@ class BoilerplateSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("50k-deep adversarial nesting does not overflow the stack") {
+    // the parser is iterative and depth-unbounded; the boilerplate walks
+    // must be too (they run outside extractPage's per-row Throwable net)
+    val depth = 50000
+    val sb = new StringBuilder
+    (0 until depth).foreach(_ => sb.append("<div>"))
+    sb.append("<p>deep content paragraph with enough characters to qualify as a block</p>")
+    val mc = Boilerplate.mainContentFromHtml(sb.toString)
+    assert(mc.text.contains("deep content paragraph"))
+    assert(mc.blocks == 1)
+  }
+
   test("byte-contract mode untouched: Cleaner does not call Boilerplate") {
     // nav/footer text INCLUDED in the reference-faithful text
     val res = Cleaner.cleanAndNormalize(page, "https://e.com/")

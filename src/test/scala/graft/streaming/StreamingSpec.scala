@@ -88,10 +88,11 @@ class StreamingSpec extends AnyFunSuite {
     // alpha_ratio survives the typed pipeline
     assert(r2.filter($"doc_id" === 6).select($"drop_reason").as[String].head() == "too_short")
     assert(r2.filter($"doc_id" === 6).select($"alpha_ratio".isNull).as[Boolean].head())
-    // null lang / null text: every affected gate's predicate is null in
-    // the batch plan → kept
+    // null lang: the lang gate's predicate is null in the batch plan →
+    // kept; null TEXT is explicitly gated (no content to train on)
     assert(r2.filter($"doc_id" === 7 && $"kept").count() == 1)
-    assert(r2.filter($"doc_id" === 8 && $"kept").count() == 1)
+    assert(r2.filter($"doc_id" === 8).select($"drop_reason").as[String].head()
+      == "null_text")
     // the streaming verdicts equal the batch operator's on the same rows
     val batchEquiv = graft.ops.TrainingData.prepare(
         spark.read.parquet(in))
