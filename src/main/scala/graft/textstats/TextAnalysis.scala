@@ -136,12 +136,26 @@ object TextAnalysis {
     var i = 0
     while (i < n) {
       val c = text.charAt(i)
-      if (!Character.isLetterOrDigit(c) && !Character.isWhitespace(c)) punct += 1
+      // Python-whitespace set (PyStr): entity-decoded &nbsp; must count as
+      // a separator, not punctuation — Java's isWhitespace excludes U+00A0
+      // and a NBSP-separated doc would otherwise score as pure junk
+      if (!Character.isLetterOrDigit(c) && !graft.html.PyStr.isPyWs(c)) punct += 1
       if (Character.isUpperCase(c)) upper += 1
       if (Character.isDigit(c)) digit += 1
       i += 1
     }
-    val toks = text.trim.split("\\s+").filter(_.nonEmpty)
+    val toks = mutable.ArrayBuffer.empty[String]
+    locally { // tokenize on the same Python-whitespace set
+      var s = 0
+      var j = 0
+      while (j <= n) {
+        if (j == n || graft.html.PyStr.isPyWs(text.charAt(j))) {
+          if (j > s) toks += text.substring(s, j)
+          s = j + 1
+        }
+        j += 1
+      }
+    }
     val nTok = toks.length
     val meanLen = if (nTok == 0) 0.0 else toks.map(_.length).sum.toDouble / nTok
     val stopRatio =

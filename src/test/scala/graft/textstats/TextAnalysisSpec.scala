@@ -51,6 +51,16 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(junk.score >= 0.0 && junk.score <= 1.0)
   }
 
+  test("NBSP-separated text scores like space-separated text (Python whitespace set)") {
+    val spaced = "The quick brown fox jumps over the lazy dog and then it ran away"
+    val nbsp = spaced.replace(' ', ' ')
+    val a = TextAnalysis.quality(spaced)
+    val b = TextAnalysis.quality(nbsp)
+    assert(b.nTokens == a.nTokens, s"${b.nTokens} vs ${a.nTokens}")
+    assert(b.punctRatio == a.punctRatio)
+    assert(math.abs(b.score - a.score) < 1e-9)
+  }
+
   test("fingerprint deterministic, input-sensitive") {
     assert(TextAnalysis.fingerprint("abc") == TextAnalysis.fingerprint("abc"))
     assert(TextAnalysis.fingerprint("abc") != TextAnalysis.fingerprint("abd"))
