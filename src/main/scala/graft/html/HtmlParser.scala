@@ -20,7 +20,9 @@ import java.nio.charset.{Charset, StandardCharsets}
  *    are ignored when unmatched; everything still open closes at EOF.
  *  - void elements (br, img, hr, …) never take children.
  *  - `<` not opening a construct is literal text; `</>` is dropped;
- *    `</` + non-letter emits literal "</".
+ *    end tags resolve like CPython 3.11 parse_endtag: strict
+ *    `</\s*name\s*>` first, then tagfind_tolerant, then a bogus COMMENT
+ *    of the `</...>` span (see parseEndTag).
  *
  * XML payloads (`application/xml` branch, /root/reference/core/scraper.py:512-517)
  * parse with `xmlMode = true`: case preserved, no void set, no CDATA mode.
@@ -135,29 +137,53 @@ object HtmlParser {
       doc
     }
 
-    /** In CDATA mode: raw text until `</\s*script` (case-insensitive). */
+    /** CDATA mode, pinned against CPython 3.11: the `interesting` regex
+      * stops at `</\s*script` (prefix, case-insensitive, unicode \s), but
+      * the element only CLOSES when the full endtagfind
+      * `</\s*script\s*>` matches — "</script b>c" and "</scripts>" are
+      * cdata DATA (through their '>'), and a different end tag
+      * ("</style>" inside script) likewise. Unterminated cdata at EOF is
+      * DROPPED (goahead's final data flush is gated on `not cdata_elem`). */
     private def scanCdata(): Unit = {
       var j = i
-      var end = -1
-      while (end < 0 && j < n) {
+      while (true) {
         val lt = raw.indexOf('<', j)
-        if (lt < 0) j = n
-        else if (lt + 1 < n && raw.charAt(lt + 1) == '/') {
+        if (lt < 0 || lt + 1 >= n) { // EOF: unflushed cdata tail dropped
+          i = n
+          cdataElem = null
+          return
+        }
+        if (raw.charAt(lt + 1) != '/') j = lt + 1
+        else {
           var k = lt + 2
-          while (k < n && Character.isWhitespace(raw.charAt(k))) k += 1
-          if (raw.regionMatches(true, k, cdataElem, 0, cdataElem.length)) end = lt
-          else j = lt + 1
-        } else j = lt + 1
-      }
-      if (end < 0) { // unterminated script/style: rest is raw text
-        emitData(raw.substring(i), convert = false)
-        i = n
-        cdataElem = null
-      } else {
-        emitData(raw.substring(i, end), convert = false)
-        i = end
-        cdataElem = null
-        dispatchAngle() // parses the </script> end tag
+          while (k < n && PyStr.isPyWs(raw.charAt(k))) k += 1
+          if (!raw.regionMatches(true, k, cdataElem, 0, cdataElem.length)) j = lt + 1
+          else {
+            val gt = raw.indexOf('>', lt + 2)
+            if (gt < 0) { i = n; cdataElem = null; return } // EOF, tail dropped
+            // strict endtagfind over [lt+2, gt]
+            var ns = lt + 2
+            while (ns < gt && PyStr.isPyWs(raw.charAt(ns))) ns += 1
+            var je = ns
+            var ok = ns < gt && isAsciiLetter(raw.charAt(ns))
+            if (ok) {
+              je = ns + 1
+              while (je < gt && isEndNameChar(raw.charAt(je))) je += 1
+              var t = je
+              while (t < gt && PyStr.isPyWs(raw.charAt(t))) t += 1
+              ok = t == gt
+            }
+            if (ok && raw.regionMatches(true, ns, cdataElem, 0, je - ns) &&
+                je - ns == cdataElem.length) {
+              emitData(raw.substring(i, lt), convert = false)
+              flushText()
+              popToTag(cdataElem)
+              i = gt + 1
+              cdataElem = null
+              return
+            } else j = gt + 1 // end-tag-shaped junk: cdata data through '>'
+          }
+        }
       }
     }
 
@@ -177,12 +203,24 @@ object HtmlParser {
       (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
 
     private def parseComment(): Unit = {
-      val end = raw.indexOf("-->", i + 4)
-      val (body, next) =
-        if (end < 0) (raw.substring(i + 4), n) else (raw.substring(i + 4, end), end + 3)
+      // CPython _markupbase: a comment closes at `--\s*>` (Python \s =
+      // unicode whitespace — the pinned PyStr set), not only at "-->"
+      var e = i + 4
+      var close = -1
+      var next = -1
+      while (close < 0 && e + 1 < n) {
+        if (raw.charAt(e) == '-' && raw.charAt(e + 1) == '-') {
+          var k = e + 2
+          while (k < n && PyStr.isPyWs(raw.charAt(k))) k += 1
+          if (k < n && raw.charAt(k) == '>') { close = e; next = k + 1 }
+          else e += 1
+        } else e += 1
+      }
+      val (body, nx) =
+        if (close < 0) (raw.substring(i + 4), n) else (raw.substring(i + 4, close), next)
       flushText()
       top.append(new Comment(body))
-      i = next
+      i = nx
     }
 
     private def parsePI(): Unit = {
@@ -300,36 +338,83 @@ object HtmlParser {
       }
     }
 
-    private def parseEndTag(): Unit = {
-      // raw(i,i+1) == "</"
-      if (i + 2 >= n) { emitData("</", convert = false); i = n; return }
-      val c = raw.charAt(i + 2)
-      if (c == '>') { i += 3; return } // '</>' dropped
-      if (!isAsciiLetter(c)) {
-        // tolerant: inside cdata this would be data; outside, literal "</"
-        emitData("</", convert = false)
-        i += 2
-        return
-      }
-      var j = i + 2
-      val ns = j
-      j += 1
-      while (j < n && { val x = raw.charAt(j); !isSpace(x) && x != '/' && x != '>' && x != '\u0000' }) j += 1
+    /** `[-.a-zA-Z0-9:_]` — CPython endtagfind's name charset. */
+    private def isEndNameChar(c: Char): Boolean =
+      (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+        (c >= '0' && c <= '9') || c == '-' || c == '.' || c == ':' || c == '_'
+
+    private def endWith(ns: Int, j: Int): Unit = {
       var name =
         if (xmlMode) Interned.lookupExact(raw, ns, j)
         else Interned.lookupLower(raw, ns, j)
       if (name == null)
         name = if (xmlMode) raw.substring(ns, j)
                else raw.substring(ns, j).toLowerCase(java.util.Locale.ROOT)
-      val gt = raw.indexOf('>', j)
-      if (gt < 0) { // unterminated end tag at EOF → literal data (CPython)
+      flushText()
+      popToTag(name)
+    }
+
+    /** CPython 3.11 `parse_endtag`, pinned against this container's
+      * interpreter: (1) strict `</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>`
+      * (unicode \s — "</ p >" and "</p\u00a0>" close p); else (2)
+      * tagfind_tolerant at i+2 ("</div\tjunk>" ends div, "</a<b>" ends
+      * "a<b"); else (3) a BOGUS COMMENT of everything between "</" and
+      * the first ">" ("</.foo>" -> Comment(".foo"), "</ a b>" ->
+      * Comment(" a b")). "</>" stays dropped. */
+    private def parseEndTag(): Unit = {
+      // raw(i,i+1) == "</"
+      if (i + 2 >= n) { emitData("</", convert = false); i = n; return }
+      if (raw.charAt(i + 2) == '>') { i += 3; return } // '</>' dropped
+      if (xmlMode) { parseEndTagXml(); return }
+      val gt = raw.indexOf('>', i + 2)
+      if (gt < 0) { // no '>' at all: goahead(end=1) data fallback
         emitData(raw.substring(i), convert = true)
         i = n
         return
       }
-      i = gt + 1
+      // (1) strict endtagfind within [i+2, gt]
+      var k = i + 2
+      while (k < gt && PyStr.isPyWs(raw.charAt(k))) k += 1
+      if (k < gt && isAsciiLetter(raw.charAt(k))) {
+        val ns = k
+        var j = k + 1
+        while (j < gt && isEndNameChar(raw.charAt(j))) j += 1
+        var t = j
+        while (t < gt && PyStr.isPyWs(raw.charAt(t))) t += 1
+        if (t == gt) { endWith(ns, j); i = gt + 1; return }
+      }
+      // (2) tolerant: letter at i+2, name = [^\t\n\r\f />\0]*, then
+      // the first '>' AFTER the name ends the construct
+      val c2 = raw.charAt(i + 2)
+      if (isAsciiLetter(c2)) {
+        val ns = i + 2
+        var j = ns + 1
+        while (j < n && { val x = raw.charAt(j)
+          x != '\t' && x != '\n' && x != '\r' && x != '\f' && x != ' ' &&
+            x != '/' && x != '>' && x != '\u0000' }) j += 1
+        val gt2 = raw.indexOf('>', j)
+        if (gt2 < 0) { emitData(raw.substring(i), convert = true); i = n; return }
+        endWith(ns, j)
+        i = gt2 + 1
+        return
+      }
+      // (3) bogus comment
       flushText()
-      popToTag(name)
+      top.append(new Comment(raw.substring(i + 2, gt)))
+      i = gt + 1
+    }
+
+    /** XML-mode end tag (sitemap branch): original tolerant behavior. */
+    private def parseEndTagXml(): Unit = {
+      val c = raw.charAt(i + 2)
+      if (!isAsciiLetter(c)) { emitData("</", convert = false); i += 2; return }
+      val ns = i + 2
+      var j = ns + 1
+      while (j < n && { val x = raw.charAt(j); !isSpace(x) && x != '/' && x != '>' && x != '\u0000' }) j += 1
+      val gt = raw.indexOf('>', j)
+      if (gt < 0) { emitData(raw.substring(i), convert = true); i = n; return }
+      endWith(ns, j)
+      i = gt + 1
     }
 
     /** bs4 `_popToTag`: pop to nearest matching open tag inclusive; ignore if absent. */

@@ -112,4 +112,66 @@ class ParserSpec extends AnyFunSuite {
     assert(ps.length == 2)
     assert(ps.head.getText == "ab") // inner p nested inside outer
   }
+
+  // ---- CPython 3.11 parse_endtag semantics (pinned against this
+  // container's interpreter — see the probe transcripts in the scaladoc) ----
+
+  test("end tags: strict/tolerant/bogus-comment resolution like CPython 3.11") {
+    // strict: whitespace (incl. unicode \s) around the name
+    assert(parse("<p>a</ p>b").findAll("p").head.getText == "a")
+    assert(parse("<p>a</ P >b").findAll("p").head.getText == "a")
+    assert(parse("<p>a</p >b").findAll("p").head.getText == "a")
+    // tolerant: junk after the name is consumed through '>'
+    assert(parse("<div>x</div\tjunk>y").findAll("div").head.getText == "x")
+    // tolerant name may contain '<' ("</a<b>" ends tag "a<b" — unmatched)
+    val t = parse("<p>x</a<b>y").findAll("p").head
+    assert(t.getText == "xy")
+    // bogus comment: "</.foo>" and "</ a b>" become Comment nodes
+    val d1 = parse("<p>a</.foo>b")
+    assert(d1.findAll("p").head.getText == "ab")
+    assert(commentsOf(d1) == Seq(".foo"))
+    val d2 = parse("<p>x</ a b>y")
+    assert(commentsOf(d2) == Seq(" a b"))
+    // numeric-start: bogus comment too
+    assert(commentsOf(parse("<p>x</1a>y")) == Seq("1a"))
+    // '</>' still dropped
+    assert(parse("</>x").getText == "x")
+  }
+
+  test("comments close at --\\s*> like CPython's _markupbase") {
+    val d = parse("<!--a-- >b")
+    assert(commentsOf(d) == Seq("a") && d.getText == "b")
+    val du = parse("<!--a-- >b")
+    assert(commentsOf(du) == Seq("a") && du.getText == "b")
+    assert(commentsOf(parse("<!--a--->b")) == Seq("a-"))
+    assert(commentsOf(parse("<!--a---->b")) == Seq("a--"))
+  }
+
+  test("cdata closes only on the full end tag; EOF tail dropped") {
+    // '</script b>' and '</scripts>' and '</style>' are script DATA
+    val d1 = parse("<script>a</script b>c</script>d")
+    assert(d1.findAll("script").head.getText == "a</script b>c")
+    assert(d1.getText == "a</script b>cd")
+    val d2 = parse("<script>a</scripts>b</script>c")
+    assert(d2.findAll("script").head.getText == "a</scripts>b")
+    val d3 = parse("<script>x</style>y</script>z")
+    assert(d3.findAll("script").head.getText == "x</style>y")
+    // whitespace-padded close still closes
+    assert(parse("<script>a</ScRiPt >b").findAll("script").head.getText == "a")
+    // unterminated: CPython drops the tail entirely
+    val d4 = parse("<script>foo")
+    assert(d4.findAll("script").head.getText == "")
+    assert(d4.getText == "")
+  }
+
+  private def commentsOf(d: graft.html.Document): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    def walk(e: graft.html.Element): Unit = e.children.foreach {
+      case c: graft.html.Comment => out += c.data
+      case el: graft.html.Element => walk(el)
+      case _ =>
+    }
+    walk(d)
+    out.toSeq
+  }
 }
