@@ -177,8 +177,19 @@ object Cleaner {
     walk(doc)
   }
 
-  private val displayNone =
-    java.util.regex.Pattern.compile("display:\\s*none")
+  /** `re.search(r'display:\s*none', style)` — Python \s is UNICODE
+    * whitespace (the pinned PyStr set); Java's `\\s` is ASCII-only and
+    * would miss e.g. `display: none`. Pinned by display_none.json. */
+  private[clean] def hasDisplayNone(st: String): Boolean = {
+    var from = st.indexOf("display:")
+    while (from >= 0) {
+      var k = from + 8
+      while (k < st.length && graft.html.PyStr.isPyWs(st.charAt(k))) k += 1
+      if (st.regionMatches(k, "none", 0, 4)) return true
+      from = st.indexOf("display:", from + 1)
+    }
+    false
+  }
 
   /** Pass 4: `basic_content_cleaning` (core/scraper.py:222-231).
     * Comments first (all of them), then display:none subtrees — matching
@@ -202,7 +213,7 @@ object Cleaner {
       while (i >= 0) {
         e.children(i) match {
           case el: Element =>
-            val hidden = el.attr("style").exists(st => displayNone.matcher(st).find())
+            val hidden = el.attr("style").exists(hasDisplayNone)
             if (hidden) el.extract() else stripHidden(el)
           case _ =>
         }

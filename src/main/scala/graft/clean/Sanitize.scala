@@ -265,7 +265,7 @@ object Sanitize {
         PyUrl.urlparse(attr).path.dropWhile(_ == '/'))
     var n = 0
     ix.links.foreach { l =>
-      if (l.attr("rel").exists(_.split("\\s+").contains("stylesheet")))
+      if (l.attr("rel").exists(r => graft.html.PyStr.splitWs(r).contains("stylesheet")))
         l.attr("href").foreach { h =>
           if (css.contains(h)) { l.setAttr("href", target("css", h)); n += 1 }
         }

@@ -29,6 +29,13 @@ final class Text(var data: String) extends Node
 final class Comment(var data: String) extends Node
 final class Doctype(var data: String) extends Node
 final class ProcIns(var data: String) extends Node
+/** bs4 `CData` (from `<![CDATA[...]]>` via unknown_decl): a NavigableString
+  * subclass that IS part of `get_text()` (bs4's default interesting string
+  * types are NavigableString and CData; comments/declarations are not). */
+final class CData(var data: String) extends Node
+/** bs4 `Declaration` (non-CDATA marked sections, e.g. MS-Office
+  * `<![if gte mso 9]>`): excluded from text like comments. */
+final class Declaration(var data: String) extends Node
 
 class Element(val name: String) extends Node {
   /** Attribute (name, value) pairs in insertion order; values fully decoded. */
@@ -63,9 +70,10 @@ class Element(val name: String) extends Node {
     if (i >= 0) attrs(i) = (key, value) else attrs += ((key, value))
   }
 
-  /** Whitespace-split tokens of the `class` attribute (bs4 multi-valued). */
+  /** Whitespace-split tokens of the `class` attribute (bs4 multi-valued;
+    * bs4 tokenizes with Python `\S+` = unicode whitespace, not Java `\s`). */
   def classes: Seq[String] =
-    attr("class").map(_.split("\\s+").filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    attr("class").map(PyStr.splitWs).getOrElse(Nil)
 
   def append(n: Node): Unit = { n.parent = this; children += n }
 
@@ -112,10 +120,13 @@ class Element(val name: String) extends Node {
   def bs4String: Option[String] = {
     if (children.length != 1) return None
     children(0) match {
-      case t: Text    => Some(t.data)
-      case c: Comment => Some(c.data)
-      case e: Element => e.bs4String
-      case _          => None
+      case t: Text        => Some(t.data)
+      case c: Comment     => Some(c.data)
+      case c: CData       => Some(c.data)
+      case d: Declaration => Some(d.data)
+      case p: ProcIns     => Some(p.data)
+      case d: Doctype     => Some(d.data)
+      case e: Element     => e.bs4String
     }
   }
 
@@ -128,6 +139,7 @@ class Element(val name: String) extends Node {
       while (i < cs.length) {
         cs(i) match {
           case t: Text    => sb.append(t.data)
+          case c: CData   => sb.append(c.data)
           case c: Element => walk(c)
           case _          =>
         }
@@ -148,6 +160,7 @@ class Element(val name: String) extends Node {
       while (i < cs.length) {
         cs(i) match {
           case t: Text    => sb.append(PyStr.strip(t.data))
+          case c: CData   => sb.append(PyStr.strip(c.data))
           case c: Element => walk(c)
           case _          =>
         }
@@ -249,6 +262,10 @@ object Serializer {
     case c: Comment => sb.append("<!--").append(c.data).append("-->")
     case d: Doctype => sb.append("<!DOCTYPE ").append(d.data).append(">")
     case p: ProcIns => sb.append("<?").append(p.data).append(">")
+    // bs4 PreformattedString PREFIX/SUFFIX pairs: CData "<![CDATA["/"]]>",
+    // Declaration "<?"/"?>" (bs4 models it as an XML declaration)
+    case c: CData       => sb.append("<![CDATA[").append(c.data).append("]]>")
+    case d: Declaration => sb.append("<?").append(d.data).append("?>")
     case e: Document =>
       val cs = e.children
       var i = 0

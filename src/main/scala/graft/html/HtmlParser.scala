@@ -10,7 +10,9 @@ import java.nio.charset.{Charset, StandardCharsets}
  * for every page (/root/reference/processing/content_processor.py:22,
  * /root/reference/processing/link_extractor.py:17).
  *
- * Pinned behaviors (the byte-identity contract hangs on these):
+ * Pinned behaviors (the byte-identity contract hangs on these; the whole
+ * construct layer is differentially pinned against this container's CPython
+ * 3.11.7 via the parser_events.json golden — scripts/gen_parser_events.py):
  *  - tag/attribute names lowercased; attribute values entity-decoded at
  *    parse time; valueless attributes become "".
  *  - character references in data converted at parse time (convert_charrefs)
@@ -23,11 +25,38 @@ import java.nio.charset.{Charset, StandardCharsets}
  *    end tags resolve like CPython 3.11 parse_endtag: strict
  *    `</\s*name\s*>` first, then tagfind_tolerant, then a bogus COMMENT
  *    of the `</...>` span (see parseEndTag).
+ *  - unterminated constructs at EOF resync like `goahead(end=1)`
+ *    (html/parser.py:184-197): the span through the first `>` (else up to
+ *    the next `<`, else one char) becomes DATA — unescaped — and parsing
+ *    RESUMES; it does NOT swallow the rest of the document.
+ *  - start tags scan with Python-`\s` (unicode) attribute separators,
+ *    attrfind_tolerant's `(?<=['"\s/])` lookbehind, and the
+ *    `end not in ('>', '/>')` raw-data fallback (parser.py:329-332;
+ *    reachable via NUL bytes).
+ *  - marked sections (`<![...`, _markupbase.parse_marked_section):
+ *    CDATA/TEMP/IGNORE/INCLUDE/RCDATA close at `]\s*]\s*>` and become bs4
+ *    CData (text!) when the body starts with literal "CDATA[", else
+ *    Declaration; MS-Office if/else/endif close at `]\s*>`; any other
+ *    keyword (or no name token) raises — bs4 ParserRejectedMarkup — which
+ *    the pipeline maps to a parse_failed row, like the reference's
+ *    per-page try/except.
  *
  * XML payloads (`application/xml` branch, /root/reference/core/scraper.py:512-517)
- * parse with `xmlMode = true`: case preserved, no void set, no CDATA mode.
+ * parse with `xmlMode = true`: case preserved, no void set, no CDATA-content
+ * mode, legacy tolerant start/end tags (that branch emulates xmltodict, not
+ * html.parser), plus expat-style literal `<![CDATA[...]]>` text.
  */
 object HtmlParser {
+
+  /** bs4 surfaces an AssertionError out of html.parser/_markupbase as
+    * `ParserRejectedMarkup`; the reference's per-page error handling then
+    * records the page as failed. */
+  final class RejectedMarkup(msg: String) extends RuntimeException(msg)
+
+  /** CPython-level parser event — the unit of the parser_events.json
+    * differential golden. `attrs` is null for non-tag events; attr values
+    * are null for valueless attributes (CPython None). */
+  final case class PEvent(kind: String, text: String, attrs: List[(String, String)])
 
   /** bs4 `HTMLTreeBuilder.empty_element_tags`. */
   val voidElements: Set[String] = Set(
@@ -42,6 +71,13 @@ object HtmlParser {
   def parse(html: String): Document = parse(html, xmlMode = false)
 
   def parseBytes(bytes: Array[Byte]): Document = parse(decode(bytes))
+
+  /** Test-only: parse and record the CPython-level event stream. */
+  def parseWithEvents(html: String): (Document, Vector[PEvent]) = {
+    val ev = ArrayBuffer.empty[PEvent]
+    val doc = new Parser(html, xmlMode = false, ev).run()
+    (doc, ev.toVector)
+  }
 
   // Charset sniff: BOM → `<meta charset>` → UTF-8 (replacement on error).
 
@@ -95,10 +131,11 @@ object HtmlParser {
     new String(bytes, offset, bytes.length - offset, cs)
 
   def parse(html: String, xmlMode: Boolean): Document = {
-    new Parser(html, xmlMode).run()
+    new Parser(html, xmlMode, null).run()
   }
 
-  private final class Parser(raw: String, xmlMode: Boolean) {
+  private final class Parser(raw: String, xmlMode: Boolean,
+                             ev: ArrayBuffer[PEvent]) {
     private val n = raw.length
     private var i = 0
     private val doc = new Document
@@ -108,6 +145,10 @@ object HtmlParser {
 
     private def top: Element = stack(stack.length - 1)
 
+    /** bs4 `BeautifulSoup.endData`: adjacent handle_data calls are JOINED
+      * into one NavigableString, flushed when any non-data construct is
+      * appended (so "a < b" is ONE text node even though CPython emits
+      * three handle_data calls). */
     private def flushText(): Unit = {
       if (pendingText.length > 0) {
         top.append(new Text(pendingText.toString))
@@ -115,9 +156,12 @@ object HtmlParser {
       }
     }
 
+    /** One CPython handle_data call. */
     private def emitData(s: String, convert: Boolean): Unit = {
       if (s.isEmpty) return
-      pendingText.append(if (convert) Entities.unescape(s) else s)
+      val out = if (convert) Entities.unescape(s) else s
+      if (ev != null) ev += PEvent("data", out, null)
+      pendingText.append(out)
     }
 
     def run(): Document = {
@@ -137,13 +181,27 @@ object HtmlParser {
       doc
     }
 
+    /** `goahead(end=1)` resync for an unterminated construct
+      * (html/parser.py:184-197): DATA through the first '>' (else up to
+      * the next '<', else one char), unescaped, then parsing RESUMES. */
+    private def resyncEof(): Unit = {
+      val gt = raw.indexOf('>', i + 1)
+      val k =
+        if (gt >= 0) gt + 1
+        else {
+          val lt = raw.indexOf('<', i + 1)
+          if (lt >= 0) lt else i + 1
+        }
+      emitData(raw.substring(i, k), convert = true)
+      i = k
+    }
+
     /** CDATA mode, pinned against CPython 3.11: the `interesting` regex
-      * stops at `</\s*script` (prefix, case-insensitive, unicode \s), but
-      * the element only CLOSES when the full endtagfind
-      * `</\s*script\s*>` matches — "</script b>c" and "</scripts>" are
-      * cdata DATA (through their '>'), and a different end tag
-      * ("</style>" inside script) likewise. Unterminated cdata at EOF is
-      * DROPPED (goahead's final data flush is gated on `not cdata_elem`). */
+      * stops only at the full `</\s*script\s*>` (case-insensitive, unicode
+      * \s) — "</script b>c" and "</scripts>" are cdata DATA (through their
+      * '>'), and a different end tag ("</style>" inside script) likewise.
+      * Unterminated cdata at EOF is DROPPED (goahead's final data flush is
+      * gated on `not cdata_elem`). */
     private def scanCdata(): Unit = {
       var j = i
       while (true) {
@@ -177,6 +235,7 @@ object HtmlParser {
                 je - ns == cdataElem.length) {
               emitData(raw.substring(i, lt), convert = false)
               flushText()
+              if (ev != null) ev += PEvent("endtag", cdataElem, null)
               popToTag(cdataElem)
               i = gt + 1
               cdataElem = null
@@ -191,7 +250,9 @@ object HtmlParser {
       // raw(i) == '<'
       if (i + 1 >= n) { emitData("<", convert = false); i = n; return }
       val c = raw.charAt(i + 1)
-      if (isAsciiLetter(c)) parseStartTag()
+      if (isAsciiLetter(c)) {
+        if (xmlMode) parseStartTagXml() else parseStartTag()
+      }
       else if (c == '/') parseEndTag()
       else if (raw.startsWith("<!--", i)) parseComment()
       else if (c == '?') parsePI()
@@ -204,7 +265,7 @@ object HtmlParser {
 
     private def parseComment(): Unit = {
       // CPython _markupbase: a comment closes at `--\s*>` (Python \s =
-      // unicode whitespace — the pinned PyStr set), not only at "-->"
+      // unicode whitespace — the pinned PyStr set); unterminated → resync
       var e = i + 4
       var close = -1
       var next = -1
@@ -216,61 +277,354 @@ object HtmlParser {
           else e += 1
         } else e += 1
       }
-      val (body, nx) =
-        if (close < 0) (raw.substring(i + 4), n) else (raw.substring(i + 4, close), next)
+      if (close < 0) {
+        if (xmlMode) { // legacy xml-branch behavior: comment to EOF
+          flushText()
+          top.append(new Comment(raw.substring(i + 4)))
+          i = n
+        } else resyncEof()
+        return
+      }
+      val body = raw.substring(i + 4, close)
       flushText()
+      if (ev != null) ev += PEvent("comment", body, null)
       top.append(new Comment(body))
-      i = nx
+      i = next
     }
 
     private def parsePI(): Unit = {
       val end = raw.indexOf('>', i + 2)
-      val (body, next) =
-        if (end < 0) (raw.substring(i + 2), n) else (raw.substring(i + 2, end), end + 1)
+      if (end < 0) {
+        if (xmlMode) {
+          flushText()
+          top.append(new ProcIns(raw.substring(i + 2)))
+          i = n
+        } else resyncEof()
+        return
+      }
+      val body = raw.substring(i + 2, end)
       flushText()
+      if (ev != null) ev += PEvent("pi", body, null)
       top.append(new ProcIns(body))
-      i = next
+      i = end + 1
     }
 
+    /** CPython `parse_html_declaration` (html/parser.py:255-272): `<![` →
+      * marked section; `<!doctype` (exact prefix at i+2, case-insensitive,
+      * NO leading space) → decl to the first '>'; anything else → bogus
+      * comment to the first '>'; no '>' → resync. */
     private def parseDecl(): Unit = {
-      val end = raw.indexOf('>', i + 2)
-      val (body, next) =
-        if (end < 0) (raw.substring(i + 2), n) else (raw.substring(i + 2, end), end + 1)
-      flushText()
-      val trimmed = body.trim
-      if (trimmed.regionMatches(true, 0, "doctype", 0, 7))
+      if (!xmlMode && i + 2 < n && raw.charAt(i + 2) == '[') { parseMarkedSection(); return }
+      if (xmlMode && raw.startsWith("<![CDATA[", i)) { parseCdataSectionXml(); return }
+      if (!xmlMode && raw.regionMatches(true, i + 2, "doctype", 0, 7)) {
+        val gt = raw.indexOf('>', i + 9)
+        if (gt < 0) { resyncEof(); return }
+        val body = raw.substring(i + 2, gt)
+        flushText()
+        if (ev != null) ev += PEvent("decl", body, null)
+        // bs4 tree mapping of handle_decl: strip the DOCTYPE keyword
+        val trimmed = body.trim
         top.append(new Doctype(trimmed.substring(7).trim))
-      else
-        top.append(new Comment(body)) // bogus declaration — keep as comment-ish
-      i = next
+        i = gt + 1
+        return
+      }
+      // bogus comment (also the legacy xml-branch path for any `<!...>`)
+      val end = raw.indexOf('>', i + 2)
+      if (end < 0) {
+        if (xmlMode) {
+          flushText()
+          top.append(new Comment(raw.substring(i + 2)))
+          i = n
+        } else resyncEof()
+        return
+      }
+      val body = raw.substring(i + 2, end)
+      flushText()
+      if (xmlMode) {
+        val trimmed = body.trim
+        if (trimmed.regionMatches(true, 0, "doctype", 0, 7))
+          top.append(new Doctype(trimmed.substring(7).trim))
+        else top.append(new Comment(body))
+      } else {
+        if (ev != null) ev += PEvent("comment", body, null)
+        top.append(new Comment(body))
+      }
+      i = end + 1
     }
 
-    private def isSpace(c: Char): Boolean =
-      c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f'
+    /** `[a-zA-Z][-_.a-zA-Z0-9]*` — _markupbase _declname_match charset. */
+    private def isDeclNameChar(c: Char): Boolean =
+      isAsciiLetter(c) || (c >= '0' && c <= '9') || c == '-' || c == '_' || c == '.'
+
+    /** _markupbase.parse_marked_section, pinned against CPython 3.11.7:
+      * scan the status keyword with _declname_match; temp/cdata/ignore/
+      * include/rcdata close at `]\s*]\s*>`, MS-Office if/else/endif at
+      * `]\s*>`; unknown keyword or missing name token raises
+      * (→ RejectedMarkup); name-to-EOF or no close → resync. The body
+      * (including any "CDATA[" prefix) goes to unknown_decl; bs4 maps a
+      * literal "CDATA["-prefixed body to CData (dropping the prefix),
+      * everything else to Declaration. */
+    private def parseMarkedSection(): Unit = {
+      // raw(i, i+3) == "<!["
+      val s = i + 3
+      if (s >= n) { resyncEof(); return } // _scan_name at EOF → -1
+      if (!isAsciiLetter(raw.charAt(s)))
+        throw new RejectedMarkup(s"expected name token at ${raw.substring(i, math.min(n, i + 20))}")
+      var j = s + 1
+      while (j < n && isDeclNameChar(raw.charAt(j))) j += 1
+      val name = raw.substring(s, j).toLowerCase(java.util.Locale.ROOT)
+      while (j < n && PyStr.isPyWs(raw.charAt(j))) j += 1 // \s* tail of _declname_match
+      if (j == n) { resyncEof(); return } // match ran to end of buffer → -1
+      val standard = name == "temp" || name == "cdata" || name == "ignore" ||
+        name == "include" || name == "rcdata"
+      val msOffice = name == "if" || name == "else" || name == "endif"
+      if (!standard && !msOffice)
+        throw new RejectedMarkup(s"unknown status keyword '$name' in marked section")
+      // search `]\s*]\s*>` (standard) or `]\s*>` (MS) from i+3
+      var p = i + 3
+      var closeStart = -1
+      var closeEnd = -1
+      while (closeStart < 0 && p < n) {
+        if (raw.charAt(p) == ']') {
+          var q = p + 1
+          while (q < n && PyStr.isPyWs(raw.charAt(q))) q += 1
+          var okPos = true
+          if (standard) {
+            if (q < n && raw.charAt(q) == ']') {
+              q += 1
+              while (q < n && PyStr.isPyWs(raw.charAt(q))) q += 1
+            } else okPos = false
+          }
+          if (okPos && q < n && raw.charAt(q) == '>') { closeStart = p; closeEnd = q + 1 }
+        }
+        p += 1
+      }
+      if (closeStart < 0) { resyncEof(); return }
+      val body = raw.substring(i + 3, closeStart)
+      flushText()
+      if (ev != null) ev += PEvent("unknown_decl", body, null)
+      if (body.startsWith("CDATA[")) top.append(new CData(body.substring(6)))
+      else top.append(new Declaration(body))
+      i = closeEnd
+    }
+
+    /** Expat-style literal `<![CDATA[...]]>` for the xml branch (xmltodict
+      * exposes CDATA content as text): strict close, no `\s` tolerance. */
+    private def parseCdataSectionXml(): Unit = {
+      val close = raw.indexOf("]]>", i + 9)
+      if (close < 0) { // unterminated: keep legacy swallow-as-comment
+        flushText()
+        top.append(new Comment(raw.substring(i + 2)))
+        i = n
+        return
+      }
+      flushText()
+      top.append(new CData(raw.substring(i + 9, close)))
+      i = close + 3
+    }
+
+    // ---- start tags (html mode): faithful port of CPython 3.11
+    // parse_starttag + check_for_whole_start_tag + attrfind_tolerant ----
+
+    /** tagfind_tolerant name charset: `[^\t\n\r\f />\x00]` — ASCII-only
+      * whitespace exclusions (unicode whitespace is PART of a tag name). */
+    private def isTagNameChar(c: Char): Boolean =
+      c != '\t' && c != '\n' && c != '\r' && c != '\f' && c != ' ' &&
+        c != '/' && c != '>' && c != '\u0000'
+
+    /** attrfind name start `[^\s/>]` (unicode \s). */
+    private def isAttrNameStart(c: Char): Boolean =
+      !PyStr.isPyWs(c) && c != '/' && c != '>'
+
+    /** attrfind name rest `[^\s/=>]`. */
+    private def isAttrNameRest(c: Char): Boolean =
+      !PyStr.isPyWs(c) && c != '/' && c != '=' && c != '>'
+
+    /** attrfind lookbehind `(?<=['"\s/])`. */
+    private def isLookbehind(c: Char): Boolean =
+      c == '\'' || c == '"' || c == '/' || PyStr.isPyWs(c)
+
+    /** `(?:\s|/(?!>))*` — whitespace or '/' not directly before '>'
+      * (a trailing '/' at EOF IS consumed: the lookahead succeeds). */
+    private def skipPadding(k0: Int): Int = {
+      var k = k0
+      while (k < n && (PyStr.isPyWs(raw.charAt(k)) ||
+        (raw.charAt(k) == '/' && !(k + 1 < n && raw.charAt(k + 1) == '>')))) k += 1
+      k
+    }
+
+    // Result fields of scanValueGroup (avoids a per-attr tuple):
+    private var vgHas = false // value group matched (value may be empty)
+    private var vgVs = 0      // value span [vgVs, vgVe) — quotes stripped
+    private var vgVe = 0
+    private var vgNext = 0    // scan position after the group
+
+    /** The optional `\s*=+\s*('…'|"…"|(?!['"])[^>\s]*)` value group of
+      * attrfind_tolerant / locatestarttagend_tolerant, with Python-regex
+      * BACKTRACKING semantics (pinned by the fuzz corpus): positioned on an
+      * unterminated quote, the engine first gives back one whitespace char
+      * (empty bare value one char early), then one '=' (a bare value that
+      * starts with '='); only a lone `='…` with no closing quote and no
+      * slack fails the whole group (name-only attribute). */
+    private def scanValueGroup(k0: Int): Unit = {
+      vgHas = false
+      vgNext = k0
+      var v = k0
+      while (v < n && PyStr.isPyWs(raw.charAt(v))) v += 1
+      if (v >= n || raw.charAt(v) != '=') return // no value group
+      val eqStart = v
+      while (v < n && raw.charAt(v) == '=') v += 1
+      val p0 = v
+      while (v < n && PyStr.isPyWs(raw.charAt(v))) v += 1
+      if (v >= n) { vgHas = true; vgVs = n; vgVe = n; vgNext = n; return } // empty bare at EOF
+      val c = raw.charAt(v)
+      if (c == '\'' || c == '"') {
+        val close = raw.indexOf(c, v + 1)
+        if (close >= 0) { vgHas = true; vgVs = v + 1; vgVe = close; vgNext = close + 1; return }
+        if (v > p0) { // give back one ws: empty bare value
+          vgHas = true; vgVs = v - 1; vgVe = v - 1; vgNext = v - 1; return
+        }
+        if (p0 - eqStart >= 2) { // give back one '=': bare value from that '='
+          var e = p0 - 1
+          while (e < n && !PyStr.isPyWs(raw.charAt(e)) && raw.charAt(e) != '>') e += 1
+          vgHas = true; vgVs = p0 - 1; vgVe = e; vgNext = e; return
+        }
+        return // group fails: name-only attribute
+      }
+      var e = v
+      while (e < n && !PyStr.isPyWs(raw.charAt(e)) && raw.charAt(e) != '>') e += 1
+      vgHas = true; vgVs = v; vgVe = e; vgNext = e
+    }
+
+    /** m.end() of locatestarttagend_tolerant matched at `i`. */
+    private def locateStartTagEnd(): Int = {
+      var k = i + 2 // '<' + first letter
+      while (k < n && isTagNameChar(raw.charAt(k))) k += 1
+      // optional group: [\s/]* then attributes*
+      while (k < n && (PyStr.isPyWs(raw.charAt(k)) || raw.charAt(k) == '/')) k += 1
+      var scanning = true
+      while (scanning) {
+        if (k < n && isLookbehind(raw.charAt(k - 1)) && isAttrNameStart(raw.charAt(k))) {
+          k += 1
+          while (k < n && isAttrNameRest(raw.charAt(k))) k += 1
+          scanValueGroup(k)
+          if (vgHas) {
+            k = vgNext
+            while (k < n && PyStr.isPyWs(raw.charAt(k))) k += 1 // trailing \s* in group
+          }
+          k = skipPadding(k)
+        } else scanning = false
+      }
+      while (k < n && PyStr.isPyWs(raw.charAt(k))) k += 1 // trailing \s*
+      k
+    }
+
+    /** check_for_whole_start_tag: endpos, or -1 → goahead resync. */
+    private def checkWholeStartTag(): Int = {
+      val j = locateStartTagEnd()
+      if (j >= n) return -1 // next == "" (end of input)
+      val next = raw.charAt(j)
+      if (next == '>') return j + 1
+      if (next == '/') {
+        if (raw.startsWith("/>", j)) return j + 2
+        return -1 // lone '/' → "buffer boundary"
+      }
+      if (isAsciiLetter(next) || next == '=') return -1 // ended in/ before attr
+      // bogus input: the tag span ends here without consuming `next`
+      if (j > i) j else i + 1
+    }
 
     private def parseStartTag(): Unit = {
+      val endpos = checkWholeStartTag()
+      if (endpos < 0) { resyncEof(); return }
+      // tagfind_tolerant at i+1
+      var j = i + 2
+      while (j < n && isTagNameChar(raw.charAt(j))) j += 1
+      val name = {
+        val interned = Interned.lookupLower(raw, i + 1, j)
+        if (interned != null) interned
+        else raw.substring(i + 1, j).toLowerCase(java.util.Locale.ROOT)
+      }
+      var k = skipPadding(j)
+      // attrs land straight on the element; CPython-level duplicates and
+      // null values are recorded for the event sink before the bs4
+      // transform (None→"", last-wins replace, class token collapse)
+      val el = new Element(name)
+      val attrs = el.attrs
+      var evAttrs: List[(String, String)] = if (ev != null) Nil else null
+      while (k < endpos && isLookbehind(raw.charAt(k - 1)) && isAttrNameStart(raw.charAt(k))) {
+        val an = k
+        k += 1
+        while (k < n && isAttrNameRest(raw.charAt(k))) k += 1
+        var aname = Interned.lookupLower(raw, an, k)
+        if (aname == null) aname = raw.substring(an, k).toLowerCase(java.util.Locale.ROOT)
+        // optional value group — same backtracking as locateStartTagEnd
+        // but WITHOUT the trailing \s* inside the group (attrfind)
+        scanValueGroup(k)
+        val value: String = // null == CPython None (valueless)
+          if (vgHas) { k = vgNext; raw.substring(vgVs, vgVe) } else null
+        k = skipPadding(k)
+        // `if attrvalue: attrvalue = unescape(attrvalue)` — non-empty only
+        val unescaped = if (value == null || value.isEmpty) value else Entities.unescape(value)
+        if (ev != null) evAttrs = (aname, unescaped) :: evAttrs
+        // bs4 layer: None→"", class tokens collapsed, duplicate REPLACE
+        val v1 = if (unescaped == null) "" else unescaped
+        val v2 =
+          if (aname == "class") PyStr.splitWs(v1).mkString(" ")
+          else v1
+        var existing = -1
+        var ai = 0
+        while (existing < 0 && ai < attrs.length) {
+          if (attrs(ai)._1 == aname) existing = ai
+          ai += 1
+        }
+        if (existing >= 0) attrs(existing) = (aname, v2)
+        else attrs += ((aname, v2))
+      }
+      // `end = rawdata[k:endpos].strip()` must be ">" or "/>"
+      var es = k
+      var ee = endpos
+      while (es < ee && PyStr.isPyWs(raw.charAt(es))) es += 1
+      while (ee > es && PyStr.isPyWs(raw.charAt(ee - 1))) ee -= 1
+      val len = ee - es
+      val isGt = len == 1 && raw.charAt(es) == '>'
+      val isSelfClose = len == 2 && raw.charAt(es) == '/' && raw.charAt(es + 1) == '>'
+      if (!isGt && !isSelfClose) {
+        // bogus start tag: the raw span becomes data (NOT unescaped)
+        emitData(raw.substring(i, endpos), convert = false)
+        i = endpos
+        return
+      }
+      i = endpos
+      flushText()
+      if (ev != null)
+        ev += PEvent(if (isSelfClose) "startendtag" else "starttag", name, evAttrs.reverse)
+      val isVoid = voidElements.contains(name)
+      el.isVoid = isVoid
+      top.append(el)
+      if (!isVoid && !isSelfClose) {
+        stack += el
+        if (cdataElements.contains(name)) cdataElem = name
+      }
+    }
+
+    /** Legacy tolerant start tag for the xml branch (case preserved, ASCII
+      * whitespace, no lookbehind — that branch emulates xmltodict/expat
+      * on machine-generated sitemap XML, not CPython html.parser). */
+    private def parseStartTagXml(): Unit = {
       var j = i + 1
       val nameStart = j
-      // tagfind_tolerant: [a-zA-Z][^\t\n\r\f />\x00]*
       j += 1
       while (j < n && { val c = raw.charAt(j); !isSpace(c) && c != '/' && c != '>' && c != '\u0000' }) j += 1
       val name = {
-        val interned =
-          if (xmlMode) Interned.lookupExact(raw, nameStart, j)
-          else Interned.lookupLower(raw, nameStart, j)
-        if (interned != null) interned
-        else if (xmlMode) raw.substring(nameStart, j)
-        else raw.substring(nameStart, j).toLowerCase(java.util.Locale.ROOT)
+        val interned = Interned.lookupExact(raw, nameStart, j)
+        if (interned != null) interned else raw.substring(nameStart, j)
       }
-      // attrs land straight on the element (the old temp buffer + foreach
-      // copy double-handled every attr); class-collapse at insert time is
-      // equivalent because collapse is per-value and last-wins
       val el = new Element(name)
       val attrs = el.attrs
       var selfClosing = false
       var done = false
       while (!done) {
-        // skip whitespace and '/' not followed by '>'
         while (j < n && (isSpace(raw.charAt(j)) || (raw.charAt(j) == '/' && !(j + 1 < n && raw.charAt(j + 1) == '>')))) j += 1
         if (j >= n) { // unterminated tag at EOF → literal data (tolerant)
           emitData(raw.substring(i), convert = true)
@@ -282,17 +636,11 @@ object HtmlParser {
         else if (c == '/' && j + 1 < n && raw.charAt(j + 1) == '>') {
           selfClosing = true; done = true; j += 2
         } else {
-          // attribute name: [^\s/>][^\s/=>]*
           val an = j
           j += 1
           while (j < n && { val x = raw.charAt(j); !isSpace(x) && x != '/' && x != '=' && x != '>' }) j += 1
-          var aname =
-            if (xmlMode) Interned.lookupExact(raw, an, j)
-            else Interned.lookupLower(raw, an, j)
-          if (aname == null)
-            aname = if (xmlMode) raw.substring(an, j)
-                    else raw.substring(an, j).toLowerCase(java.util.Locale.ROOT)
-          // optional  \s*=+\s*  then value
+          var aname = Interned.lookupExact(raw, an, j)
+          if (aname == null) aname = raw.substring(an, j)
           var k = j
           while (k < n && isSpace(raw.charAt(k))) k += 1
           var value: String = null
@@ -312,31 +660,24 @@ object HtmlParser {
             j = k
           }
           val unescaped = if (value == null) "" else Entities.unescape(value)
-          // bs4 collapses multi-valued attrs (class) to space-joined tokens
-          val v =
-            if (!xmlMode && aname == "class")
-              unescaped.split("\\s+").filter(_.nonEmpty).mkString(" ")
-            else unescaped
           var existing = -1
           var ai = 0
           while (existing < 0 && ai < attrs.length) {
             if (attrs(ai)._1 == aname) existing = ai
             ai += 1
           }
-          if (existing >= 0) attrs(existing) = (aname, v) // bs4 REPLACE: last wins
-          else attrs += ((aname, v))
+          if (existing >= 0) attrs(existing) = (aname, unescaped)
+          else attrs += ((aname, unescaped))
         }
       }
       i = j
       flushText()
-      val isVoid = !xmlMode && voidElements.contains(name)
-      el.isVoid = isVoid
       top.append(el)
-      if (!isVoid && !selfClosing) {
-        stack += el
-        if (!xmlMode && cdataElements.contains(name)) cdataElem = name
-      }
+      if (!selfClosing) stack += el
     }
+
+    private def isSpace(c: Char): Boolean =
+      c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f'
 
     /** `[-.a-zA-Z0-9:_]` — CPython endtagfind's name charset. */
     private def isEndNameChar(c: Char): Boolean =
@@ -351,27 +692,23 @@ object HtmlParser {
         name = if (xmlMode) raw.substring(ns, j)
                else raw.substring(ns, j).toLowerCase(java.util.Locale.ROOT)
       flushText()
+      if (ev != null) ev += PEvent("endtag", name, null)
       popToTag(name)
     }
 
     /** CPython 3.11 `parse_endtag`, pinned against this container's
       * interpreter: (1) strict `</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>`
-      * (unicode \s — "</ p >" and "</p\u00a0>" close p); else (2)
+      * (unicode \s — "</ p >" and "</p >" close p); else (2)
       * tagfind_tolerant at i+2 ("</div\tjunk>" ends div, "</a<b>" ends
       * "a<b"); else (3) a BOGUS COMMENT of everything between "</" and
       * the first ">" ("</.foo>" -> Comment(".foo"), "</ a b>" ->
-      * Comment(" a b")). "</>" stays dropped. */
+      * Comment(" a b")). "</>" stays dropped; no '>' at all → resync. */
     private def parseEndTag(): Unit = {
       // raw(i,i+1) == "</"
-      if (i + 2 >= n) { emitData("</", convert = false); i = n; return }
-      if (raw.charAt(i + 2) == '>') { i += 3; return } // '</>' dropped
       if (xmlMode) { parseEndTagXml(); return }
-      val gt = raw.indexOf('>', i + 2)
-      if (gt < 0) { // no '>' at all: goahead(end=1) data fallback
-        emitData(raw.substring(i), convert = true)
-        i = n
-        return
-      }
+      val gt = raw.indexOf('>', i + 1)
+      if (gt < 0) { resyncEof(); return } // endendtag.search failed → -1
+      if (gt == i + 2) { i = i + 3; return } // '</>' dropped, no event
       // (1) strict endtagfind within [i+2, gt]
       var k = i + 2
       while (k < gt && PyStr.isPyWs(raw.charAt(k))) k += 1
@@ -385,27 +722,28 @@ object HtmlParser {
       }
       // (2) tolerant: letter at i+2, name = [^\t\n\r\f />\0]*, then
       // the first '>' AFTER the name ends the construct
-      val c2 = raw.charAt(i + 2)
-      if (isAsciiLetter(c2)) {
+      if (i + 2 < n && isAsciiLetter(raw.charAt(i + 2))) {
         val ns = i + 2
         var j = ns + 1
-        while (j < n && { val x = raw.charAt(j)
-          x != '\t' && x != '\n' && x != '\r' && x != '\f' && x != ' ' &&
-            x != '/' && x != '>' && x != '\u0000' }) j += 1
+        while (j < n && isTagNameChar(raw.charAt(j))) j += 1
         val gt2 = raw.indexOf('>', j)
-        if (gt2 < 0) { emitData(raw.substring(i), convert = true); i = n; return }
+        // gt2 >= 0 always: the name charset cannot cross the '>' at gt
         endWith(ns, j)
         i = gt2 + 1
         return
       }
       // (3) bogus comment
+      val body = raw.substring(i + 2, gt)
       flushText()
-      top.append(new Comment(raw.substring(i + 2, gt)))
+      if (ev != null) ev += PEvent("comment", body, null)
+      top.append(new Comment(body))
       i = gt + 1
     }
 
     /** XML-mode end tag (sitemap branch): original tolerant behavior. */
     private def parseEndTagXml(): Unit = {
+      if (i + 2 >= n) { emitData("</", convert = false); i = n; return }
+      if (raw.charAt(i + 2) == '>') { i += 3; return }
       val c = raw.charAt(i + 2)
       if (!isAsciiLetter(c)) { emitData("</", convert = false); i += 2; return }
       val ns = i + 2

@@ -42,6 +42,21 @@ object PyStr {
     if (a == 0 && b == s.length) s else s.substring(a, b)
   }
 
+  /** Python `re.findall(r'\S+', s)` — unicode-whitespace tokenization
+    * (bs4's multi-valued-attribute split; Java's `\\s` misses NBSP etc.). */
+  def splitWs(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      while (i < n && isPyWs(s.charAt(i))) i += 1
+      val start = i
+      while (i < n && !isPyWs(s.charAt(i))) i += 1
+      if (i > start) out += s.substring(start, i)
+    }
+    out.result()
+  }
+
   /** True iff `strip(s).isEmpty` — no allocation. */
   def isBlank(s: String): Boolean = {
     var i = 0

@@ -176,7 +176,7 @@ object LinkExtractor {
   def assetEdges(ix: PageIndex, baseUrl: String): Seq[Edge] = {
     val out = ArrayBuffer.empty[Edge]
     ix.linkTags.foreach { l =>
-      if (l.attr("rel").exists(_.split("\\s+").contains("stylesheet")))
+      if (l.attr("rel").exists(r => graft.html.PyStr.splitWs(r).contains("stylesheet")))
         l.attr("href").foreach(h => out += Edge(UrlMemo.urljoin(baseUrl, h), "css", "link", ""))
     }
     ix.scripts.foreach { s =>

@@ -105,7 +105,7 @@ object MetadataExtractor {
                 if (el.attr("type").contains("application/ld+json")) ldScripts += el
               case "link" =>
                 if (canonicalEl == null &&
-                    el.attr("rel").exists(_.split("\\s+").contains("canonical")) &&
+                    el.attr("rel").exists(r => graft.html.PyStr.splitWs(r).contains("canonical")) &&
                     el.attr("href").exists(_.nonEmpty)) canonicalEl = el
               case "title" => if (titleEl == null) titleEl = el
               case "base"  => if (baseEl == null) baseEl = el

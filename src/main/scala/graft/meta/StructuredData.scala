@@ -102,7 +102,7 @@ object StructuredData {
     else try PyUrl.urljoin(base, v) catch { case _: Exception => v }
 
   private def wsSplit(s: String): Seq[String] =
-    s.split("\\s+").iterator.filter(_.nonEmpty).toSeq
+    graft.html.PyStr.splitWs(s)
 
   // ---------- microdata ----------
 

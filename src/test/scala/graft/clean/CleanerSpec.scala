@@ -129,4 +129,12 @@ class CleanerSpec extends AnyFunSuite {
     val html = "<div><!-- only a comment --></div><p>t</p>"
     assert(text(html) == "t")
   }
+
+  test("display:none predicate matches CPython re.search with unicode \\s (golden)") {
+    graft.GoldenJson.load("display_none.json").foreach { c =>
+      val style = c.get("style").asText()
+      val want = c.get("hidden").asBoolean()
+      assert(Cleaner.hasDisplayNone(style) == want, s"style=${style.map(ch => f"\\u${ch.toInt}%04x").mkString}")
+    }
+  }
 }
