@@ -152,6 +152,16 @@ object Cleaner {
     walk(doc)
   }
 
+  /** The pure per-href transform of pass 3: urljoin + `utm_*` strip
+    * (core/scraper.py:210-220) — exposed for the href_norm_fuzz golden. */
+  def normalizeHref(baseUrl: String, href: String): String = {
+    val joined = graft.url.UrlMemo.urljoin(baseUrl, href)
+    val parsed = PyUrl.urlparse(joined)
+    val qd = PyUrl.parseQs(parsed.query, keepBlankValues = true)
+    val filtered = qd.filterNot { case (k, _) => k.startsWith("utm_") }
+    PyUrl.urlunparse(parsed.copy(query = PyUrl.urlencodeSeq(filtered)))
+  }
+
   /** Pass 3: `normalize_urls` (core/scraper.py:209-220). */
   def absolutizeHrefs(doc: Document, baseUrl: String): Unit = {
     def walk(e: Element): Unit = {
@@ -159,11 +169,7 @@ object Cleaner {
         // pure transform of (baseUrl, href) — memoized per thread (hot
         // path: every <a> of every page; nav/footer hrefs repeat heavily)
         val abs = graft.url.UrlMemo.hrefAbs(baseUrl, href) {
-          val joined = graft.url.UrlMemo.urljoin(baseUrl, href)
-          val parsed = PyUrl.urlparse(joined)
-          val qd = PyUrl.parseQs(parsed.query, keepBlankValues = true)
-          val filtered = qd.filterNot { case (k, _) => k.startsWith("utm_") }
-          PyUrl.urlunparse(parsed.copy(query = PyUrl.urlencodeSeq(filtered)))
+          normalizeHref(baseUrl, href)
         }
         e.setAttr("href", abs)
       }

@@ -28,9 +28,12 @@ object Sanitize {
   }
 
   import java.util.regex.{Pattern => P}
-  private val mathInline = P.compile("\\$(.+?)\\$")
+  // Python's non-DOTALL `.` excludes ONLY '\n'; Java's also excludes
+  // \r/\u0085/\u2028/\u2029 — spell it as [^\n] so inline spans containing
+  // a CR still match (math_spans.json golden). DOTALL forms are identical.
+  private val mathInline = P.compile("\\$([^\n]+?)\\$")
   private val mathBlock  = P.compile("\\$\\$(.+?)\\$\\$", P.DOTALL)
-  private val katexInline = P.compile("\\\\(.+?)\\\\")
+  private val katexInline = P.compile("\\\\([^\n]+?)\\\\")
   private val katexBlock  = P.compile("\\\\\\[(.+?)\\\\\\]", P.DOTALL)
 
   /** `preserve_mathjax` (core/scraper.py:360-365) — inline BEFORE block,

@@ -62,17 +62,33 @@ object PyUrl {
     }
   }
 
+  /** CPython `scheme_chars` — ASCII letters/digits/+-. only (Scala's
+    * isLetterOrDigit would admit unicode letters CPython rejects). */
   private def isSchemeChar(c: Char): Boolean =
-    c.isLetterOrDigit || c == '+' || c == '-' || c == '.'
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+      (c >= '0' && c <= '9') || c == '+' || c == '-' || c == '.'
 
-  /** CPython `urlparse` (allow_fragments=True). */
+  private def isAsciiAlpha(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
+
+  /** CPython 3.11 `uses_params` — urlparse splits `;params` off the last
+    * path segment ONLY for these schemes (notably NOT `file`). */
+  private val usesParams = Set("", "ftp", "hdl", "prospero", "http", "imap",
+    "https", "shttp", "rtsp", "rtsps", "rtspu", "sip", "sips", "mms", "sftp", "tel")
+
+  /** CPython `urlparse` (allow_fragments=True). urlsplit first REMOVES
+    * every tab/CR/LF anywhere in the url (`_UNSAFE_URL_BYTES_TO_REMOVE`,
+    * WHATWG-aligned; fuzz-pinned). */
   def urlparse(url: String, defaultScheme: String = ""): Parts = {
     var rest = url
+    if (rest.indexOf('\t') >= 0) rest = rest.replace("\t", "")
+    if (rest.indexOf('\r') >= 0) rest = rest.replace("\r", "")
+    if (rest.indexOf('\n') >= 0) rest = rest.replace("\n", "")
     var scheme = defaultScheme
     val colon = rest.indexOf(':')
     if (colon > 0) {
       val cand = rest.substring(0, colon)
-      if (cand.charAt(0).isLetter && cand.forall(isSchemeChar)) {
+      if (isAsciiAlpha(cand.charAt(0)) && cand.forall(isSchemeChar)) {
         scheme = cand.toLowerCase(java.util.Locale.ROOT)
         rest = rest.substring(colon + 1)
       }
@@ -90,20 +106,28 @@ object PyUrl {
     var query = ""
     val qm = rest.indexOf('?')
     if (qm >= 0) { query = rest.substring(qm + 1); rest = rest.substring(0, qm) }
-    // _splitparams: ';' in the last path segment
+    // _splitparams: ';' in the last path segment — uses_params schemes only
     var params = ""
     var path = rest
-    val semiFrom = if (rest.contains('/')) rest.lastIndexOf('/') else 0
-    val semi = rest.indexOf(';', semiFrom)
-    if (semi >= 0) { params = rest.substring(semi + 1); path = rest.substring(0, semi) }
+    if (usesParams.contains(scheme)) {
+      val semiFrom = if (rest.contains('/')) rest.lastIndexOf('/') else 0
+      val semi = rest.indexOf(';', semiFrom)
+      if (semi >= 0) { params = rest.substring(semi + 1); path = rest.substring(0, semi) }
+    }
     Parts(scheme, netloc, path, params, query, fragment)
   }
 
-  /** CPython `urlunparse`. */
+  /** CPython 3.11 `urlunparse` (via urlunsplit). Two pinned quirks: the
+    * `uses_netloc` re-rooting ("ftp:z" → "ftp:///z"), and NO re-wrapping
+    * when the path itself starts with "//" and netloc is empty — so
+    * ("http", "", "//x") reassembles as "http://x", silently promoting
+    * the path into a netloc position (3.11 dropped the old
+    * `url[:2] == '//'` wrap clause; fuzz-pinned). */
   def urlunparse(p: Parts): String = {
     var url = p.path
     if (p.params.nonEmpty) url = url + ";" + p.params
-    if (p.netloc.nonEmpty || url.startsWith("//")) {
+    if (p.netloc.nonEmpty ||
+        (p.scheme.nonEmpty && usesNetloc.contains(p.scheme) && !url.startsWith("//"))) {
       if (url.nonEmpty && !url.startsWith("/")) url = "/" + url
       url = "//" + p.netloc + url
     }
@@ -111,6 +135,72 @@ object PyUrl {
     if (p.query.nonEmpty) url = url + "?" + p.query
     if (p.fragment.nonEmpty) url = url + "#" + p.fragment
     url
+  }
+
+  /** CPython `str.encode('idna')` — the STDLIB codec (encodings/idna.py),
+    * NOT the idna package. ASCII input takes a fast path that checks ONLY
+    * label lengths (intermediate labels 1..63 bytes, last label <64 and
+    * may be empty = trailing dot); non-ASCII input splits on the four
+    * IDNA dot characters and runs ToASCII per label (nameprep+punycode —
+    * java.net.IDN implements the same IDNA2003 family). Throws
+    * IllegalArgumentException where CPython raises UnicodeError; the
+    * reference's `except idna.IDNAError` (utils.py:29-31) can never catch
+    * the codec's UnicodeError, so these failures propagate to its outer
+    * except → ParsingError. */
+  def encodeIdna(netloc: String): String = {
+    if (netloc.isEmpty) return netloc
+    var allAscii = true
+    var i = 0
+    while (allAscii && i < netloc.length) {
+      if (netloc.charAt(i) >= 128) allAscii = false
+      i += 1
+    }
+    if (allAscii) {
+      val labels = splitKeepAll(netloc, '.')
+      var j = 0
+      while (j < labels.length - 1) {
+        val l = labels(j).length
+        if (l == 0 || l >= 64) throw new IllegalArgumentException("label empty or too long")
+        j += 1
+      }
+      if (labels.last.length >= 64) throw new IllegalArgumentException("label too long")
+      netloc
+    } else {
+      val labels = scala.collection.mutable.ArrayBuffer.empty[String]
+      var start = 0
+      var k = 0
+      while (k < netloc.length) {
+        val c = netloc.charAt(k)
+        if (c == '.' || c == '。' || c == '．' || c == '｡') {
+          labels += netloc.substring(start, k)
+          start = k + 1
+        }
+        k += 1
+      }
+      labels += netloc.substring(start)
+      var trailingDot = ""
+      if (labels.last.isEmpty) { trailingDot = "."; labels.remove(labels.length - 1) }
+      val sb = new java.lang.StringBuilder
+      labels.foreach { label =>
+        if (sb.length > 0) sb.append('.')
+        sb.append(toAsciiLabel(label))
+      }
+      sb.append(trailingDot)
+      sb.toString
+    }
+  }
+
+  private def toAsciiLabel(label: String): String = {
+    if (label.forall(_ < 128)) {
+      if (label.nonEmpty && label.length < 64) label
+      else throw new IllegalArgumentException("label empty or too long")
+    } else {
+      val ace =
+        try java.net.IDN.toASCII(label)
+        catch { case e: Exception => throw new IllegalArgumentException("idna: " + e.getMessage) }
+      if (ace.nonEmpty && ace.length < 64) ace
+      else throw new IllegalArgumentException("label too long")
+    }
   }
 
   /** `urldefrag`: url without fragment. */
@@ -124,11 +214,13 @@ object PyUrl {
   }
 
   private val usesRelative = Set("", "ftp", "http", "gopher", "nntp", "imap",
-    "wais", "file", "https", "shttp", "mms", "prospero", "rtsp", "rtspu",
-    "sftp", "svn", "svn+ssh", "ws", "wss")
+    "wais", "file", "https", "shttp", "mms", "prospero", "rtsp", "rtsps",
+    "rtspu", "sftp", "svn", "svn+ssh", "ws", "wss")
+  /** CPython 3.11 `uses_netloc` — also drives urlunsplit's re-rooting of
+    * the path as `//…` even when netloc is empty ("ftp:z" → "ftp:///z"). */
   private val usesNetloc = Set("", "ftp", "http", "gopher", "nntp", "telnet",
     "imap", "wais", "file", "mms", "https", "shttp", "snews", "prospero",
-    "rtsp", "rtspu", "rsync", "svn", "svn+ssh", "sftp", "nfs", "git",
+    "rtsp", "rtsps", "rtspu", "rsync", "svn", "svn+ssh", "sftp", "nfs", "git",
     "git+ssh", "ws", "wss")
 
   /** CPython `urljoin`. */

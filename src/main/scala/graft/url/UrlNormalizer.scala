@@ -35,14 +35,10 @@ object UrlNormalizer {
   def isSessionId(param: String): Boolean =
     sessionIdPatterns.exists(p => p.matcher(param).lookingAt())
 
-  /** IDNA encode of a netloc, mirroring `netloc.encode('idna')`
-    * (IDNA2003, same family as java.net.IDN). ASCII netlocs pass through. */
-  private def idnaEncode(netloc: String): String = {
-    if (netloc.forall(_ < 128)) netloc
-    else
-      try java.net.IDN.toASCII(netloc)
-      catch { case _: Exception => netloc } // reference logs a warning and keeps it
-  }
+  // netloc IDNA encoding is PyUrl.encodeIdna — the stdlib-codec emulation
+  // whose failures THROW (the reference's `except idna.IDNAError` can never
+  // catch the codec's UnicodeError, so they surface as ParsingError there;
+  // pinned by the error rows of normalize_url_fuzz.json).
 
   /** os.path.splitext extension ("" when none). */
   private def splitextExt(path: String): String = {
@@ -62,15 +58,18 @@ object UrlNormalizer {
 
     val scheme = parsed.scheme.toLowerCase(java.util.Locale.ROOT)
     var netloc = parsed.netloc.toLowerCase(java.util.Locale.ROOT)
-    netloc = idnaEncode(netloc)
+    netloc = PyUrl.encodeIdna(netloc)
 
     if (netloc.startsWith("www."))
       netloc = "www." + netloc.replace("www.", "")
     else if (netloc.startsWith("www1.") || netloc.startsWith("www2."))
       netloc = "www." + netloc.substring(5)
 
-    val port = parsed.port
-    if ((scheme == "http" && port.contains(80)) || (scheme == "https" && port.contains(443)))
+    // Python short-circuits `scheme == 'http' and parsed.port == 80`:
+    // `.port` (which RAISES on malformed ports) is only evaluated for
+    // http/https — "ftp://h:bad/" normalizes fine (fuzz-pinned)
+    if ((scheme == "http" && parsed.port.contains(80)) ||
+        (scheme == "https" && parsed.port.contains(443)))
       netloc = parsed.hostname
 
     var path = parsed.path

@@ -130,6 +130,14 @@ class CleanerSpec extends AnyFunSuite {
     assert(text(html) == "t")
   }
 
+  test("math span preservation matches CPython re.sub incl. non-DOTALL '.' (golden)") {
+    graft.GoldenJson.load("math_spans.json").foreach { c =>
+      val in = c.get("in").asText()
+      assert(Sanitize.preserveMathjax(in) == c.get("mathjax").asText(), s"mathjax in=$in")
+      assert(Sanitize.preserveKatex(in) == c.get("katex").asText(), s"katex in=$in")
+    }
+  }
+
   test("display:none predicate matches CPython re.search with unicode \\s (golden)") {
     graft.GoldenJson.load("display_none.json").foreach { c =>
       val style = c.get("style").asText()
