@@ -72,28 +72,30 @@ object Cleaner {
   def normalizedText(root: Element): String = {
     val sb = new java.lang.StringBuilder(512)
     var pendingSpace = false
+    def feed(s: String): Unit = {
+      val n = s.length
+      var j = 0
+      while (j < n) {
+        if (isPyWs(s.charAt(j))) { pendingSpace = true; j += 1 }
+        else {
+          if (pendingSpace && sb.length > 0) sb.append(' ')
+          pendingSpace = false
+          // bulk-append the non-ws run (same chars, same order —
+          // byte-identical; append(char) was ~15% of spin samples)
+          var k = j + 1
+          while (k < n && !isPyWs(s.charAt(k))) k += 1
+          sb.append(s, j, k)
+          j = k
+        }
+      }
+    }
     def walk(e: Element): Unit = {
       val cs = e.children
       var i = 0
       while (i < cs.length) {
         cs(i) match {
-          case t: Text =>
-            val s = t.data
-            val n = s.length
-            var j = 0
-            while (j < n) {
-              if (isPyWs(s.charAt(j))) { pendingSpace = true; j += 1 }
-              else {
-                if (pendingSpace && sb.length > 0) sb.append(' ')
-                pendingSpace = false
-                // bulk-append the non-ws run (same chars, same order —
-                // byte-identical; append(char) was ~15% of spin samples)
-                var k = j + 1
-                while (k < n && !isPyWs(s.charAt(k))) k += 1
-                sb.append(s, j, k)
-                j = k
-              }
-            }
+          case t: Text    => feed(t.data)
+          case c: CData   => feed(c.data) // bs4 get_text includes CData
           case c: Element => walk(c)
           case _ =>
         }
@@ -127,6 +129,7 @@ object Cleaner {
         // time), U+2028/U+3000/U+0085 etc. count as blank — Java trim would
         // keep the ubiquitous <td>&nbsp;</td> spacer the reference removes.
         case t: Text    => if (!PyStr.isBlank(t.data)) return false
+        case c: CData   => if (!PyStr.isBlank(c.data)) return false // in get_text
         case _          => // comments/doctypes don't count as text (bs4)
       }
       i += 1

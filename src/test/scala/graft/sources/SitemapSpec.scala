@@ -78,6 +78,16 @@ class SitemapSpec extends AnyFunSuite {
     assert(e.count() == Sitemap.entries(Sitemap.syntheticSitemapPages(spark)).count())
   }
 
+  test("CDATA-wrapped locs parse like expat text (xml branch)") {
+    val xml = """<?xml version="1.0"?><urlset>
+      |<url><loc><![CDATA[https://e.com/a?x=1&y=2]]></loc></url>
+      |<url><loc>https://e.com/b</loc></url>
+      |</urlset>""".stripMargin
+    val (kind, locs) = Sitemap.parseSitemap(xml)
+    assert(kind == "urlset")
+    assert(locs == Seq("https://e.com/a?x=1&y=2", "https://e.com/b"))
+  }
+
   test("entries emits one row per loc with kind; parse_error rows carry null loc") {
     val e = Sitemap.entries(Sitemap.syntheticSitemapPages(spark))
       .as[(String, String, String)].collect()
