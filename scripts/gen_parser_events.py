@@ -236,6 +236,28 @@ HAND = [
     "<script >a</script>b",
     "<script/>x</script>y",
     "<script>&amp;</script>x",
+    # --- realistic full pages (constructs interacting at document scale) ---
+    ("<!DOCTYPE html><html><head><meta charset='utf-8'><title>Docs &amp; Guides</title>"
+     "<link rel='stylesheet canonical' href='/s.css'><script>var a = 1 < 2 && 3 > 2;</script>"
+     "<!--[if lt IE 9]><script src='shim.js'></script><![endif]--></head>"
+     "<body><nav class='nav  top'><a href='/a?utm_source=x&b=1'>A</a></nav>"
+     "<![if gte mso 9]><style>.mso{}</style><![endif]>"
+     "<article><h1>Title &ndash; part</h1><p>Body &copy; 2024 <b>bold</p>"
+     "<![CDATA[raw > cdata]]><pre><code>if (a&lt;b) {}</code></pre></article>"
+     "<footer style='display: none'>hidden</footer></body></html>"),
+    ("<html><body><table><tr><td>&nbsp;</td><td>x</td></tr></table>"
+     "<script type='math/tex'>E=mc^2</script>"
+     "<div style='display: none'><p>invisible</p></div>"
+     "<p>$a+b$ and $$c\nd$$</p><img src=i.png><br><hr>"
+     "<a name='top'></a><a href='#top'>up</a></body>"),
+    ("<?xml-stylesheet type='text/css'?><html><body>"
+     "<ul><li>one<li>two<li>three</ul>"
+     "<select><option value=1 selected>a<option value=2>b</select>"
+     "<p title='x&quot;y'>t</p><iframe src='f.svg'></iframe></body></html>"),
+    # truncated mid-page (crawler cutoffs): resync must recover structure
+    ("<html><body><p>start</p><div class='content'><p>real text "
+     "<a href='/next'>next</a></p><!-- trailing comment with > inside "),
+    ("<html><body><p>alpha</p><script>var s='unterminated"),
     # --- normal structure sanity ---
     "<html><head><title>T</title></head><body><p>a</p><p>b</p></body></html>",
     "<div class='a  b'><p>one</p></div>",
