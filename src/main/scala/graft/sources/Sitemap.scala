@@ -2,7 +2,6 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.html.{Document, Element, HtmlParser, Text}
 import graft.pipeline.PageRow
 
 /**
@@ -14,12 +13,19 @@ import graft.pipeline.PageRow
  * level-by-level — the frontier is sitemap rows only (a vanishing fraction
  * of any crawl table), so each hop is a small hash join.
  *
- * Quirk kept: the reference iterates `sitemap_dict['urlset']['url']`,
- * which for a SINGLE-entry sitemap is the entry dict itself (xmltodict
- * collapses one-element lists) — iterating it yields its KEYS and
- * `url['loc']` raises TypeError. Such sitemaps produce kind
- * `parse_error` here (no locs), mirroring the reference's failure on
- * them rather than "fixing" it.
+ * Per-payload semantics are pinned DIFFERENTIALLY against this
+ * container's real xmltodict/expat (sitemap_fuzz.json, ~1k payloads —
+ * SitemapFuzzSpec): well-formedness is expat-strict (StrictXml; the
+ * reference maps ExpatError to an empty result), and the loc-collection
+ * loop's crash quirks are kept as kind `parse_error`:
+ *  - a SINGLE entry makes `d['urlset']['url']` the entry dict itself —
+ *    iterating yields its KEYS and `url['loc']` raises TypeError;
+ *  - zero entries / a missing `loc` key / text-only or empty `<url>`
+ *    elements raise TypeError/KeyError the same way;
+ *  - locs that xmltodict does not surface as plain strings (empty
+ *    `<loc/>`, attribute-carrying or repeated or element-nested locs)
+ *    make the returned list unusable downstream — also `parse_error`
+ *    (closed-world mapping of the reference's deferred per-url crash).
  */
 object Sitemap {
 
@@ -28,27 +34,44 @@ object Sitemap {
   /** Root-element classification + loc extraction for one XML payload.
     * Returns (kind ∈ urlset|sitemapindex|parse_error|none, locs). */
   def parseSitemap(xml: String): (String, Seq[String]) = {
-    val doc =
-      try HtmlParser.parse(xml, xmlMode = true)
+    val root =
+      try StrictXml.parse(xml)
+      catch { case _: Exception => return ("none", Nil) } // ExpatError → []
+    collectLocs(root)
+  }
+
+  /** Byte-level entry point (expat sees bytes: BOM/declared encoding). */
+  def parseSitemapBytes(bytes: Array[Byte]): (String, Seq[String]) = {
+    val root =
+      try StrictXml.parseBytes(bytes)
       catch { case _: Exception => return ("none", Nil) }
-    val root = firstElement(doc).orNull
-    if (root == null) return ("none", Nil)
+    collectLocs(root)
+  }
+
+  private def collectLocs(root: StrictXml.XElem): (String, Seq[String]) = {
     val (kind, childTag) = root.name match {
       case "urlset"       => ("urlset", "url")
       case "sitemapindex" => ("sitemapindex", "sitemap")
       case _              => return ("none", Nil)
     }
-    val children = root.findAll(childTag)
-    if (children.length == 1) return ("parse_error", Nil) // xmltodict quirk
-    val locs = children.flatMap(c => c.findFirst("loc").map(l => strip(l.getText)))
-      .filter(_.nonEmpty)
-    (kind, locs.toSeq)
+    val entries = root.children.filter(_.name == childTag) // direct children
+    // 0 entries: d[root] is None or lacks the key → TypeError/KeyError;
+    // 1 entry: the dict/str/None member itself is iterated → TypeError
+    if (entries.length < 2) return ("parse_error", Nil)
+    val locs = Seq.newBuilder[String]
+    entries.foreach { e =>
+      // str/None members (text-only or empty <url>) crash `url['loc']`
+      if (e.children.isEmpty && !e.hasAttrs) return ("parse_error", Nil)
+      val locEls = e.children.filter(_.name == "loc")
+      if (locEls.length != 1) return ("parse_error", Nil) // KeyError / list
+      val loc = locEls.head
+      if (loc.children.nonEmpty || loc.hasAttrs) return ("parse_error", Nil) // dict
+      val v = StrictXml.textValue(loc)
+      if (v == null) return ("parse_error", Nil) // None member
+      locs += v
+    }
+    (kind, locs.result())
   }
-
-  private def firstElement(doc: Document): Option[Element] =
-    doc.descendantElements.headOption
-
-  private def strip(s: String): String = s.trim
 
   /** One row per (sitemap url, loc); parse_error/none rows carry a null
     * loc so they join to nothing downstream. */
@@ -60,9 +83,7 @@ object Sitemap {
       // an NPE that fails the task (matching extractPage's per-row policy)
       if (p.html == null) Nil
       else {
-      val content = HtmlParser.decode(p.html)
-      if (!content.take(256).contains("<")) Nil
-      else parseSitemap(content) match {
+      parseSitemapBytes(p.html) match {
         case ("urlset", locs)       => locs.map(SitemapEntry(p.url, "urlset", _))
         case ("sitemapindex", locs) => locs.map(SitemapEntry(p.url, "sitemapindex", _))
         case ("parse_error", _)     => Seq(SitemapEntry(p.url, "parse_error", null))
