@@ -90,9 +90,14 @@ object Bench {
       // warmup (not timed): one FULL map pass + one FULL pipeline run — JIT,
       // codec, and write paths all reach steady state before any timed run
       // (a 4k-doc warmup left a 14× cold first run in BENCH_r02's raw array)
+      // SPARK_GRAFT_BENCH_MAPONLY=1: time only the scan→extract map (no
+      // shuffles/writes) — for isolating extraction throughput from the
+      // write stage (whose 32 concurrent parquet writers are heap-marginal
+      // under external memory pressure)
+      val mapOnly = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAPONLY", "") == "1"
       Extract.extract(pages, nBuckets).map(_.doc.parse_failed)(
         org.apache.spark.sql.Encoders.scalaBoolean).count()
-      locally {
+      if (!mapOnly) locally {
         val warmOut = s"$benchRoot/out_warm_${System.nanoTime()}"
         Extract.run(spark, pages, warmOut, runId = "bench_warm", numBuckets = nBuckets)
         rmrf(new java.io.File(warmOut))
@@ -107,15 +112,18 @@ object Bench {
             .count()
         }
         mapRuns += mapDocs / mapSecs
-        // FRESH output dir per timed run — a leftover progress ledger would
-        // resume-skip every bucket and fake a 100x throughput
-        val outDir = s"$benchRoot/out_${System.nanoTime()}"
-        val (summary, fullSecs) = secs {
-          Extract.run(spark, pages, outDir, runId = s"bench_$i", numBuckets = nBuckets)
+        docsExtracted = mapDocs
+        if (!mapOnly) {
+          // FRESH output dir per timed run — a leftover progress ledger would
+          // resume-skip every bucket and fake a 100x throughput
+          val outDir = s"$benchRoot/out_${System.nanoTime()}"
+          val (summary, fullSecs) = secs {
+            Extract.run(spark, pages, outDir, runId = s"bench_$i", numBuckets = nBuckets)
+          }
+          docsExtracted = summary.docs
+          fullRuns += summary.docs / fullSecs
+          rmrf(new java.io.File(outDir)) // bound /tmp usage across runs
         }
-        docsExtracted = summary.docs
-        fullRuns += summary.docs / fullSecs
-        rmrf(new java.io.File(outDir)) // bound /tmp usage across runs
       }
     }
     val docsPerSec = if (fullRuns.nonEmpty) median(fullRuns.toSeq) else 0.0
