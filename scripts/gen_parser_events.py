@@ -236,6 +236,10 @@ HAND = [
     "<script >a</script>b",
     "<script/>x</script>y",
     "<script>&amp;</script>x",
+    "<script>a</script x=\"</script>\">b",
+    "<script>a</script<</script>b",
+    "<script>a</script </script>b",
+    "<script>a</scriptx</script>b",
     # --- realistic full pages (constructs interacting at document scale) ---
     ("<!DOCTYPE html><html><head><meta charset='utf-8'><title>Docs &amp; Guides</title>"
      "<link rel='stylesheet canonical' href='/s.css'><script>var a = 1 < 2 && 3 > 2;</script>"

@@ -32,8 +32,10 @@ import xmltodict
 def reference_outcome(content: bytes):
     try:
         d = xmltodict.parse(content)
+    except xmltodict.expat.ExpatError:
+        return {"kind": "none"}      # the reference CATCHES this -> []
     except Exception:
-        return {"kind": "none"}
+        return {"kind": "crash"}     # ValueError etc. escape its except
     if 'urlset' in d:
         key, child = 'urlset', 'url'
     elif 'sitemapindex' in d:
@@ -144,6 +146,37 @@ HAND = [
     "",
     "   ",
     "<?xml version='1.0'?>",
+    # --- XML declaration grammar (expat-validated) ---
+    "<?xml bogus?><urlset><url><loc>a</loc></url><url><loc>b</loc></url></urlset>",
+    "<?xml encoding='utf-8'?><urlset><url><loc>a</loc></url><url><loc>b</loc></url></urlset>",
+    "<?xml version='1.0'encoding='utf-8'?><urlset><url><loc>a</loc></url><url><loc>b</loc></url></urlset>",
+    "<?xml version='2.0'?><urlset><url><loc>a</loc></url><url><loc>b</loc></url></urlset>",
+    "<?xml version = '1.0' standalone='yes' ?><urlset><url><loc>a</loc></url><url><loc>b</loc></url></urlset>",
+    "<?xml version='1.0' standalone='yes' encoding='utf-8'?><urlset><url><loc>a</loc></url><url><loc>b</loc></url></urlset>",
+    "<?xml version='1.0'?'><urlset/>",
+    # --- DOCTYPE / internal subset ---
+    "<!DOCTYPE urlset [ <!FOO> ]><urlset><url><loc>a</loc></url><url><loc>b</loc></url></urlset>",
+    "<!DOCTYPE urlset [ <!ENTITY x 'y'> ]><urlset><url><loc>a</loc></url><url><loc>b</loc></url></urlset>",
+    "<!DOCTYPE urlset [ <!ELEMENT urlset ANY> <!ATTLIST urlset a CDATA #IMPLIED> ]><urlset><url><loc>a</loc></url><url><loc>b</loc></url></urlset>",
+    "<!DOCTYPE urlset [ <!NOTATION n SYSTEM 'f'> <!-- c --> <?pi ?> %pe; ]><urlset><url><loc>a</loc></url><url><loc>b</loc></url></urlset>",
+    "<!DOCTYPE urlset [ junk ]><urlset><url><loc>a</loc></url><url><loc>b</loc></url></urlset>",
+    "<!DOCTYPE urlset SYSTEM 'dtd'><urlset><url><loc>a</loc></url><url><loc>b</loc></url></urlset>",
+    "<!DOCTYPE urlset PUBLIC 'p' 's'><urlset><url><loc>a</loc></url><url><loc>b</loc></url></urlset>",
+    "<!DOCTYPE urlset junk junk2><urlset><url><loc>a</loc></url><url><loc>b</loc></url></urlset>",
+    "<!DOCTYPE urlset><!DOCTYPE urlset><urlset><url><loc>a</loc></url><url><loc>b</loc></url></urlset>",
+    # --- declared encodings (pyexpat: single-byte OK, multi-byte ValueError) ---
+    "<?xml version='1.0' encoding='windows-1252'?><urlset><url><loc>caf\u00e9</loc></url><url><loc>b</loc></url></urlset>",
+    "<?xml version='1.0' encoding='koi8-r'?><urlset><url><loc>\u0434\u0430</loc></url><url><loc>b</loc></url></urlset>",
+    "<?xml version='1.0' encoding='shift_jis'?><urlset><url><loc>a</loc></url><url><loc>b</loc></url></urlset>",
+    "<?xml version='1.0' encoding='euc-jp'?><urlset><url><loc>a</loc></url><url><loc>b</loc></url></urlset>",
+    "<?xml version='1.0' encoding='no-such-enc'?><urlset><url><loc>a</loc></url><url><loc>b</loc></url></urlset>",
+    "<?xml version='1.0' encoding='UTF-16'?><urlset><url><loc>a</loc></url><url><loc>b</loc></url></urlset>",
+    # --- long numeric references / deep nesting ---
+    "<urlset><url><loc>&#00000000000065;</loc></url><url><loc>b</loc></url></urlset>",
+    "<urlset><url><loc>&#x00000041;</loc></url><url><loc>b</loc></url></urlset>",
+    "<urlset><url><loc>&#99999999;</loc></url><url><loc>b</loc></url></urlset>",
+    "<urlset>" + "<a>" * 5000 + "</a>" * 5000 + "</urlset>",
+    "<urlset>" + "<a>" * 5000 + "</a>" * 4999,
 ]
 
 
@@ -159,10 +192,21 @@ def main():
     seen = set()
     uniq = [p for p in payloads if not (p in seen or seen.add(p))]
     rows = []
+    import re as _re
     for s in uniq:
-        enc = "iso-8859-1" if "ISO-8859-1" in s else "utf-8"
+        m = _re.search(r"encoding\s*=\s*[\"']([A-Za-z0-9._-]+)[\"']", s[:100])
+        enc = m.group(1) if m else "utf-8"
+        try:
+            "x".encode(enc)
+        except LookupError:
+            enc = "utf-8"
         row = {"xml": s}
-        row.update(reference_outcome(s.encode(enc)))
+        try:
+            payload = s.encode(enc)
+        except Exception:
+            payload = s.encode("utf-8", "replace")
+        row.update(reference_outcome(payload))
+        row["enc"] = enc
         rows.append(row)
     dest = os.path.join(os.path.dirname(__file__), "..",
                         "src", "test", "resources", "golden", "sitemap_fuzz.json")

@@ -138,7 +138,13 @@ object Cleaner {
   }
 
   /** Pass 2: `normalize_character_encoding` (core/scraper.py:202-207).
-    * Applied to plain text nodes (script/style contents included). */
+    * Applied to plain text nodes (script/style contents included) AND
+    * CData nodes: bs4's `find_all(text=True)` matches every
+    * NavigableString subclass, so the reference's `replace_with(
+    * html.unescape(str(text)))` rewrites CData content too (the
+    * node-type laundering side of that call — Comments becoming visible
+    * text — remains the documented non-emulated divergence, SURVEY
+    * §7.5 item 1). */
   def unescapeTextNodes(doc: Document): Unit = {
     def walk(e: Element): Unit = {
       val cs = e.children
@@ -146,6 +152,7 @@ object Cleaner {
       while (i < cs.length) {
         cs(i) match {
           case t: Text     => t.data = Entities.unescape(t.data)
+          case c: CData    => c.data = Entities.unescape(c.data)
           case c: Element  => walk(c)
           case _           =>
         }

@@ -240,7 +240,10 @@ object HtmlParser {
               i = gt + 1
               cdataElem = null
               return
-            } else j = gt + 1 // end-tag-shaped junk: cdata data through '>'
+            } else j = lt + 1 // candidate rejected: CPython's interesting
+            // search advances position-by-position, so a REAL close may
+            // START inside the rejected span (`</script x="</script>">`
+            // closes at the inner end tag — pinned in parser_events.json)
           }
         }
       }

@@ -32,11 +32,18 @@ object Sitemap {
   final case class SitemapEntry(url: String, kind: String, loc: String)
 
   /** Root-element classification + loc extraction for one XML payload.
-    * Returns (kind ∈ urlset|sitemapindex|parse_error|none, locs). */
+    * Returns (kind ∈ urlset|sitemapindex|parse_error|none, locs).
+    * NotWellFormed = expat's ExpatError, which the reference CATCHES
+    * (empty result → none); ExpatUnsupported = pyexpat's ValueError
+    * conditions (multi-byte declared encodings, ENTITY definitions),
+    * which escape the reference's except clause → crash → parse_error. */
   def parseSitemap(xml: String): (String, Seq[String]) = {
     val root =
       try StrictXml.parse(xml)
-      catch { case _: Exception => return ("none", Nil) } // ExpatError → []
+      catch {
+        case _: StrictXml.ExpatUnsupported => return ("parse_error", Nil)
+        case _: Exception                  => return ("none", Nil)
+      }
     collectLocs(root)
   }
 
@@ -44,7 +51,10 @@ object Sitemap {
   def parseSitemapBytes(bytes: Array[Byte]): (String, Seq[String]) = {
     val root =
       try StrictXml.parseBytes(bytes)
-      catch { case _: Exception => return ("none", Nil) }
+      catch {
+        case _: StrictXml.ExpatUnsupported => return ("parse_error", Nil)
+        case _: Exception                  => return ("none", Nil)
+      }
     collectLocs(root)
   }
 

@@ -15,20 +15,38 @@ import graft.html.PyStr
  * by the sitemap_fuzz.json differential corpus (SitemapFuzzSpec;
  * scripts/gen_sitemap_fuzz.py).
  *
+ * Two failure channels, matching the reference's exception granularity:
+ *  - NotWellFormed — expat's ExpatError, which the reference CATCHES
+ *    (empty seed list);
+ *  - ExpatUnsupported — conditions where pyexpat/xmltodict raise
+ *    ValueError instead (multi-byte declared encodings like shift_jis,
+ *    `<!ENTITY` definitions = the billion-laughs guard), which the
+ *    reference's `except xmltodict.expat.ExpatError` does NOT catch, so
+ *    parse_sitemap crashes — the closed-world mapping is parse_error.
+ *
  * Implemented grammar subset (everything sitemap payloads exercise):
- * XML decl at byte 0 only; prolog comments/PIs/one DOCTYPE (internal
- * subset skipped); one root element; strict tags with quoted attribute
+ * validated XML declaration at byte 0 only (version first, then optional
+ * encoding/standalone, whitespace REQUIRED between them); prolog
+ * comments/PIs/one DOCTYPE (external ids skipped; internal subset
+ * restricted to ELEMENT/ATTLIST/NOTATION declarations, comments, PIs and
+ * `%pe;` refs — ENTITY raises ExpatUnsupported, anything else
+ * NotWellFormed); one root element parsed ITERATIVELY (expat handles
+ * 30k-deep nesting, so no recursion); strict tags with quoted attribute
  * values ('<' forbidden inside), required whitespace between attributes,
  * duplicate-attribute rejection; the five predefined entities plus
- * `&#ddd;`/`&#xhh;` (lowercase x, legal-XML-char targets only); CDATA
- * sections; comments without interior `--`; PIs with non-"xml" targets;
- * `]]>` forbidden in character data; control chars other than
- * tab/LF/CR forbidden; `\r\n`/`\r` normalized to `\n` before parsing;
- * trailing junk after the root rejected.
+ * `&#ddd;`/`&#xhh;` (lowercase x, any digit count, legal-XML-char
+ * targets only); CDATA sections; comments without interior `--`; PIs
+ * with non-"xml" targets; `]]>` forbidden in character data; control
+ * chars other than tab/LF/CR forbidden; `\r\n`/`\r` normalized to `\n`
+ * before parsing; trailing junk after the root rejected.
  */
 object StrictXml {
 
   final class NotWellFormed(msg: String) extends RuntimeException(msg)
+
+  /** pyexpat raises ValueError (not ExpatError) for these — uncaught in
+    * the reference, i.e. parse_sitemap CRASHES. */
+  final class ExpatUnsupported(msg: String) extends RuntimeException(msg)
 
   /** Parsed element: child ELEMENTS (document order), attribute names
     * (values are irrelevant to the sitemap outcome), and the raw
@@ -52,9 +70,11 @@ object StrictXml {
     new P(s).document()
   }
 
-  /** Strict decode: BOM (utf-8/utf-16) else declaration `encoding=`,
-    * default UTF-8; any malformed byte sequence rejects the document
-    * (expat raises ExpatError on bad input bytes). */
+  /** expat's built-in encodings are UTF-8/UTF-16 and ASCII/Latin-1;
+    * pyexpat's unknown-encoding handler extends that to any SINGLE-BYTE
+    * Python codec (windows-1252, koi8-r, cp437, mac-roman all parse) but
+    * raises ValueError("multi-byte encodings are not supported") for
+    * shift_jis/euc-jp/gb2312/big5 — probed and pinned in the fuzz corpus. */
   private def decode(bytes: Array[Byte]): String = {
     import java.nio.charset.{Charset, CodingErrorAction, StandardCharsets}
     def strict(cs: Charset, offset: Int): String = {
@@ -78,9 +98,24 @@ object StrictXml {
         .compile("""encoding\s*=\s*["']([A-Za-z0-9._-]+)["']""")
         .matcher(head)
       if (m.find()) {
+        val name = m.group(1)
         val cs =
-          try Charset.forName(m.group(1))
-          catch { case _: Exception => throw new NotWellFormed("unknown encoding") }
+          try Charset.forName(name)
+          catch { case _: Exception =>
+            // pyexpat surfaces unknown declared encodings as LookupError —
+            // NOT ExpatError — so the reference crashes (fuzz-pinned)
+            throw new ExpatUnsupported("unknown encoding: " + name)
+          }
+        val lower = cs.name().toLowerCase(java.util.Locale.ROOT)
+        val utfFamily = lower == "utf-8" || lower.startsWith("utf-16") ||
+          lower.startsWith("x-utf-16")
+        if (!utfFamily) {
+          val maxBytes =
+            try cs.newEncoder().maxBytesPerChar()
+            catch { case _: UnsupportedOperationException => 2.0f }
+          if (maxBytes > 1.0f)
+            throw new ExpatUnsupported("multi-byte encodings are not supported")
+        }
         return strict(cs, 0)
       }
     }
@@ -125,13 +160,9 @@ object StrictXml {
         Character.isSurrogate(c) // pairs checked by decode; sitemaps: fine
 
     def document(): XElem = {
-      // XML declaration: at offset 0 ONLY (expat: "not at start of entity")
-      if (s.startsWith("<?xml") &&
-          (n == 5 || !isNameChar(s.charAt(5)))) {
-        val e = s.indexOf("?>", 5)
-        if (e < 0) fail("unclosed XML declaration")
-        i = e + 2
-      }
+      // XML declaration: at offset 0 ONLY, with validated pseudo-attrs
+      if (s.startsWith("<?xml") && (n == 5 || !isNameChar(s.charAt(5))))
+        xmlDecl()
       var sawDoctype = false
       var scanning = true
       while (scanning) {
@@ -144,7 +175,7 @@ object StrictXml {
       if (i >= n) fail("no element found")
       if (s.charAt(i) != '<') fail("junk before document element")
       if (i + 1 >= n || !isNameStart(s.charAt(i + 1))) fail("invalid document element")
-      val root = element()
+      val root = parseRoot()
       var trailing = true
       while (trailing) {
         skipS()
@@ -156,38 +187,119 @@ object StrictXml {
       root
     }
 
+    /** `<?xml version=… (encoding=…)? (standalone=…)? ?>` — whitespace
+      * required between pseudo-attributes, version first (expat rejects
+      * `<?xml bogus?>`, `<?xml encoding=…?>` and the no-space form —
+      * probed and pinned in the fuzz corpus). */
+    private def xmlDecl(): Unit = {
+      i = 5
+      declPseudoAttr("version", required = true)
+      val sawEnc = declPseudoAttr("encoding", required = false)
+      declPseudoAttr("standalone", required = false)
+      skipS()
+      if (!s.startsWith("?>", i)) fail("XML declaration not well-formed")
+      i += 2
+      locally(sawEnc) // encoding value already consumed by decode()
+    }
+
+    /** Consumes `S+ name S* = S* 'value'` when `name` is next; returns
+      * whether it matched. The LEADING whitespace is mandatory. */
+    private def declPseudoAttr(name: String, required: Boolean): Boolean = {
+      val save = i
+      if (i >= n || !isS(s.charAt(i))) {
+        if (required) fail("XML declaration not well-formed")
+        return false
+      }
+      skipS()
+      if (!s.startsWith(name, i)) {
+        if (required) fail("XML declaration not well-formed")
+        i = save
+        return false
+      }
+      i += name.length
+      skipS()
+      if (i >= n || s.charAt(i) != '=') fail("XML declaration not well-formed")
+      i += 1
+      skipS()
+      if (i >= n || (s.charAt(i) != '"' && s.charAt(i) != '\'')) fail("XML declaration not well-formed")
+      val q = s.charAt(i)
+      val e = s.indexOf(q, i + 1)
+      if (e < 0) fail("XML declaration not well-formed")
+      i = e + 1
+      true
+    }
+
+    /** `<!DOCTYPE name (SYSTEM lit | PUBLIC lit lit)? ([subset])? >` —
+      * the internal subset allows only ELEMENT/ATTLIST/NOTATION decls,
+      * comments, PIs and `%pe;` refs; `<!ENTITY` is pyexpat's
+      * entities-are-disabled ValueError (ExpatUnsupported). */
     private def doctype(): Unit = {
       i += 9 // <!DOCTYPE
       if (i >= n || !isS(s.charAt(i))) fail("DOCTYPE name expected")
       skipS()
       xmlName()
-      var open = true
-      while (open) {
-        if (i >= n) fail("unclosed DOCTYPE")
-        s.charAt(i) match {
-          case '>' => i += 1; open = false
-          case '"' | '\'' =>
-            val q = s.charAt(i)
-            val e = s.indexOf(q, i + 1)
-            if (e < 0) fail("unclosed literal in DOCTYPE")
-            i = e + 1
-          case '[' => // internal subset: skip to matching ']', honor quotes
-            i += 1
-            var inSubset = true
-            while (inSubset) {
-              if (i >= n) fail("unclosed internal subset")
-              s.charAt(i) match {
-                case ']' => i += 1; inSubset = false
-                case '"' | '\'' =>
-                  val q = s.charAt(i)
-                  val e = s.indexOf(q, i + 1)
-                  if (e < 0) fail("unclosed literal in subset")
-                  i = e + 1
-                case _ => i += 1
-              }
+      skipS()
+      // optional ExternalID: SYSTEM lit | PUBLIC lit lit (case-sensitive;
+      // arbitrary junk keywords are expat errors — fuzz-pinned)
+      def literal(): Unit = {
+        if (i >= n || (s.charAt(i) != '"' && s.charAt(i) != '\'')) fail("literal expected in DOCTYPE")
+        val q = s.charAt(i)
+        val e = s.indexOf(q, i + 1)
+        if (e < 0) fail("unclosed literal in DOCTYPE")
+        i = e + 1
+      }
+      if (s.startsWith("SYSTEM", i)) {
+        i += 6
+        if (i >= n || !isS(s.charAt(i))) fail("space expected after SYSTEM")
+        skipS(); literal()
+      } else if (s.startsWith("PUBLIC", i)) {
+        i += 6
+        if (i >= n || !isS(s.charAt(i))) fail("space expected after PUBLIC")
+        skipS(); literal()
+        if (i >= n || !isS(s.charAt(i))) fail("space expected after public id")
+        skipS(); literal()
+      }
+      skipS()
+      if (i < n && s.charAt(i) == '[') { i += 1; internalSubset() }
+      skipS()
+      if (i >= n || s.charAt(i) != '>') fail("'>' expected in DOCTYPE")
+      i += 1
+    }
+
+    private def internalSubset(): Unit = {
+      var inSubset = true
+      while (inSubset) {
+        skipS()
+        if (i >= n) fail("unclosed internal subset")
+        if (s.charAt(i) == ']') { i += 1; inSubset = false }
+        else if (s.startsWith("<!--", i)) comment()
+        else if (s.startsWith("<?", i)) pi()
+        else if (s.startsWith("<!ENTITY", i))
+          throw new ExpatUnsupported("entities are disabled")
+        else if (s.startsWith("<!ELEMENT", i) || s.startsWith("<!ATTLIST", i) ||
+                 s.startsWith("<!NOTATION", i)) {
+          // skip the declaration to its '>' (quoted literals honored)
+          var open = true
+          while (open) {
+            if (i >= n) fail("unclosed markup declaration")
+            s.charAt(i) match {
+              case '>' => i += 1; open = false
+              case '"' | '\'' =>
+                val q = s.charAt(i)
+                val e = s.indexOf(q, i + 1)
+                if (e < 0) fail("unclosed literal in declaration")
+                i = e + 1
+              case _ => i += 1
             }
-          case _ => i += 1
+          }
         }
+        else if (s.charAt(i) == '%') {
+          i += 1
+          xmlName()
+          if (i >= n || s.charAt(i) != ';') fail("bad parameter entity reference")
+          i += 1
+        }
+        else fail("junk in internal subset")
       }
     }
 
@@ -219,11 +331,13 @@ object StrictXml {
       i = e + 2
     }
 
-    /** `&...;` — predefined names, `#ddd`, `#xhh` (lowercase x). Appends
-      * the expansion to `out`. */
+    /** `&...;` — predefined names, `#ddd`, `#xhh` (lowercase x; any
+      * length — `&#00000065;` is legal). Appends the expansion to `out`. */
     private def entity(out: java.lang.StringBuilder): Unit = {
-      val sc = s.indexOf(';', i + 1)
-      if (sc < 0 || sc - i > 12) fail("undefined entity")
+      var sc = i + 1
+      while (sc < n && s.charAt(sc) != ';' && s.charAt(sc) != '<' &&
+             s.charAt(sc) != '&' && !isS(s.charAt(sc))) sc += 1
+      if (sc >= n || s.charAt(sc) != ';') fail("undefined entity")
       val body = s.substring(i + 1, sc)
       body match {
         case "amp"  => out.append('&')
@@ -232,26 +346,29 @@ object StrictXml {
         case "quot" => out.append('"')
         case "apos" => out.append('\'')
         case _ =>
-          var cp = -1
+          var cp = -1L
           if (body.length > 2 && body.startsWith("#x")) {
             val hex = body.substring(2)
-            if (hex.forall(c => (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')))
-              cp = try Integer.parseInt(hex, 16) catch { case _: Exception => -1 }
+            if (hex.length <= 8 &&
+                hex.forall(c => (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')))
+              cp = java.lang.Long.parseLong(hex, 16)
           } else if (body.length > 1 && body.startsWith("#")) {
             val dec = body.substring(1)
-            if (dec.forall(c => c >= '0' && c <= '9'))
-              cp = try Integer.parseInt(dec) catch { case _: Exception => -1 }
+            if (dec.length <= 16 && dec.forall(c => c >= '0' && c <= '9'))
+              cp = java.lang.Long.parseLong(dec)
           } else fail("undefined entity")
           val legal = cp == 0x9 || cp == 0xA || cp == 0xD ||
             (cp >= 0x20 && cp <= 0xD7FF) || (cp >= 0xE000 && cp <= 0xFFFD) ||
             (cp >= 0x10000 && cp <= 0x10FFFF)
           if (!legal) fail("reference to invalid character number")
-          out.appendCodePoint(cp)
+          out.appendCodePoint(cp.toInt)
       }
       i = sc + 1
     }
 
-    private def element(): XElem = {
+    /** Start tag at `i` ('<' + NameStart): name + attributes. Returns
+      * the element and whether it self-closed. */
+    private def startTag(): (XElem, Boolean) = {
       i += 1 // '<'
       val name = xmlName()
       val el = new XElem(name)
@@ -290,24 +407,30 @@ object StrictXml {
           el.attrNames += aname
         }
       }
-      if (!empty) content(el)
-      el
+      (el, empty)
     }
 
-    private def content(el: XElem): Unit = {
-      var open = true
-      while (open) {
+    /** Root element, parsed ITERATIVELY with an explicit open-element
+      * stack — expat handles arbitrarily deep nesting and a recursive
+      * descent would StackOverflowError (an Error, escaping the row-level
+      * Exception isolation) on deep payloads. */
+    private def parseRoot(): XElem = {
+      val (root, rootEmpty) = startTag()
+      if (rootEmpty) return root
+      val stack = ArrayBuffer[XElem](root)
+      while (stack.nonEmpty) {
         if (i >= n) fail("no element found") // EOF inside element
+        val cur = stack(stack.length - 1)
         val c = s.charAt(i)
         if (c == '<') {
           if (s.startsWith("</", i)) {
             i += 2
             val enm = xmlName()
-            if (enm != el.name) fail(s"mismatched tag </$enm>")
+            if (enm != cur.name) fail(s"mismatched tag </$enm>")
             skipS()
             if (i >= n || s.charAt(i) != '>') fail("'>' expected in end tag")
             i += 1
-            open = false
+            stack.remove(stack.length - 1)
           }
           else if (s.startsWith("<!--", i)) comment()
           else if (s.startsWith("<![CDATA[", i)) {
@@ -316,22 +439,27 @@ object StrictXml {
             if (e < 0) fail("unclosed CDATA section")
             var j = i
             while (j < e) { if (!isLegalChar(s.charAt(j))) fail("illegal char in CDATA"); j += 1 }
-            el.text.append(s, i, e)
+            cur.text.append(s, i, e)
             i = e + 3
           }
           else if (s.startsWith("<!", i)) fail("markup declaration in content")
           else if (s.startsWith("<?", i)) pi()
-          else if (i + 1 < n && isNameStart(s.charAt(i + 1))) el.children += element()
+          else if (i + 1 < n && isNameStart(s.charAt(i + 1))) {
+            val (el, empty) = startTag()
+            cur.children += el
+            if (!empty) stack += el
+          }
           else fail("bare '<' in content")
         }
-        else if (c == '&') entity(el.text)
+        else if (c == '&') entity(cur.text)
         else if (c == ']' && s.startsWith("]]>", i)) fail("']]>' in content")
         else {
           if (!isLegalChar(c)) fail("illegal char in content")
-          el.text.append(c)
+          cur.text.append(c)
           i += 1
         }
       }
+      root
     }
   }
 

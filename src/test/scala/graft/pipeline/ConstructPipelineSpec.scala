@@ -23,6 +23,13 @@ class ConstructPipelineSpec extends AnyFunSuite {
     assert(r.doc.text == "beforekept > textafter")
   }
 
+  test("entities inside CDATA unescape in pass 2 (find_all(text=True) matches CData)") {
+    val r = Extract.extractPage(page(
+      "<html><body><p>a</p><![CDATA[x &amp; y]]></body></html>"), 16)
+    assert(!r.doc.parse_failed)
+    assert(r.doc.text == "ax & y")
+  }
+
   test("MS-Office conditional sections are invisible in text") {
     val r = Extract.extractPage(page(
       "<html><body><![if gte mso 9]><p>mso only</p><![endif]><p>t</p></body></html>"), 16)

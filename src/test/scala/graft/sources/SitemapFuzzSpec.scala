@@ -18,7 +18,7 @@ class SitemapFuzzSpec extends AnyFunSuite {
     var counts = Map.empty[String, Int].withDefaultValue(0)
     cases.foreach { c =>
       val xml = c.get("xml").asText()
-      val enc = if (xml.contains("ISO-8859-1")) "ISO-8859-1" else "UTF-8"
+      val enc = if (c.has("enc")) c.get("enc").asText() else "UTF-8"
       val (kind, locs) = Sitemap.parseSitemapBytes(xml.getBytes(enc))
       val want = c.get("kind").asText()
       counts = counts.updated(want, counts(want) + 1)
