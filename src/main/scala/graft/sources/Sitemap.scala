@@ -26,6 +26,16 @@ import graft.pipeline.PageRow
  *    `<loc/>`, attribute-carrying or repeated or element-nested locs)
  *    make the returned list unusable downstream — also `parse_error`
  *    (closed-world mapping of the reference's deferred per-url crash).
+ *
+ * DELIBERATE deviation (documented, not emulated): the reference's
+ * recursive hop calls `parse_sitemap(sitemap['loc'])`, whose first line
+ * is `urljoin(base_url, 'sitemap.xml')` — every child loc's FILENAME is
+ * replaced, collapsing same-directory children onto one url, and since
+ * there is no recursion guard, any sitemapindex whose children share its
+ * directory re-fetches itself until RecursionError. A batch operator
+ * cannot reproduce an unbounded self-fetch; `seedUrls` resolves child
+ * locs AS GIVEN with a bounded depth — the semantic successor of what
+ * the recursion would do if it worked.
  */
 object Sitemap {
 
