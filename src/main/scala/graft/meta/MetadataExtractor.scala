@@ -35,48 +35,26 @@ object MetadataExtractor {
 
   private val dateNames = Set("date", "pubdate", "lastmod", "modified")
 
-  /** Deterministic stand-in for `dateutil.parser.parse(...).isoformat()`:
-    * fixed pattern list (SURVEY §2.3), date-only inputs get T00:00:00. */
+  /** `dateutil.parser.parse(content).isoformat()` via the PyDateUtil
+    * port (fuzz-pinned vs real dateutil — dates_fuzz.json); partial
+    * dates (wall-clock-dependent in the reference) map to None. Fast
+    * paths keep the two dominant meta shapes off the tokenizer; both
+    * produce byte-identical results to the port (golden-checked). */
   def parseDateIso(s: String): Option[String] = {
     val v = s.trim
-    // fast paths for the two dominant shapes (avoid the exception chain)
     if (v.length == 10 && v.charAt(4) == '-' && v.charAt(7) == '-' &&
         v.forall(c => c.isDigit || c == '-')) {
       return try Some(v + "T00:00:00").filter(_ =>
         { java.time.LocalDate.parse(v); true })
       catch { case _: Exception => None }
     }
-    if (v.length == 19 && v.charAt(10) == 'T') {
+    if (v.length == 19 && v.charAt(10) == 'T' && v.charAt(4) == '-' &&
+        v.charAt(13) == ':' && v.forall(c => c.isDigit || c == '-' || c == ':' || c == 'T')) {
       try return Some(java.time.LocalDateTime.parse(v)
-        .format(DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss")))
+        .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss")))
       catch { case _: Exception => }
     }
-    val formats = Seq(
-      "yyyy-MM-dd'T'HH:mm:ssXXX", "yyyy-MM-dd'T'HH:mm:ssX",
-      "yyyy-MM-dd'T'HH:mm:ss", "yyyy-MM-dd HH:mm:ss",
-      "yyyy-MM-dd'T'HH:mm", "yyyy-MM-dd", "yyyy/MM/dd",
-      "MM/dd/yyyy", "MMM d, yyyy", "d MMM yyyy",
-      "EEE, d MMM yyyy HH:mm:ss zzz")
-    val iso = DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss")
-    formats.view.flatMap { f =>
-      try {
-        val fmt = DateTimeFormatter.ofPattern(f, java.util.Locale.US)
-        val parsed = fmt.parseBest(v,
-          java.time.OffsetDateTime.from(_), LocalDateTime.from(_),
-          java.time.LocalDate.from(_))
-        val (ldt, off) = parsed match {
-          case o: java.time.OffsetDateTime => (o.toLocalDateTime, Some(o.getOffset))
-          case l: LocalDateTime            => (l, None)
-          case d: java.time.LocalDate      => (d.atStartOfDay, None)
-        }
-        val base = iso.format(ldt)
-        Some(off match {
-          case Some(o) if o.getTotalSeconds == 0 => base + "+00:00"
-          case Some(o)                           => base + o.getId
-          case None                              => base
-        })
-      } catch { case _: Exception => None }
-    }.headOption
+    PyDateUtil.parseIso(s)
   }
 
   def extract(doc: Document): PageMeta = extract(doc, "")
