@@ -62,6 +62,17 @@ SHAPES = [
     "2024-01-02 AD", "02.01.2024", "31.12.2024", "2024-01-02T03",
     "2024-01-02 3am", "2024-01-02 3 am", "11:00 PM 2024-01-02",
     "2024-01-02T03:04:05 +02:00", "2024-01-02T03:04:05Z+02:00",
+    # review-found divergent shapes (now pinned)
+    "2024--1-02", "-024-01-02", "\u0662\u0660\u0662\u0664-\u0660\u0661-\u0660\u0662",
+    "2024-\u0660\u0661-02", "0000-01-02", "0000-01-02T03:04:05",
+    "Tue, 2 Jan 2024 03:04:05 -0300 (BRST)",
+    "Tue, 2 Jan 2024 03:04:05 +0100 (CET)",
+    "2024-01-02\u00a003:04:05", "2024-01-02\u008503:04:05",
+    "2024-01-02\u202f03:04:05",
+    "2024-01-02T03:04:05+9900", "2024-01-02T03:04:05-2400",
+    "2024-01-02T03:04:05+23:59", "2024-01-02 1234.5", "1234.5",
+    "2.5Jan2024", "12.5 am 2 Jan 2024", "2024-01-02 3.5:04",
+    "0001-01-02", "9999-12-31T23:59:59",
 ]
 
 

@@ -1,8 +1,6 @@
 package graft.meta
 
 import graft.html._
-import java.time.LocalDateTime
-import java.time.format.DateTimeFormatter
 
 /** Extracted per-page metadata struct (SURVEY §1.2 mapping of the metadata
   * dict from /root/reference/processing/content_processor.py:43-112). */
@@ -38,21 +36,28 @@ object MetadataExtractor {
   /** `dateutil.parser.parse(content).isoformat()` via the PyDateUtil
     * port (fuzz-pinned vs real dateutil — dates_fuzz.json); partial
     * dates (wall-clock-dependent in the reference) map to None. Fast
-    * paths keep the two dominant meta shapes off the tokenizer; both
-    * produce byte-identical results to the port (golden-checked). */
+    * paths keep the two dominant meta shapes off the tokenizer: ASCII
+    * digits only, year >= 1 (dateutil MINYEAR), and any miss FALLS
+    * THROUGH to the port rather than answering None. */
   def parseDateIso(s: String): Option[String] = {
     val v = s.trim
+    def asciiDigit(c: Char): Boolean = c >= '0' && c <= '9'
     if (v.length == 10 && v.charAt(4) == '-' && v.charAt(7) == '-' &&
-        v.forall(c => c.isDigit || c == '-')) {
-      return try Some(v + "T00:00:00").filter(_ =>
-        { java.time.LocalDate.parse(v); true })
-      catch { case _: Exception => None }
+        v.forall(c => asciiDigit(c) || c == '-')) {
+      try {
+        val ld = java.time.LocalDate.parse(v)
+        if (ld.getYear >= 1) return Some(v + "T00:00:00")
+      } catch { case _: Exception => }
     }
     if (v.length == 19 && v.charAt(10) == 'T' && v.charAt(4) == '-' &&
-        v.charAt(13) == ':' && v.forall(c => c.isDigit || c == '-' || c == ':' || c == 'T')) {
-      try return Some(java.time.LocalDateTime.parse(v)
-        .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss")))
-      catch { case _: Exception => }
+        v.charAt(13) == ':' &&
+        v.forall(c => asciiDigit(c) || c == '-' || c == ':' || c == 'T')) {
+      try {
+        val ldt = java.time.LocalDateTime.parse(v)
+        // the parsed value round-trips verbatim (strict ISO shape), so
+        // the input IS the isoformat — no re-format needed
+        if (ldt.getYear >= 1) return Some(v)
+      } catch { case _: Exception => }
     }
     PyDateUtil.parseIso(s)
   }

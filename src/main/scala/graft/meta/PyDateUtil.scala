@@ -49,8 +49,42 @@ object PyDateUtil {
   // ---------- _timelex ----------
 
   private def isWordChar(c: Char): Boolean = Character.isLetter(c)
-  private def isNumChar(c: Char): Boolean = c >= '0' && c <= '9'
-  private def isSpaceChar(c: Char): Boolean = Character.isWhitespace(c)
+  // CPython _timelex: isnum = str.isdigit (UNICODE digits), isspace =
+  // str.isspace (the pinned PyStr set — NBSP/NEL included, unlike
+  // Character.isWhitespace)
+  private def isNumChar(c: Char): Boolean = Character.isDigit(c)
+  private def isSpaceChar(c: Char): Boolean = graft.html.PyStr.isPyWs(c)
+
+  /** int()/Decimal() truncation over possibly-unicode digit tokens. */
+  private def pyIntTrunc(t: String): Int = {
+    val dot = t.indexOf('.')
+    val intPart = if (dot >= 0) t.substring(0, dot) else t
+    if (intPart.isEmpty) throw Fail // int('') — ValueError
+    var v = 0L
+    var i = 0
+    while (i < intPart.length) {
+      val d = Character.digit(intPart.charAt(i), 10)
+      if (d < 0) throw Fail
+      v = v * 10 + d
+      if (v > Int.MaxValue) throw Fail
+      i += 1
+    }
+    v.toInt
+  }
+
+  /** ASCII-digit normalization for fraction/decimal handling. */
+  private def normDigits(t: String): String = {
+    val sb = new java.lang.StringBuilder(t.length)
+    var i = 0
+    while (i < t.length) {
+      val c = t.charAt(i)
+      val d = Character.digit(c, 10)
+      if (d >= 0) sb.append(('0' + d).toChar)
+      else sb.append(c)
+      i += 1
+    }
+    sb.toString
+  }
 
   /** `_timelex.split`: runs of letters / digits (dots and decimal commas
     * absorbed, then re-split when the dotted token is not a decimal),
@@ -157,7 +191,7 @@ object PyDateUtil {
         centurySpecified = true
         lbl = 'Y'
       }
-      appendInt(repr.toInt, lbl)
+      appendInt(pyIntTrunc(repr), lbl)
     }
 
     def appendInt(v: Int, label: Char): Unit = {
@@ -273,6 +307,8 @@ object PyDateUtil {
         tzoff = 0
       else if (tzoff == Int.MinValue && res.tzname != null && utcZone.contains(res.tzname))
         tzoff = 0
+      if (tzoff != Int.MinValue && math.abs(tzoff) >= 24 * 3600)
+        return None // datetime.isoformat raises for |offset| >= 24h (caught upstream)
       if (tzoff != Int.MinValue) {
         val sign = if (tzoff < 0) '-' else '+'
         val a = math.abs(tzoff)
@@ -306,7 +342,7 @@ object PyDateUtil {
       val dot = v.indexOf('.')
       if (dot < 0) (v.toInt, 0)
       else {
-        val sec = if (dot == 0) 0 else v.substring(0, dot).toInt
+        val sec = pyIntTrunc(v.substring(0, dot)) // dot==0 -> int('') raises
         val frac = (v.substring(dot + 1) + "000000").substring(0, 6)
         (sec, frac.toInt)
       }
@@ -369,7 +405,7 @@ object PyDateUtil {
                 else (i, hmsOf(l(hmsIdx)) + 1)
               which match {
                 case 0 =>
-                  val (h2, fr) = { val d = tok.indexOf('.'); if (d < 0) (tok.toInt, -1)
+                  val (h2, fr) = { val d = tok.indexOf('.'); if (d < 0) (pyIntTrunc(tok), -1)
                     else (tok.substring(0, d).toInt,
                       (BigDecimal("0." + tok.substring(d + 1)) * 60).toInt) }
                   res.hour = h2; if (fr >= 0 && fr != 0) res.minute = fr
@@ -384,7 +420,7 @@ object PyDateUtil {
             } else false
           }) { /* handled in condition */ }
           else if (i + 2 < nL && l(i + 1) == ":") {
-            res.hour = tok.toInt
+            res.hour = pyIntTrunc(tok)
             val (m2, s2) = minSec(l(i + 2))
             res.minute = m2
             res.second = s2 // may UNSET a prior value (None assign), like dateutil
@@ -414,19 +450,19 @@ object PyDateUtil {
             i += 1
           } else if (i + 1 >= nL || isJump(l(i + 1))) {
             if (i + 2 < nL && ampmOf(l(i + 2)) >= 0) {
-              res.hour = adjustAmpm(tok.toInt, ampmOf(l(i + 2)))
+              res.hour = adjustAmpm(pyIntTrunc(tok), ampmOf(l(i + 2)))
               i += 1
             } else {
               // CPython appends the parsed VALUE here (not value_repr), so
               // "0099" does NOT set century_specified (→ convertyear: 1999)
-              ymd.appendInt(tok.toDouble.toInt, ' ')
+              ymd.appendInt(pyIntTrunc(tok), ' ')
             }
             i += 1
-          } else if (ampmOf(l(i + 1)) >= 0 && { val v = tok.toDouble; v >= 0 && v < 24 }) {
-            res.hour = adjustAmpm(tok.toInt, ampmOf(l(i + 1)))
+          } else if (ampmOf(l(i + 1)) >= 0 && { val v = BigDecimal(normDigits(tok)); v >= 0 && v < 24 }) {
+            res.hour = adjustAmpm(pyIntTrunc(tok), ampmOf(l(i + 1)))
             i += 1
-          } else if (ymd.couldBeDay(tok.toInt)) {
-            ymd.appendInt(tok.toInt, ' ')
+          } else if (ymd.couldBeDay(pyIntTrunc(tok))) {
+            ymd.appendInt(pyIntTrunc(tok), ' ')
           } else throw Fail
         } else if (weekdayOf(tok) >= 0) {
           res.weekdaySeen = true
@@ -477,12 +513,20 @@ object PyDateUtil {
           val lenLi = off.length
           var hourOff = 0
           var minOff = 0
-          if (lenLi == 4) { hourOff = off.substring(0, 2).toInt; minOff = off.substring(2).toInt }
+          if (lenLi == 4) { hourOff = pyIntTrunc(off.substring(0, 2)); minOff = pyIntTrunc(off.substring(2)) }
           else if (i + 2 < nL && l(i + 2) == ":") {
-            hourOff = off.toInt; minOff = l(i + 3).toInt; i += 2
-          } else if (lenLi <= 2) { hourOff = off.toInt }
+            hourOff = pyIntTrunc(off); minOff = pyIntTrunc(l(i + 3)); i += 2
+          } else if (lenLi <= 2) { hourOff = pyIntTrunc(off) }
           else throw Fail
           res.tzoffset = signal * (hourOff * 3600 + minOff * 60)
+          // "-0300 (BRST)": offset, jump, '(', NAME, ')' — the name is
+          // captured as tzname (dateutil's parenthesized-zone lookahead)
+          if (i + 5 < nL && isJump(l(i + 2)) && l(i + 3) == "(" && l(i + 5) == ")" &&
+              l(i + 4).length >= 3 && l(i + 4).length <= 5 && res.tzname == null &&
+              (l(i + 4).forall(c => c >= 'A' && c <= 'Z') || utcZone.contains(l(i + 4)))) {
+            res.tzname = l(i + 4)
+            i += 4
+          }
           i += 1
         } else if (!isJump(tok)) {
           throw Fail

@@ -15,11 +15,8 @@ import scala.jdk.CollectionConverters._
 class DatesFuzzSpec extends AnyFunSuite {
 
   test("dateutil.parse().isoformat() parity over the meta-date corpus") {
-    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    val in = getClass.getResourceAsStream("/golden/dates_fuzz.json")
-    require(in != null)
     var nOk, nErr, nPart = 0
-    mapper.readTree(in).elements().asScala.foreach { c =>
+    graft.GoldenJson.load("dates_fuzz.json").foreach { c =>
       val s = c.get("in").asText()
       val got = MetadataExtractor.parseDateIso(s)
       if (c.has("error")) { nErr += 1; assert(got.isEmpty, s"want None for error row in=${s.take(50)} got=$got") }
