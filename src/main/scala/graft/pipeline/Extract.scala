@@ -286,13 +286,15 @@ object Extract {
     // each task holds one bucket's rows, so the partitioned write emits one
     // file per split WITHOUT shuffling the extracted payloads at all — the
     // exchange-free path (BucketedSpec proves the plan; Bench measures it).
-    // record the buckets THIS run's extraction actually produced (an
-    // accumulator filled during the docs_clean write job — retried tasks
-    // may double-add, deduped on the driver). "All written buckets minus
-    // this runId's done set" is NOT equivalent: a reused outDir holding a
-    // DIFFERENT run's output would sweep those stale buckets into this
-    // run's sidecars, metrics, ledger, and summary.
-    val bucketAcc = spark.sparkContext.collectionAccumulator[Int]("graft.run.buckets")
+    // record the buckets THIS run's extraction actually produced (a
+    // set-semantics accumulator filled during the docs_clean write job —
+    // per-task state and the merged driver value are both bounded by
+    // numBuckets, never by row count, and retried tasks are idempotent).
+    // "All written buckets minus this runId's done set" is NOT equivalent:
+    // a reused outDir holding a DIFFERENT run's output would sweep those
+    // stale buckets into this run's sidecars, metrics, ledger, and summary.
+    val bucketAcc = new BucketSetAccumulator
+    spark.sparkContext.register(bucketAcc, "graft.run.buckets")
     val extracted = extract(current, numBuckets)
       .map { p => bucketAcc.add(p.doc.url_bucket); p }
       .select(col("doc.*"), col("meta"), col("links"), col("anchors"))
@@ -304,8 +306,7 @@ object Extract {
       .option("partitionOverwriteMode", "dynamic").partitionBy("url_bucket")
       .parquet(s"$outDir/docs_clean")
 
-    import scala.jdk.CollectionConverters._
-    val processedBuckets = bucketAcc.value.asScala.toSet
+    val processedBuckets = bucketAcc.value
     val written = spark.read.parquet(s"$outDir/docs_clean")
     // POSITIVE partition filter on the processed set: prunes to exactly
     // this run's buckets (an incremental run over a few buckets no longer
@@ -370,4 +371,38 @@ object Extract {
         coalesce(sum($"parse_failures"), lit(0L))).collect()(0)
     RunSummary(m.getLong(0), m.getLong(1), numBuckets)
   }
+}
+
+/**
+ * Set-semantics bucket accumulator: per-row `add`s collapse into a per-task
+ * BitSet and driver-side merges union BitSets, so driver memory is
+ * O(numBuckets) — never O(rows). (The previous `collectionAccumulator[Int]`
+ * kept one boxed Integer PER EXTRACTED ROW on the driver: ~tens of MB at
+ * 1.28M docs, a guaranteed OOM at the 10^12-doc design point.) Set semantics
+ * also make task retries idempotent — a resubmitted task re-setting the same
+ * bits is a no-op, removing the old dedup-on-driver caveat.
+ */
+final class BucketSetAccumulator
+    extends org.apache.spark.util.AccumulatorV2[Int, Set[Int]] {
+  private val bits = new java.util.BitSet()
+  override def isZero: Boolean = bits.isEmpty
+  override def copy(): BucketSetAccumulator = {
+    val c = new BucketSetAccumulator; c.bits.or(bits); c
+  }
+  override def reset(): Unit = bits.clear()
+  override def add(v: Int): Unit = bits.set(v)
+  override def merge(
+      other: org.apache.spark.util.AccumulatorV2[Int, Set[Int]]): Unit =
+    other match {
+      case o: BucketSetAccumulator => bits.or(o.bits)
+      case o                       => o.value.foreach(bits.set)
+    }
+  override def value: Set[Int] = {
+    val b = Set.newBuilder[Int]
+    var i = bits.nextSetBit(0)
+    while (i >= 0) { b += i; i = bits.nextSetBit(i + 1) }
+    b.result()
+  }
+  /** Bytes of driver-side state — exposed so specs can assert the bound. */
+  def stateBytes: Long = bits.size().toLong / 8
 }
