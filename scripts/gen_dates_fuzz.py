@@ -12,6 +12,15 @@ missing fields from the current date) are marked {"partial": true} and
 excluded from parity (the engine is deterministic by contract; the
 reference is wall-clock-dependent there — documented deviation).
 
+NOTE: two-digit-year rows ("99-01-02", "68-01-02", ...) encode a
++/-50-year window relative to the GENERATION-TIME year (dateutil's
+parserinfo captures the clock at import; PyDateUtil's default pivot is
+the current year). The checked-in golden is generation-year-relative:
+it silently expires when the wall clock crosses a window boundary
+(first flip ~2049) — regenerate the corpus in the same era it is run.
+Runs that need era-independent bytes pin PyDateUtil's pivotYear
+parameter instead.
+
 Output: dates_fuzz.json [{"in", "iso"} | {"in", "error": true} | {"in", "partial": true}]
 
 Regenerate with:  python3 scripts/gen_dates_fuzz.py

@@ -198,8 +198,9 @@ object HtmlParser {
 
     /** CDATA mode, pinned against CPython 3.11: the `interesting` regex
       * stops only at the full `</\s*script\s*>` (case-insensitive, unicode
-      * \s) — "</script b>c" and "</scripts>" are cdata DATA (through their
-      * '>'), and a different end tag ("</style>" inside script) likewise.
+      * \s) — "</script b>c" and "</scripts>" are ordinary cdata content
+      * (rescan from lt+1, no special stop), and a different end tag
+      * ("</style>" inside script) likewise.
       * Unterminated cdata at EOF is DROPPED (goahead's final data flush is
       * gated on `not cdata_elem`). */
     private def scanCdata(): Unit = {

@@ -39,7 +39,10 @@ object MetadataExtractor {
     * paths keep the two dominant meta shapes off the tokenizer: ASCII
     * digits only, year >= 1 (dateutil MINYEAR), and any miss FALLS
     * THROUGH to the port rather than answering None. */
-  def parseDateIso(s: String): Option[String] = {
+  def parseDateIso(s: String): Option[String] =
+    parseDateIso(s, PyDateUtil.DefaultPivotYear)
+
+  def parseDateIso(s: String, pivotYear: Int): Option[String] = {
     val v = s.trim
     def asciiDigit(c: Char): Boolean = c >= '0' && c <= '9'
     if (v.length == 10 && v.charAt(4) == '-' && v.charAt(7) == '-' &&
@@ -59,12 +62,18 @@ object MetadataExtractor {
         if (ldt.getYear >= 1) return Some(v)
       } catch { case _: Exception => }
     }
-    PyDateUtil.parseIso(s)
+    PyDateUtil.parseIso(s, pivotYear)
   }
 
   def extract(doc: Document): PageMeta = extract(doc, "")
 
-  def extract(doc: Document, pageUrl: String): PageMeta = {
+  def extract(doc: Document, pageUrl: String): PageMeta =
+    extract(doc, pageUrl, PyDateUtil.DefaultPivotYear)
+
+  /** `pivotYear` pins the two-digit-year window for date-meta
+    * normalization — threaded from the extraction job's determinism
+    * params (Extract.run), defaulting to the current year like dateutil. */
+  def extract(doc: Document, pageUrl: String, pivotYear: Int): PageMeta = {
     // single walk: metas, json-ld scripts, canonical link, first title,
     // plus the microdata/RDFa candidate lists (itemscope/typeof/property
     // elements, document order) so the structured-data harvest never
@@ -121,7 +130,7 @@ object MetadataExtractor {
     val dateMetas = metas.flatMap { m =>
       (m.attr("name"), m.attr("content")) match {
         case (Some(n), Some(c)) if dateNames.contains(n) =>
-          parseDateIso(c).map(n -> _)
+          parseDateIso(c, pivotYear).map(n -> _)
         case _ => None
       }
     }
@@ -143,7 +152,7 @@ object MetadataExtractor {
     val keywords = metaByName("keywords").flatMap(_.attr("content"))
     val lastModifiedRaw = metaByName("last-modified").flatMap(_.attr("content"))
     // extract_metadata: raw content first, then ISO-normalized when parseable
-    val lastModified = lastModifiedRaw.map(raw => parseDateIso(raw).getOrElse(raw))
+    val lastModified = lastModifiedRaw.map(raw => parseDateIso(raw, pivotYear).getOrElse(raw))
 
     // structured data, extruct syntax order (json-ld, microdata, rdfa):
     // raw <script type="application/ld+json"> bodies; microdata items;

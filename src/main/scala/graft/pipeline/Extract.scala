@@ -54,7 +54,8 @@ object Extract {
     * Content kind dispatch mirrors the reference's MIME routing
     * (core/scraper.py:500-517, core/scraper_core.py:42-44) keyed off content
     * shape: PDF magic → pdf; leading `<?xml` → xml; url extension fallback. */
-  def extractPage(row: PageRow, numBuckets: Int): ExtractedPage = {
+  def extractPage(row: PageRow, numBuckets: Int,
+                  pivotYear: Int = graft.meta.PyDateUtil.DefaultPivotYear): ExtractedPage = {
     extractCalls.increment()
     val bucket = urlBucket(row.url, numBuckets)
     def emptyMeta = DocMetaRow(row.url, row.warc_ts, null, null, null, null,
@@ -63,7 +64,7 @@ object Extract {
     val sha = if (row.html == null) null else hexSha256(row.html)
     try {
       require(row.html != null, "null html payload")
-      val (kind, text, cleanedHtml, meta, links, anchors) = dispatch(row)
+      val (kind, text, cleanedHtml, meta, links, anchors) = dispatch(row, pivotYear)
       ExtractedPage(
         DocClean(row.url, row.warc_ts, text, cleanedHtml, sha, size, kind,
           bucket, parse_failed = false, null),
@@ -101,7 +102,7 @@ object Extract {
   private def isInternal(src: String, dst: String): Boolean =
     PyUrl.urlparse(src).netloc == PyUrl.urlparse(dst).netloc
 
-  private def dispatch(row: PageRow): (String, String, String,
+  private def dispatch(row: PageRow, pivotYear: Int): (String, String, String,
       Option[DocMetaRow], Seq[graft.links.Edge], Seq[String]) = {
     if (PdfText.isPdf(row.html)) {
       ("pdf", PdfText.extract(row.html), null, None, Nil, Nil)
@@ -123,7 +124,7 @@ object Extract {
         // vacuous because cleaning removes every <meta>/<link> first — the
         // raw-dom order is the intended semantics, SURVEY §2.3/§2.9)
         val rawDoc = HtmlParser.parse(content)
-        val m = MetadataExtractor.extract(rawDoc, row.url)
+        val m = MetadataExtractor.extract(rawDoc, row.url, pivotYear)
         val edges = LinkExtractor.edges(rawDoc, row.url)
         val anchors = LinkExtractor.anchorIds(rawDoc)
         // clean in place (same DOM — extraction already materialized)
@@ -224,9 +225,10 @@ object Extract {
 
   /** Typed extraction map — object-exec boundary kept narrow: only
     * (url, warc_ts, html, lang) should reach here (project before). */
-  def extract(pages: Dataset[PageRow], numBuckets: Int = DefaultBuckets): Dataset[ExtractedPage] = {
+  def extract(pages: Dataset[PageRow], numBuckets: Int = DefaultBuckets,
+              pivotYear: Int = graft.meta.PyDateUtil.DefaultPivotYear): Dataset[ExtractedPage] = {
     import pages.sparkSession.implicits._
-    pages.mapPartitions { it => it.map(extractPage(_, numBuckets)) }
+    pages.mapPartitions { it => it.map(extractPage(_, numBuckets, pivotYear)) }
   }
 
   final case class RunSummary(docs: Long, failures: Long, buckets: Int)
@@ -240,7 +242,10 @@ object Extract {
           runId: String, numBuckets: Int = DefaultBuckets,
           prevSnapshot: Option[DataFrame] = None,
           blocklist: Option[Dataset[String]] = None,
-          repartitionForWrite: Boolean = true): RunSummary = {
+          repartitionForWrite: Boolean = true,
+          // determinism param: pins the two-digit-year pivot for date-meta
+          // normalization (same policy as the parameterized extraction_date)
+          pivotYear: Int = graft.meta.PyDateUtil.DefaultPivotYear): RunSummary = {
     import spark.implicits._
 
     val ledgerPath = s"$outDir/progress"
@@ -295,7 +300,7 @@ object Extract {
     // stale buckets into this run's sidecars, metrics, ledger, and summary.
     val bucketAcc = new BucketSetAccumulator
     spark.sparkContext.register(bucketAcc, "graft.run.buckets")
-    val extracted = extract(current, numBuckets)
+    val extracted = extract(current, numBuckets, pivotYear)
       .map { p => bucketAcc.add(p.doc.url_bucket); p }
       .select(col("doc.*"), col("meta"), col("links"), col("anchors"))
     val toWrite =

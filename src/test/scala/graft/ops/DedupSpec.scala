@@ -204,6 +204,36 @@ class DedupSpec extends AnyFunSuite {
     assert(allNull.forall(_.isNullAt(0)))
   }
 
+  test("bitsFor derives scale-safe hyperplane counts (VERDICT r03 wrong #2 table)") {
+    assert(Dedup.bitsFor(0) == 6 && Dedup.bitsFor(1000) == 6)
+    assert(Dedup.bitsFor(100000) == 13)
+    assert(Dedup.bitsFor(10000000L) == 20)
+    assert(Dedup.bitsFor(1000000000L) == 26)
+    assert(Dedup.bitsFor(1000000000000L) == 36)
+    assert(Dedup.bitsFor(Long.MaxValue) == 48) // clamped below the table byte
+  }
+
+  test("1e5 vectors, derived defaults: recall does not collapse, skew guard silent") {
+    // The r3 failure mode: bits=6 fixed → 64 buckets/table → every bucket
+    // holds ~n/64 ids and maxBucket=1000 silently discards almost all of
+    // them. With AutoBits the expected occupancy is ~16, the guard never
+    // fires, and planted near-dups survive as candidates.
+    val n = 100000
+    val planted = 50
+    val rows = ((0 until n).iterator.map(i => (i.toLong, vec(i))) ++
+      (0 until planted).iterator.map { i =>
+        val v = vec(i); v(0) = v(0) + 0.01f // near-identical clone of id i
+        ((n + i).toLong, v)
+      }).toSeq.toDF("vec_id", "embedding").repartition(32)
+    val m = new Dedup.LshMetrics(spark)
+    val cands = Dedup.embeddingCandidatePairs(rows, "vec_id", "embedding",
+      metrics = Some(m)) // bits = AutoBits → bitsFor(100050) = 13
+    val hits = cands.filter($"id_b" === $"id_a" + n && $"id_a" < planted).count()
+    assert(hits >= planted * 9 / 10, s"recall collapsed: $hits/$planted planted pairs")
+    assert(m.truncatedBuckets.value == 0L,
+      s"skew guard fired on balanced data: ${m.truncatedBuckets.value} buckets")
+  }
+
   test("fingerprints deterministic across evaluations") {
     val a = Dedup.fingerprints(docs, "doc_id", "text").orderBy($"id")
       .select($"id", $"simhash").as[(Long, Long)].collect().toSeq
