@@ -20,9 +20,14 @@ import graft.url.PyUrl
  *    checked first); void tags (img/br/hr) are always empty → removed;
  *  - emptiness = get_text(strip=True) == "" AND no element descendants,
  *    so a tag containing only a comment is "empty" and goes;
- *  - pass 2 runs BEFORE comment/hidden removal — entity decoding cannot
- *    resurrect markup (text stays text), but `&nbsp;` becomes U+00A0 which
- *    the final UNICODE `\s+` collapse folds into a single space;
+ *  - pass 2 runs BEFORE comment/hidden removal AND it LAUNDERS every
+ *    string node (bs4's find_all(text=True) + replace_with(str) turn
+ *    Comments/Doctypes/CData/PIs/Declarations into plain text — see
+ *    launderStringNodes), so pass 4's isinstance(_, Comment) finds
+ *    nothing and comment/doctype text SURVIVES into get_text();
+ *    entity decoding cannot resurrect markup (text stays text), but
+ *    `&nbsp;` becomes U+00A0 which the final UNICODE `\s+` collapse
+ *    folds into a single space;
  *  - pass 3 touches only `<a href>`: urljoin against the page url, then
  *    parse_qs(keep_blank_values=True) / drop `utm_*` / urlencode(doseq);
  *  - pass 4's hidden-subtree predicate is `re.search("display:\\s*none")`
@@ -137,30 +142,62 @@ object Cleaner {
     true
   }
 
-  /** Pass 2: `normalize_character_encoding` (core/scraper.py:202-207).
-    * Applied to plain text nodes (script/style contents included) AND
-    * CData nodes: bs4's `find_all(text=True)` matches every
-    * NavigableString subclass, so the reference's `replace_with(
-    * html.unescape(str(text)))` rewrites CData content too (the
-    * node-type laundering side of that call — Comments becoming visible
-    * text — remains the documented non-emulated divergence, SURVEY
-    * §7.5 item 1). */
-  def unescapeTextNodes(doc: Document): Unit = {
+  /** Pass 2: `normalize_character_encoding` (core/scraper.py:202-207) —
+    * the full node-type LAUNDERING, settled by source-level analysis of
+    * public bs4 (SURVEY §7.5 item 1, arbitrated round 4):
+    *
+    *   `for text in soup.find_all(text=True): text.replace_with(
+    *    html.unescape(str(text)))`
+    *
+    *  - `find_all(text=True)` matches EVERY NavigableString subclass:
+    *    SoupStrainer.search's NavigableString branch calls
+    *    `_matches(markup, True)` which is `markup is not None`
+    *    (bs4/element.py), and Comment/Doctype/CData/ProcessingInstruction/
+    *    Declaration all subclass NavigableString;
+    *  - `str(node)` is the INNER text (NavigableString subclasses str;
+    *    PREFIX/SUFFIX like `<!--`/`-->` apply only in output_ready during
+    *    serialization);
+    *  - `replace_with` inserts via `Tag.insert`, which coerces a bare
+    *    Python str into a plain NavigableString (bs4/element.py insert:
+    *    `if isinstance(new_child, str) and not isinstance(new_child,
+    *    NavigableString): new_child = NavigableString(new_child)`).
+    *
+    * Net effect: after this pass NO Comment/Doctype/CData/PI/Declaration
+    * nodes remain — each becomes a PLAIN TEXT node holding its
+    * html.unescape'd inner text. Hence (a) pass 4's
+    * `isinstance(text, Comment)` finds nothing (comment removal is
+    * vacuous on HTML pages), (b) comment/doctype/PI/declaration text
+    * JOINS `get_text()`, and (c) `str(soup)` re-escapes the laundered
+    * text with the minimal formatter (a comment's `<` serializes as
+    * `&lt;`). Comments inside tags that pass 1 already removed (e.g. a
+    * div whose only child is a comment — "empty" under bs4's default
+    * interesting-string-types) are gone before this pass runs, so only
+    * comments in non-empty contexts survive into the text. */
+  def launderStringNodes(doc: Document): Unit = {
     def walk(e: Element): Unit = {
       val cs = e.children
       var i = 0
       while (i < cs.length) {
         cs(i) match {
-          case t: Text     => t.data = Entities.unescape(t.data)
-          case c: CData    => c.data = Entities.unescape(c.data)
-          case c: Element  => walk(c)
-          case _           =>
+          case t: Text        => t.data = Entities.unescape(t.data)
+          case c: Element     => walk(c)
+          // every other string class launders to a plain text node
+          // (entities unescape ONCE here — parse-time convert_charrefs
+          // never ran inside comments/decls/PIs/cdata)
+          case c: CData       => e.replaceChild(c, new Text(Entities.unescape(c.data)))
+          case c: Comment     => e.replaceChild(c, new Text(Entities.unescape(c.data)))
+          case d: Doctype     => e.replaceChild(d, new Text(Entities.unescape(d.data)))
+          case p: ProcIns     => e.replaceChild(p, new Text(Entities.unescape(p.data)))
+          case d: Declaration => e.replaceChild(d, new Text(Entities.unescape(d.data)))
         }
         i += 1
       }
     }
     walk(doc)
   }
+
+  /** @deprecated round-3 name; the pass is the full bs4 laundering now. */
+  def unescapeTextNodes(doc: Document): Unit = launderStringNodes(doc)
 
   /** The pure per-href transform of pass 3: urljoin + `utm_*` strip
     * (core/scraper.py:210-220) — exposed for the href_norm_fuzz golden. */
@@ -247,9 +284,10 @@ object Cleaner {
     * cleans). Returns the byte-contract text. */
   def cleanDocument(doc: Document, url: String): String = {
     removeEmptyTags(doc)
-    unescapeTextNodes(doc)
+    launderStringNodes(doc)
     absolutizeHrefs(doc, url)
-    removeCommentsAndHidden(doc)
+    removeCommentsAndHidden(doc) // vacuous for comments post-laundering —
+    // exactly like the reference's pass 4; the display:none half is live
     normalizedText(doc)
   }
 

@@ -59,11 +59,14 @@ class CleanerSpec extends AnyFunSuite {
     assert(text(html) == "a & b <c> © &")
   }
 
-  test("F3 comments and display:none subtrees removed") {
+  test("F3 display:none subtrees removed; comment text SURVIVES (pass-2 laundering)") {
+    // Arbitrated r4 (SURVEY §7.5 #1): pass 2's replace_with(str) converts
+    // the Comment to plain text BEFORE pass 4's isinstance(_, Comment)
+    // runs — the reference's comment removal is vacuous on HTML pages.
     val html = "<div><!-- secret --><p style=\"display: none\">h1</p>" +
       "<p style=\"display:none\">h2</p><p style=\"display:  none\">h3</p>" +
       "<p style=\"color:red\">visible</p></div>"
-    assert(text(html) == "visible")
+    assert(text(html) == "secret visible")
   }
 
   test("F4 href absolutization + utm strip (cleaned html, not text)") {
@@ -114,8 +117,12 @@ class CleanerSpec extends AnyFunSuite {
     assert(text("<div><p>alpha <b>beta") == "alpha beta")
   }
 
-  test("doctype excluded from text") {
-    assert(text("<!DOCTYPE html><html><body><p>hi</p></body></html>") == "hi")
+  test("doctype laundered into text by pass 2 (bs4 Doctype is a NavigableString)") {
+    // str(Doctype) is the inner value sans "DOCTYPE " (bs4
+    // _htmlparser.handle_decl strips the prefix), so `<!DOCTYPE html>`
+    // contributes the text "html" after laundering.
+    // get_text concatenates with NO separator: "html" + "hi"
+    assert(text("<!DOCTYPE html><html><body><p>hi</p></body></html>") == "htmlhi")
   }
 
   test("hidden removal happens after unescape (order dependence)") {
@@ -126,8 +133,63 @@ class CleanerSpec extends AnyFunSuite {
   }
 
   test("element emptied only of comments is removed in pass 1") {
+    // pass 1 runs BEFORE laundering: the comment is still a Comment there,
+    // get_text (default types = NavigableString/CData) skips it, the div
+    // is empty → extracted WITH its comment. Only comments in non-empty
+    // contexts survive laundering into the text.
     val html = "<div><!-- only a comment --></div><p>t</p>"
     assert(text(html) == "t")
+  }
+
+  // ---- F21 pass-2 laundering family (SURVEY §7.5 #1, arbitrated r4 from
+  // public bs4 source: find_all(text=True) matches every NavigableString
+  // subclass; replace_with(str) coerces to plain NavigableString) ----
+
+  test("F21 comment text joins get_text at its document position, unescaped once") {
+    assert(text("<p>a<!--mid-->b</p>") == "amidb")
+    // entities inside comments were NOT decoded at parse time
+    // (convert_charrefs skips comments) — laundering unescapes once
+    assert(text("<p>x<!-- a &amp; b --></p>") == "x a & b")
+    // a comment whose text contains markup stays TEXT (replace_with
+    // inserts a string node; nothing is re-parsed)
+    assert(text("<p>k<!-- <span>not a tag</span> --></p>") ==
+      "k <span>not a tag</span>")
+  }
+
+  test("F21b top-level comment (child of the soup) survives as leading/trailing text") {
+    assert(text("<!-- header --><p>body</p><!-- footer -->") ==
+      "header body footer")
+  }
+
+  test("F21c laundered comment re-escapes in str(soup) (minimal formatter)") {
+    val res = Cleaner.cleanAndNormalize(
+      "<p>k<!-- 1 < 2 & 3 --></p>", "https://e.com/")
+    val ser = Serializer.serialize(res.cleanedDoc)
+    assert(!ser.contains("<!--"), ser)
+    assert(ser.contains("<p>k 1 &lt; 2 &amp; 3 </p>"), ser)
+  }
+
+  test("F21d processing instructions and declarations launder into text") {
+    // html.parser: "<?php x ?>" → handle_pi("php x ?") → PI node; bs4
+    // launders it to the text "php x ?"
+    // get_text has no separator: "a"+"php echo 1 ?"+"b"
+    assert(text("<p>a</p><?php echo 1 ?><p>b</p>") == "aphp echo 1 ?b")
+    // MS-Office conditional marked section → unknown_decl → Declaration
+    assert(text("<p>m<![if gte mso 9]>o<![endif]></p>") ==
+      "mif gte mso 9oendif")
+  }
+
+  test("F21e CDATA launders to plain text (still in get_text, now also in str(soup) as escaped text)") {
+    val res = Cleaner.cleanAndNormalize(
+      "<p>a<![CDATA[x < y]]>b</p>", "https://e.com/")
+    assert(res.text == "ax < yb")
+    val ser = Serializer.serialize(res.cleanedDoc)
+    assert(!ser.contains("CDATA"), ser)
+    assert(ser.contains("x &lt; y"), ser)
+  }
+
+  test("F21f comment inside a display:none subtree is removed with it (pass order)") {
+    assert(text("<div style=\"display:none\">h<!--c--></div><p>v</p>") == "v")
   }
 
   test("math span preservation matches CPython re.sub incl. non-DOTALL '.' (golden)") {

@@ -30,12 +30,14 @@ class ConstructPipelineSpec extends AnyFunSuite {
     assert(r.doc.text == "ax & y")
   }
 
-  test("MS-Office conditional sections are invisible in text") {
+  test("MS-Office conditional section keywords launder into the text (pass-2, r4)") {
     val r = Extract.extractPage(page(
       "<html><body><![if gte mso 9]><p>mso only</p><![endif]><p>t</p></body></html>"), 16)
     assert(!r.doc.parse_failed)
-    // the if/endif DECLARATIONS are excluded; the <p> between them is real markup
-    assert(r.doc.text == "mso onlyt")
+    // the if/endif DECLARATIONS are laundered to plain text by pass 2
+    // (bs4 find_all(text=True) + replace_with(str), SURVEY §7.5 #1 —
+    // settled r4); the <p> between them is real markup
+    assert(r.doc.text == "if gte mso 9mso onlyendift")
   }
 
   test("unknown marked-section keyword rejects the page as parse_failed") {
