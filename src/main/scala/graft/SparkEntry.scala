@@ -385,6 +385,19 @@ object SparkEntry {
           size($"structured_data").as("n_structured"))
         .toDF()
     }),
+    "q_mirror_paths" -> ((s, _) => {
+      import s.implicits._
+      // filesystem-mirror path per extracted doc (core/scraper.py:484-497
+      // save path + :236-239 read-back tail; VERDICT r03 next #6) — the
+      // content type the reference's save branch keys on is recovered
+      // from the sniffed content kind
+      extractedPersisted(s).map { e =>
+        val mime = graft.url.MirrorPath.mimeForKind(e.doc.content_kind)
+        (e.doc.url, e.doc.content_kind,
+          graft.url.MirrorPath.relativePath(e.doc.url, mime),
+          graft.url.MirrorPath.contentFilepath("", "site", "v1", e.doc.url))
+      }.toDF("url", "content_kind", "mirror_path", "raw_read_path")
+    }),
     "q_snapshot_diff_ops" -> ((s, _) => snapshotDiffSummary(s)),
     "q_link_report" -> ((s, _) => {
       import s.implicits._
@@ -587,6 +600,48 @@ object SparkEntry {
     "q_extract_links" ->
       s"""SELECT src_url, dst_url, kind, src_tag, anchor, is_internal
          |FROM ${side("side_links")}""".stripMargin,
+    "q_mirror_paths" ->
+      // DuckDB re-derives the reference's save path (core/scraper.py:
+      // 484-497) from (url, content_kind) with string functions only:
+      // urlparse path (scheme strip, authority strip, fragment/query
+      // cuts, ;params off the last segment), lstrip('/'),
+      // dirname/basename with posix slash-run semantics, the index.html
+      // default, and the endswith-gated extension fix-up ('.html' only
+      // for text/html ⇔ kind='html'; xml payloads get '.txt').
+      s"""WITH d AS (SELECT url, content_kind FROM ${side("side_docs")}),
+         |p0 AS (SELECT url, content_kind,
+         |  regexp_replace(
+         |    split_part(split_part(
+         |      regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.\\-]*:', ''),
+         |      '#', 1), '?', 1),
+         |    '^//[^/]*', '') AS path0
+         |  FROM d),
+         |p1 AS (SELECT url, content_kind,
+         |  CASE WHEN contains(path0, '/')
+         |       THEN regexp_replace(path0, '^(.*/[^/;]*);[^/]*$$', '\\1')
+         |       ELSE split_part(path0, ';', 1) END AS path1
+         |  FROM p0),
+         |lp AS (SELECT url, content_kind,
+         |  regexp_replace(path1, '^/+', '') AS lp FROM p1),
+         |db AS (SELECT url, content_kind, lp,
+         |  CASE WHEN contains(lp, '/')
+         |       THEN rtrim(regexp_replace(lp, '/[^/]*$$', ''), '/')
+         |       ELSE '' END AS dir,
+         |  regexp_extract(lp, '[^/]*$$') AS base
+         |  FROM lp),
+         |fn AS (SELECT url, content_kind, lp, dir,
+         |  CASE WHEN base = '' THEN 'index.html' ELSE base END AS fn0
+         |  FROM db),
+         |fx AS (SELECT url, content_kind, lp, dir,
+         |  CASE WHEN fn0 LIKE '%.html' OR fn0 LIKE '%.xml' OR fn0 LIKE '%.txt'
+         |       THEN fn0
+         |       ELSE fn0 || (CASE WHEN content_kind = 'html'
+         |                         THEN '.html' ELSE '.txt' END) END AS fn
+         |  FROM fn)
+         |SELECT url, content_kind,
+         |  CASE WHEN dir = '' THEN fn ELSE dir || '/' || fn END AS mirror_path,
+         |  'docs/site/v1/' || lp AS raw_read_path
+         |FROM fx""".stripMargin,
     "q_extract_meta" ->
       // side_meta_full flows through the doc_meta sidecar WRITE path;
       // n_structured counts json-ld + microdata + rdfa entries

@@ -68,6 +68,33 @@ class SitemapSpec extends AnyFunSuite {
     assert(seeds.count() == nSets.toLong * perSet)
   }
 
+  test("frontier hop is a broadcast join, not a literal In/InSet (r03 wrong #4)") {
+    import graft.pipeline.PageRow
+    val ts = new java.sql.Timestamp(1700000000000L)
+    val nSets = 10000
+    // a 10^4-child sitemapindex: every child is a frontier member on hop 2
+    val rows = PageRow(s"$host/huge.xml", ts,
+      (s"""<?xml version="1.0"?><sitemapindex>""" +
+        (0 until nSets).map(i => s"<sitemap><loc>$host/h$i.xml</loc></sitemap>").mkString +
+        "</sitemapindex>").getBytes("UTF-8"), null, "en") +:
+      (0 until 3).map { i => // only a few children exist in-corpus
+        PageRow(s"$host/h$i.xml", ts,
+          (s"""<?xml version="1.0"?><urlset>""" +
+            (0 until 2).map(j => s"<url><loc>$host/hp/${i}_$j.html</loc></url>").mkString +
+            "</urlset>").getBytes("UTF-8"), null, "en")
+      }
+    val e = Sitemap.entries(spark.createDataset(rows))
+    val frontier = (0 until nSets).map(i => s"$host/h$i.xml")
+    val hit = Sitemap.frontierHits(e, frontier)
+    val plan = hit.queryExecution.optimizedPlan.toString()
+    assert(!plan.contains(" IN ") && !plan.contains("INSET"),
+      s"literal membership predicate in plan:\n${plan.take(2000)}")
+    assert(hit.filter(hit("kind") === "urlset").count() == 6)
+    // end-to-end through seedUrls: same join path, right seeds
+    val seeds = Sitemap.seedUrls(spark.createDataset(rows), s"$host/huge.xml")
+    assert(seeds.count() == 6)
+  }
+
   test("null html rows are skipped, not task-fatal") {
     val ts = new java.sql.Timestamp(1700000000000L)
     val withNull = Sitemap.syntheticSitemapPages(spark).union(

@@ -18,6 +18,32 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(TextAnalysis.detectLanguage("zzz qqq xxx") == "und")
   }
 
+  test("broadened Latin-script profiles separate nl/pl/sv/ro/tr/id/vi/cs (r03 next #8)") {
+    assert(TextAnalysis.detectLanguage(
+      "dit is een pagina van het web maar dat is niet voor iedereen ook zijn er meer") == "nl")
+    assert(TextAnalysis.detectLanguage(
+      "to nie jest strona jak inne ale przez to się robi że do tego jest dobra") == "pl")
+    assert(TextAnalysis.detectLanguage(
+      "det här är en sida som är skriven på svenska och den är för test med mera av allt") == "sv")
+    assert(TextAnalysis.detectLanguage(
+      "aceasta este o pagină pentru test și care este din româniă mai sunt și altele după") == "ro")
+    assert(TextAnalysis.detectLanguage(
+      "bu bir test sayfası ve bu sayfa türkçe için daha çok örnek gibi sonra olarak yazıldı") == "tr")
+    assert(TextAnalysis.detectLanguage(
+      "ini adalah halaman yang ditulis dengan bahasa indonesia untuk pengujian dan tidak dari pada itu") == "id")
+    assert(TextAnalysis.detectLanguage(
+      "đây là trang web của chúng tôi và nó được viết cho người dùng trong các trường hợp có không") == "vi")
+    assert(TextAnalysis.detectLanguage(
+      "toto je stránka která se používá jako test nebo podle toho že je také již mezi jinými") == "cs")
+    // the original six still win on their own text (no cross-capture)
+    assert(TextAnalysis.detectLanguage(
+      "el gato es una mascota para la casa con los otros del barrio") == "es")
+    assert(TextAnalysis.detectLanguage(
+      "o gato é uma mascote para a casa com os outros não muito longe") == "pt")
+    assert(TextAnalysis.detectLanguage(
+      "il gatto è una mascotte che vive per la casa con gli altri del posto e non solo") == "it")
+  }
+
   test("script-range pre-classifier covers non-Latin families (r02 next #6)") {
     assert(TextAnalysis.detectLanguage("这是一个中文网页的正文内容测试段落") == "zh")
     assert(TextAnalysis.detectLanguage("これは日本語のページですかなカナ混じり文") == "ja")
