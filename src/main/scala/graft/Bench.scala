@@ -19,11 +19,26 @@ import graft.pipeline.{Extract, PagesGen}
  * warmup left a 14× cold first run in the r2 artifact), so the raw runs
  * array itself is credible evidence. All raw run rates are emitted.
  *
+ * Box-load forensics (VERDICT r03 next #2: the r3 record was produced on
+ * an intermittently loaded shared VM and two sessions could not reproduce
+ * it): every artifact now carries 1-min loadavg before/after plus a
+ * JIT-warm single-thread extraction calibration spin before/after the
+ * timed runs — the spin's idle-box band is known (BASELINE.md), so a
+ * depressed spin reading QUANTIFIES external contention on the same
+ * artifact that carries the throughput numbers. Optionally the bench
+ * waits for a quiet window (loadavg below a threshold) before timing.
+ *
  * env knobs: SPARK_GRAFT_BENCH_DOCS (default 1280000),
  *            SPARK_GRAFT_BENCH_RUNS (default 5),
  *            SPARK_GRAFT_BENCH_ONLY=extract to skip the query sweep, or a
  *            comma-separated list of query names to time ONLY those
- *            (skips the extraction headline — fast isolation of one query).
+ *            (skips the extraction headline — fast isolation of one query),
+ *            SPARK_GRAFT_BENCH_QUIET_LOAD (default 4.0) + _QUIET_WAIT
+ *            (default 120 s; 0 disables): wait up to _WAIT seconds for
+ *            1-min loadavg < _LOAD before the timed section,
+ *            SPARK_GRAFT_BENCH_JSON (default bench_last.json in cwd):
+ *            the JSON line is ALSO written here, unprefixed — sbt wraps
+ *            stdout in "[info]", which left BENCH_r0*.json unparsed.
  */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -58,6 +73,33 @@ object Bench {
       p.delete()
     }
 
+    /** 1-minute loadavg (−1 when /proc is unavailable). */
+    def loadavg(): Double =
+      try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+        .split("\\s+")(0).toDouble
+      catch { case _: Exception => -1.0 }
+
+    /** JIT-warm single-thread extraction spin (docs/s/core) — the box-health
+      * calibration: BASELINE.md's idle band for this probe is 8.1–9.0k, so a
+      * depressed reading quantifies external contention in the artifact
+      * itself. `warm=false` skips the warmup loop (the post-run probe runs
+      * in an already-hot JVM). */
+    def spinRate(seconds: Double, warm: Boolean): Double = {
+      val probe = (0 until 500).map(i => PagesGen.pageOf(i.toLong)).toArray
+      if (warm) {
+        val w0 = System.nanoTime()
+        while (System.nanoTime() - w0 < (seconds * 1e9).toLong)
+          probe.foreach(p => Extract.extractPage(p, 16))
+      }
+      val t0 = System.nanoTime()
+      var n = 0L
+      while (System.nanoTime() - t0 < (seconds * 1e9).toLong) {
+        probe.foreach(p => Extract.extractPage(p, 16))
+        n += probe.length
+      }
+      n / ((System.nanoTime() - t0) / 1e9)
+    }
+
     val only = sys.env.getOrElse("SPARK_GRAFT_BENCH_ONLY", "")
     // "" = headline + full sweep; "extract" = headline only; otherwise a
     // comma-separated query-name filter (no headline — query isolation)
@@ -76,6 +118,11 @@ object Bench {
     val mapRuns = scala.collection.mutable.ArrayBuffer.empty[Double]
     val fullRuns = scala.collection.mutable.ArrayBuffer.empty[Double]
     var docsExtracted = 0L
+    var loadPre = -1.0
+    var loadPost = -1.0
+    var spinPre = 0.0
+    var spinPost = 0.0
+    var quietWaited = 0.0
     if (runHeadline) {
       if (!new java.io.File(s"$pagesPath/_SUCCESS").exists()) {
         PagesGen.pages(spark, nDocs)
@@ -103,6 +150,22 @@ object Bench {
         rmrf(new java.io.File(warmOut))
       }
 
+      // quiet-window guard: the box is shared-tenancy with documented
+      // external load swings; wait (bounded) for 1-min loadavg to drop
+      // below the threshold before the timed section, and annotate how
+      // long we waited. Our own warmup contributes to the 1-min average,
+      // so the default threshold is above the truly-idle level.
+      val quietLoad = sys.env.getOrElse("SPARK_GRAFT_BENCH_QUIET_LOAD", "4.0").toDouble
+      val quietWait = sys.env.getOrElse("SPARK_GRAFT_BENCH_QUIET_WAIT", "120").toDouble
+      val wt0 = System.nanoTime()
+      while (quietWait > 0 && loadavg() > quietLoad &&
+             (System.nanoTime() - wt0) / 1e9 < quietWait) {
+        Thread.sleep(5000)
+      }
+      quietWaited = (System.nanoTime() - wt0) / 1e9
+      loadPre = loadavg()
+      spinPre = spinRate(2.0, warm = true)
+
       (1 to nRuns).foreach { i =>
         // pure distributed extraction throughput: scan → typed map → count
         // (no shuffles/writes) — the docs/sec core of the BASELINE metric
@@ -125,6 +188,8 @@ object Bench {
           rmrf(new java.io.File(outDir)) // bound /tmp usage across runs
         }
       }
+      loadPost = loadavg()
+      spinPost = spinRate(2.0, warm = false)
     }
     val docsPerSec = if (fullRuns.nonEmpty) median(fullRuns.toSeq) else 0.0
     val mapRate = if (mapRuns.nonEmpty) median(mapRuns.toSeq) else 0.0
@@ -179,8 +244,15 @@ object Bench {
     val alignedJson =
       if (alignedRuns.isEmpty) ""
       else s""","aligned_docs_per_sec":${f"${median(alignedRuns.toSeq)}%.1f"},"runs_aligned_docs_per_sec":${arr(alignedRuns.toSeq)}"""
-    println(
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir","extract_docs":$docsExtracted,"docs_per_sec":${f"$docsPerSec%.1f"},"map_docs_per_sec":${f"$mapRate%.1f"},"runs_full_docs_per_sec":${arr(fullRuns.toSeq)},"runs_map_docs_per_sec":${arr(mapRuns.toSeq)}$alignedJson,"bench_docs":$nDocs,"cpus":$cpus}""")
+    val json =
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir","extract_docs":$docsExtracted,"docs_per_sec":${f"$docsPerSec%.1f"},"map_docs_per_sec":${f"$mapRate%.1f"},"runs_full_docs_per_sec":${arr(fullRuns.toSeq)},"runs_map_docs_per_sec":${arr(mapRuns.toSeq)}$alignedJson,"bench_docs":$nDocs,"cpus":$cpus,"loadavg_pre":${f"$loadPre%.2f"},"loadavg_post":${f"$loadPost%.2f"},"spin_docs_per_sec_pre":${f"$spinPre%.1f"},"spin_docs_per_sec_post":${f"$spinPost%.1f"},"quiet_wait_secs":${f"$quietWaited%.1f"}}"""
+    println(json)
+    // machine-readable artifact (VERDICT r03 wrong #5): sbt prefixes
+    // stdout with "[info]", so ALSO write the line to a file
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_JSON", "bench_last.json")), json + "\n")
+    catch { case e: Exception => System.err.println(s"[bench] json write failed: $e") }
     spark.stop()
   }
 }
