@@ -155,8 +155,25 @@ object Sanitize {
     }
   }
 
-  /** Minimal bleach.clean(tags=allowed, attributes none, strip=False):
-    * allowed tags serialized without attributes, disallowed tags escaped. */
+  /** bleach.clean(tags=allowed, attributes={'class': []}, strip=False) —
+    * allowed tags serialized bare (the attributes dict is keyed by TAG
+    * name, so {'class': []} allows nothing on pre/code), disallowed tags
+    * escaped. Disallowed-token reconstruction follows bleach's public
+    * `BleachSanitizerFilter.disallowed_token` (bleach/sanitizer.py),
+    * tightened round 4 from the old bare-name emulation:
+    *  - the escaped start tag KEEPS its attributes, rebuilt as
+    *    ` name="value"` with the RAW value (bleach inserts `v` unescaped
+    *    — the willkg NOTE about serializer double-escaping — and the
+    *    whole reconstructed string is then escaped as a Characters
+    *    token, so `&`/`<`/`>` in values surface as entities while
+    *    embedded quotes stay raw);
+    *  - a VOID element is a single EmptyTag token in html5lib's
+    *    treewalker stream — ONE escaped token, no fabricated `&lt;/br&gt;`
+    *    end tag (the old emulation emitted a pair).
+    * Remaining documented divergence (SURVEY §7.5 #2): bleach re-parses
+    * the fragment with html5lib's HTML5 tree construction; tag-soup
+    * repair differences vs this html.parser-faithful DOM are out of
+    * scope (no bleach/html5lib in the container to arbitrate). */
   def bleachClean(htmlFragment: String, allowed: Set[String]): String = {
     val doc = HtmlParser.parse(htmlFragment)
     val sb = new java.lang.StringBuilder
@@ -170,9 +187,15 @@ object Sanitize {
           e.children.foreach(walk)
           sb.append("</").append(e.name).append('>')
         } else {
-          sb.append("&lt;").append(e.name).append("&gt;")
+          sb.append("&lt;").append(e.name)
+          e.attrs.foreach { case (k, v) =>
+            sb.append(' ').append(k).append("=\"")
+              .append(Serializer.escapeText(if (v == null) "" else v))
+              .append('"')
+          }
+          sb.append("&gt;")
           e.children.foreach(walk)
-          sb.append("&lt;/").append(e.name).append("&gt;")
+          if (!e.isVoid) sb.append("&lt;/").append(e.name).append("&gt;")
         }
       case _ =>
     }

@@ -326,9 +326,16 @@ object HtmlParser {
         val body = raw.substring(i + 2, gt)
         flushText()
         if (ev != null) ev += PEvent("decl", body, null)
-        // bs4 tree mapping of handle_decl: strip the DOCTYPE keyword
-        val trimmed = body.trim
-        top.append(new Doctype(trimmed.substring(7).trim))
+        // bs4 _htmlparser.handle_decl, EXACT (matters for the text
+        // contract post-laundering, r4): strip only the case-SENSITIVE
+        // "DOCTYPE " prefix, map the bare "DOCTYPE" to "", keep anything
+        // else (e.g. lowercase "doctype html") VERBATIM — no trimming
+        // anywhere (handle_decl receives rawdata[i+2:gtpos] as-is).
+        val dt =
+          if (body.startsWith("DOCTYPE ")) body.substring(8)
+          else if (body == "DOCTYPE") ""
+          else body
+        top.append(new Doctype(dt))
         i = gt + 1
         return
       }

@@ -125,6 +125,19 @@ class CleanerSpec extends AnyFunSuite {
     assert(text("<!DOCTYPE html><html><body><p>hi</p></body></html>") == "htmlhi")
   }
 
+  test("handle_decl prefix strip is case-sensitive and trim-free (bs4-exact, r4)") {
+    // bs4 strips only the exact "DOCTYPE " prefix; a lowercase doctype
+    // keeps its keyword, which the laundering pass now makes VISIBLE
+    assert(text("<!doctype html><p>hi</p>") == "doctype htmlhi")
+    // data[8:] keeps the extra inner space — visible mid-document before
+    // the final \s+ collapse merges it into a separator
+    assert(text("<p>a</p><!DOCTYPE  html><p>b</p>") == "a htmlb")
+    // bare "<!DOCTYPE>" maps to the empty string (the elif branch)
+    assert(text("<!DOCTYPE><p>hi</p>") == "hi")
+    // lowercase bare keyword ≠ "DOCTYPE": kept verbatim
+    assert(text("<!doctype><p>hi</p>") == "doctypehi")
+  }
+
   test("hidden removal happens after unescape (order dependence)") {
     // entity-encoded style value decodes at parse time (attributes), so the
     // regex sees the decoded value
