@@ -97,6 +97,10 @@ object SideTables {
       "side_frames")
     save(SparkEntry.textstatsFrame(spark, sfDir)
       .select($"doc_id", $"lang_detected"), "side_textstats")
+    // PII / paragraph corpora: the INPUT rows for q_pii_mask and
+    // q_paragraph_dedup — DuckDB re-derives both operators from these
+    save(SparkEntry.piiCorpus(spark, sfDir), "side_pii_docs")
+    save(SparkEntry.paraCorpus(spark, sfDir), "side_paradocs")
 
     // ---- dedup primitives over the documents table (params MUST match
     // the q_minhash/q_simhash/q_doc_fingerprints queries) ----

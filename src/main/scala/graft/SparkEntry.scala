@@ -453,6 +453,25 @@ object SparkEntry {
     "q_lang_detect" -> ((s, dir) => textstatsFrame(s, dir)),
     "q_training_prep" -> ((s, dir) =>
       graft.ops.TrainingData.prepare(t(s, dir, "documents"))),
+    "q_pii_mask" -> ((s, dir) => {
+      // input = the deterministic PII-bearing corpus (also written as
+      // side_pii_docs; the oracle re-derives mask + counts in DuckDB)
+      val c = piiCorpus(s, dir)
+      c.select(col("doc_id"),
+        graft.ops.Privacy.maskPii(col("text")).as("text_masked"),
+        graft.ops.Privacy.emailCount(col("text")).as("n_emails"),
+        graft.ops.Privacy.ipv4Count(col("text")).as("n_ips"))
+    }),
+    "q_paragraph_dedup" -> ((s, dir) =>
+      Dedup.paragraphDedup(paraCorpus(s, dir), "doc_id", "text", maxDocs = 2)),
+    "q_sample_hash" -> ((s, dir) =>
+      graft.ops.TrainingData.deterministicSample(
+          t(s, dir, "documents"), "doc_id", "s1", "4")
+        .select(col("doc_id"), col("source"))),
+    "q_source_quota" -> ((s, dir) =>
+      graft.ops.TrainingData.sourceQuota(
+        t(s, dir, "documents").select(col("doc_id"), col("source")),
+        "source", "doc_id", k = 3)),
 
     // ---- crawl scheduling / sources (SURVEY §2.7 faithful + §2.1) ----
     "q_priority_scores" -> ((s, _) => {
@@ -475,6 +494,44 @@ object SparkEntry {
         graft.sources.Sitemap.syntheticSitemapPages(s),
         "https://site.example.com/sitemap.xml"))
   )
+
+  /** Deterministic PII-bearing corpus derived from the documents table —
+    * no external data: per-doc email/IPv4 literals are arithmetic in
+    * doc_id, with ~1/7 of docs email-free, ~1/3 carrying a second email,
+    * and ~1/4 IP-free so the mask/count columns are non-degenerate.
+    * Shared by q_pii_mask and SideTables (side_pii_docs). */
+  private[graft] def piiCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val id = col("doc_id")
+    val email = when(pmod(id, lit(7)) === 0, lit(""))
+      .otherwise(concat(lit(" contact user"), id.cast("string"),
+        lit("@example"), pmod(id, lit(5)).cast("string"), lit(".com")))
+    val email2 = when(pmod(id, lit(3)) === 0,
+        concat(lit(" cc admin"), id.cast("string"), lit("@mail.example.org")))
+      .otherwise(lit(""))
+    val ip = when(pmod(id, lit(4)) === 0, lit(""))
+      .otherwise(concat(lit(" from "), pmod(id, lit(256)).cast("string"),
+        lit("."), pmod(id * 7, lit(256)).cast("string"), lit(".0."),
+        pmod(id, lit(100)).cast("string")))
+    d.select(id, concat(substring(col("text"), 1, 60), email, email2, ip,
+      lit(" "), substring(col("text"), 61, 60)).as("text"))
+  }
+
+  /** Deterministic paragraph-structured corpus: every doc opens with a
+    * global boilerplate paragraph, ~1/3 share a second one, ~1/5 a third;
+    * the rest are per-doc unique. Shared by q_paragraph_dedup and
+    * SideTables (side_paradocs). */
+  private[graft] def paraCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val id = col("doc_id")
+    d.select(id, concat_ws("\n\n",
+      lit("subscribe to our newsletter"),
+      substring(col("text"), 1, 100),
+      when(pmod(id, lit(3)) === 0, lit("all rights reserved"))
+        .otherwise(concat(lit("para-"), id.cast("string"))),
+      when(pmod(id, lit(5)) === 0, lit("cookie policy applies"))
+        .otherwise(substring(col("text"), 101, 60))).as("text"))
+  }
 
   // ---------- oracles ----------
 
@@ -776,6 +833,53 @@ object SparkEntry {
         |SELECT doc_id, lang, n_tokens, alpha_ratio,
         |  drop_reason IS NULL AS kept, drop_reason
         |FROM reasons""".stripMargin,
+    "q_pii_mask" ->
+      // mask + counts fully re-derived by DuckDB's RE2 engine over the
+      // side-table input rows (patterns restricted to RE2∩java.util.regex
+      // syntax; DuckDB standard strings pass backslashes through)
+      s"""SELECT doc_id,
+         |  regexp_replace(regexp_replace(text,
+         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         |    '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g') AS text_masked,
+         |  len(regexp_extract_all(text,
+         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_emails,
+         |  len(regexp_extract_all(text,
+         |    '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b')) AS n_ips
+         |FROM ${side("side_pii_docs")}""".stripMargin,
+    "q_paragraph_dedup" ->
+      // whole operator re-derived relationally: split → global distinct-doc
+      // counts → over-threshold hashes → ordered reassembly
+      s"""WITH d AS (SELECT * FROM ${side("side_paradocs")}),
+         |p AS (SELECT doc_id,
+         |        unnest(string_split(text, chr(10)||chr(10))) AS para,
+         |        unnest(range(len(string_split(text, chr(10)||chr(10))))) AS pos
+         |      FROM d),
+         |dup AS (SELECT md5(para) AS h FROM p
+         |        GROUP BY md5(para) HAVING count(DISTINCT doc_id) > 2),
+         |kept AS (SELECT doc_id, pos, para FROM p
+         |         WHERE md5(para) NOT IN (SELECT h FROM dup)),
+         |agg AS (SELECT doc_id,
+         |          string_agg(para, chr(10)||chr(10) ORDER BY pos) AS text_clean,
+         |          count(*) AS n_kept
+         |        FROM kept GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  coalesce(a.text_clean, '') AS text_clean,
+         |  len(string_split(d.text, chr(10)||chr(10))) - coalesce(a.n_kept, 0)
+         |    AS n_removed
+         |FROM d LEFT JOIN agg a USING (doc_id)""".stripMargin,
+    "q_sample_hash" ->
+      // md5-hex lexicographic threshold: identical digests + identical
+      // binary string collation in both engines
+      """SELECT doc_id, source FROM documents
+        |WHERE md5('s1:' || doc_id) < '4'""".stripMargin,
+    "q_source_quota" ->
+      // the salted two-stage top-k re-derived as a plain window: exactness
+      // of the skew-safe form IS the property under test
+      """SELECT source, doc_id, rnk FROM (
+        |  SELECT source, doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY md5(source || ':' || doc_id) DESC, doc_id) AS rnk
+        |  FROM documents) WHERE rnk <= 3""".stripMargin,
     "q_lang_detect" ->
       // lang_detected is the precomputed scalar; bpeish_tokens is
       // INDEPENDENTLY recomputed by DuckDB's regex engine

@@ -45,6 +45,49 @@ object Dedup {
       .select(col("id"))
   }
 
+  /** Paragraph-level exact dedup (the RefinedWeb/Gopher boilerplate
+    * remover): a paragraph (a `\n\n`-separated span) that occurs in more
+    * than `maxDocs` DISTINCT documents is removed from EVERY document
+    * (cookie banners, nav footers, license blurbs); survivors are
+    * rejoined in original order. Emits one row per input doc:
+    * (id, text_clean, n_removed) — a doc whose every paragraph is
+    * boilerplate survives with empty text, auditable via n_removed.
+    *
+    * Shuffle shape at 10^12 docs: the occurrence count aggregates
+    * (md5, id) projections ONLY (map-side partial, never paragraph
+    * text); the anti-join's right side is just the over-threshold hash
+    * set — tiny for any real threshold, so AQE broadcasts it; the one
+    * text-bearing shuffle is the per-doc reassembly groupBy, whose key
+    * is the doc id (uniform — no skew) and whose volume is the corpus
+    * itself, i.e. the same single pass any rewrite of the text column
+    * costs. */
+  def paragraphDedup(docs: DataFrame, idCol: String = "doc_id",
+                     textCol: String = "text", maxDocs: Int = 2): DataFrame = {
+    val sep = "\n\n"
+    val paras = docs.select(col(idCol).as("__id"),
+      posexplode(split(col(textCol), sep, -1)).as(Seq("__pos", "__para")))
+    val dupHashes = paras
+      .groupBy(md5(col("__para")).as("__h"))
+      .agg(countDistinct(col("__id")).as("__nd"))
+      .filter(col("__nd") > maxDocs)
+      .select(col("__h"))
+    val kept = paras.join(dupHashes,
+      md5(paras("__para")) === dupHashes("__h"), "left_anti")
+    val rebuilt = kept.groupBy(col("__id"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("__pos"), col("__para")))),
+          x => x.getField("__para")), sep).as("text_clean"),
+        count(lit(1)).as("__n_kept"))
+    docs.select(col(idCol).as("__id"),
+        size(split(col(textCol), sep, -1)).as("__n_total"))
+      .join(rebuilt, Seq("__id"), "left_outer")
+      .select(col("__id").as(idCol),
+        coalesce(col("text_clean"), lit("")).as("text_clean"),
+        (col("__n_total") - coalesce(col("__n_kept"), lit(0)))
+          .cast("int").as("n_removed"))
+  }
+
   /** Per-doc MinHash signature + SimHash (typed map; one pass per doc). */
   def fingerprints(docs: DataFrame, idCol: String, textCol: String,
                    numPerm: Int = 64, shingleN: Int = 3): DataFrame = {

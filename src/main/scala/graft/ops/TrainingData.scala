@@ -68,6 +68,37 @@ object TrainingData {
         col("kept"), col("drop_reason"))
   }
 
+  /** Deterministic Bernoulli sampling by key hash — the corpus-mixing
+    * primitive (hold-out splits, ablation subsets, source down-weighting)
+    * done so the SAME rows are selected on every run, every engine, and
+    * every cluster size: keep rows whose `md5(salt:key)` hex digest sorts
+    * below `thresholdHex` (md5 is uniform over hex strings, so a
+    * threshold prefix "4" keeps ~4/16 = 25%). Pure per-row filter — no
+    * shuffle, no RNG, fully pushdown-friendly — and exactly reproducible
+    * in any engine with md5 (the q_sample_hash oracle re-derives it in
+    * DuckDB). Changing `salt` draws an independent sample. */
+  def deterministicSample(docs: DataFrame, keyCol: String, salt: String,
+                          thresholdHex: String): DataFrame =
+    docs.filter(
+      md5(concat(lit(salt), lit(":"), col(keyCol).cast("string"))) <
+        lit(thresholdHex))
+
+  /** Per-source quota — corpus balancing: keep at most `k` docs per
+    * source/host, chosen in deterministic `md5(source:id)` order (a
+    * shuffled-but-reproducible order, so the quota is not biased by id
+    * assignment). Web sources are Zipfian, so the ranking reuses
+    * `Skew.saltedTopKPerKey`: a hot source's rows rank within S salt
+    * slices first, then only the ≤ S·k survivors rank per source —
+    * no single task ever buffers a whole hot source. Emits the input
+    * projection + `rnk` (1-based). */
+  def sourceQuota(docs: DataFrame, srcCol: String, idCol: String,
+                  k: Int, S: Int = 8): DataFrame =
+    Skew.saltedTopKPerKey(
+      docs.withColumn("__ord",
+        md5(concat(col(srcCol), lit(":"), col(idCol).cast("string")))),
+      srcCol, "__ord", idCol, k, S)
+      .drop("__ord")
+
   /** Only the surviving ids (join back to texts downstream). */
   def keptIds(docs: DataFrame, idCol: String = "doc_id",
               textCol: String = "text", langCol: String = "lang"): DataFrame =

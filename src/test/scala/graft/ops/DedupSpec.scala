@@ -234,6 +234,38 @@ class DedupSpec extends AnyFunSuite {
       s"skew guard fired on balanced data: ${m.truncatedBuckets.value} buckets")
   }
 
+  test("paragraph dedup removes globally repeated paragraphs, keeps order") {
+    val boiler = "subscribe now"
+    val rows = Seq(
+      (1L, s"$boiler\n\nunique one\n\nmiddle A\n\n$boiler"),     // boiler twice in one doc
+      (2L, s"unique two\n\n$boiler\n\nmiddle B"),
+      (3L, s"$boiler\n\nunique three"),
+      (4L, s"$boiler"),                                           // all-boilerplate doc
+      (5L, "rare pair\n\nunique five"),
+      (6L, "rare pair\n\nunique six"))                            // "rare pair" in only 2 docs
+      .toDF("doc_id", "text")
+    val out = Dedup.paragraphDedup(rows, "doc_id", "text", maxDocs = 2)
+      .as[(Long, String, Int)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out.size == 6) // every input doc present
+    // boiler occurs in 4 distinct docs > 2 → removed everywhere
+    assert(out(1L) == (("unique one\n\nmiddle A", 2)))
+    assert(out(2L) == (("unique two\n\nmiddle B", 1)))
+    assert(out(3L) == (("unique three", 1)))
+    assert(out(4L) == (("", 1))) // survives as a row, text emptied
+    // "rare pair" is in only 2 distinct docs = threshold → kept
+    assert(out(5L) == (("rare pair\n\nunique five", 0)))
+    assert(out(6L) == (("rare pair\n\nunique six", 0)))
+  }
+
+  test("paragraph dedup count shuffle carries hashes, not text") {
+    val rows = Seq((1L, "a\n\nb"), (2L, "a\n\nc")).toDF("doc_id", "text")
+    val plan = Dedup.paragraphDedup(rows, "doc_id", "text")
+      .queryExecution.optimizedPlan.toString
+    // the occurrence-count aggregate groups on md5(__para) and aggregates
+    // the id only — the paragraph text is pruned below the exchange
+    assert(plan.contains("count(distinct __id"), plan.take(2000))
+  }
+
   test("fingerprints deterministic across evaluations") {
     val a = Dedup.fingerprints(docs, "doc_id", "text").orderBy($"id")
       .select($"id", $"simhash").as[(Long, Long)].collect().toSeq

@@ -34,6 +34,44 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(kept == Set(1L, 6L))
   }
 
+  test("deterministic sample: stable across runs, disjoint across salts, ~fraction") {
+    val docs = (0L until 400L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val a1 = TrainingData.deterministicSample(docs, "doc_id", "s1", "4")
+      .select($"doc_id").as[Long].collect().toSet
+    val a2 = TrainingData.deterministicSample(docs, "doc_id", "s1", "4")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(a1 == a2) // same salt+threshold → same rows, every run
+    // threshold '4' keeps md5 hex digests starting 0-3 → ~25%
+    assert(a1.size > 60 && a1.size < 140, s"got ${a1.size}/400")
+    val b = TrainingData.deterministicSample(docs, "doc_id", "s2", "4")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(b != a1) // independent draw under a different salt
+  }
+
+  test("source quota: exact k per source in deterministic hash order") {
+    // skewed: src-hot has 300 rows, others 5 — the salted two-stage top-k
+    // must still return exactly k per source, identical to a plain window
+    val rows = ((0L until 300L).map(i => (i, "src-hot")) ++
+      (300L until 305L).map(i => (i, "src-a")) ++
+      (305L until 310L).map(i => (i, "src-b"))).toDF("doc_id", "source")
+    val out = TrainingData.sourceQuota(rows, "source", "doc_id", k = 3)
+      .select($"source", $"doc_id", $"rnk")
+      .as[(String, Long, Int)].collect()
+    assert(out.count(_._1 == "src-hot") == 3)
+    assert(out.count(_._1 == "src-a") == 3)
+    assert(out.count(_._1 == "src-b") == 3)
+    assert(out.filter(_._1 == "src-a").map(_._3).sorted.toSeq == Seq(1, 2, 3))
+    // exactness: equals the unsalted single-window reference
+    import org.apache.spark.sql.expressions.Window
+    val ref = rows.withColumn("__ord",
+        md5(concat($"source", lit(":"), $"doc_id".cast("string"))))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy($"source").orderBy($"__ord".desc, $"doc_id".asc)))
+      .filter($"rnk" <= 3).select($"source", $"doc_id", $"rnk")
+      .as[(String, Long, Int)].collect()
+    assert(out.sortBy(r => (r._1, r._3)).toSeq == ref.sortBy(r => (r._1, r._3)).toSeq)
+  }
+
   test("single narrow shuffle: one Exchange, keyed on the content hash") {
     val docs = Seq((1L, good, "en"), (2L, good, "en")).toDF("doc_id", "text", "lang")
     val plan = TrainingData.prepare(docs).queryExecution.executedPlan.toString
