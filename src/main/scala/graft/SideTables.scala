@@ -101,6 +101,9 @@ object SideTables {
     // q_paragraph_dedup — DuckDB re-derives both operators from these
     save(SparkEntry.piiCorpus(spark, sfDir), "side_pii_docs")
     save(SparkEntry.paraCorpus(spark, sfDir), "side_paradocs")
+    // near-dup pair rows: the INPUT for q_dedup_components — DuckDB
+    // re-derives the transitive closure with WITH RECURSIVE
+    save(SparkEntry.dupPairsCorpus(spark, sfDir), "side_dup_pairs")
 
     // ---- dedup primitives over the documents table (params MUST match
     // the q_minhash/q_simhash/q_doc_fingerprints queries) ----

@@ -464,6 +464,8 @@ object SparkEntry {
     }),
     "q_paragraph_dedup" -> ((s, dir) =>
       Dedup.paragraphDedup(paraCorpus(s, dir), "doc_id", "text", maxDocs = 2)),
+    "q_dedup_components" -> ((s, dir) =>
+      Dedup.connectedComponents(dupPairsCorpus(s, dir))),
     "q_sample_hash" -> ((s, dir) =>
       graft.ops.TrainingData.deterministicSample(
           t(s, dir, "documents"), "doc_id", "s1", "4")
@@ -531,6 +533,29 @@ object SparkEntry {
         .otherwise(concat(lit("para-"), id.cast("string"))),
       when(pmod(id, lit(5)) === 0, lit("cookie policy applies"))
         .otherwise(substring(col("text"), 101, 60))).as("text"))
+  }
+
+  /** Deterministic near-dup pair set over the documents table — the input
+    * for transitive cluster resolution. Chains (id, id+1) for id%10 in
+    * 0..2 give 4-node paths, cross-links (id, id+5) at id%25==0 merge
+    * some of them, and the REAL MinHash-LSH candidate pairs (same params
+    * as q_minhash_lsh_pairs) ride along so the operator is gated composing
+    * with an actual pair family. Shared by q_dedup_components and
+    * SideTables (side_dup_pairs); the oracle re-derives the closure with
+    * WITH RECURSIVE. */
+  private[graft] def dupPairsCorpus(s: SparkSession, dir: String): DataFrame = {
+    val ids = t(s, dir, "documents").select(col("doc_id").cast("long").as("id"))
+    def bounded(p: DataFrame): DataFrame = p
+      .join(ids.withColumnRenamed("id", "id_b"), Seq("id_b"))
+      .select(col("id_a"), col("id_b"))
+    val chains = bounded(ids.filter(pmod(col("id"), lit(10)) < 3)
+      .select(col("id").as("id_a"), (col("id") + 1).as("id_b")))
+    val links = bounded(ids.filter(pmod(col("id"), lit(25)) === 0)
+      .select(col("id").as("id_a"), (col("id") + 5).as("id_b")))
+    val lsh = graft.ops.Dedup.lshCandidatePairs(
+        t(s, dir, "documents"), "doc_id", "text", numPerm = 32, bands = 16)
+      .select(col("id_a"), col("id_b"))
+    chains.union(links).union(lsh)
   }
 
   // ---------- oracles ----------
@@ -867,6 +892,21 @@ object SparkEntry {
          |  len(string_split(d.text, chr(10)||chr(10))) - coalesce(a.n_kept, 0)
          |    AS n_removed
          |FROM d LEFT JOIN agg a USING (doc_id)""".stripMargin,
+    "q_dedup_components" ->
+      // transitive closure re-derived independently: the oracle walks the
+      // raw pair rows with WITH RECURSIVE (UNION dedup terminates it) and
+      // takes min reachable id per node — the large/small-star rounds the
+      // Spark side runs never appear here
+      s"""WITH RECURSIVE
+         |e AS (SELECT id_a, id_b FROM ${side("side_dup_pairs")}
+         |      WHERE id_a <> id_b),
+         |und AS (SELECT id_a AS u, id_b AS v FROM e
+         |        UNION SELECT id_b, id_a FROM e),
+         |reach(u, v) AS (
+         |  SELECT u, u FROM (SELECT DISTINCT u FROM und)
+         |  UNION
+         |  SELECT r.u, w.v FROM reach r JOIN und w ON r.v = w.u)
+         |SELECT u AS id, min(v) AS component FROM reach GROUP BY u""".stripMargin,
     "q_sample_hash" ->
       // md5-hex lexicographic threshold: identical digests + identical
       // binary string collation in both engines

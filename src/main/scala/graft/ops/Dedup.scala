@@ -369,4 +369,101 @@ object Dedup {
       maxBucket, metrics)
     verifyCosine(cands, emb, idCol, embCol).filter(col("cos") >= minCosine)
   }
+
+  // ---------- cluster resolution (pairs → components → keepers) ----------
+
+  /** Connected components over a near-dup pair set — the step that turns
+    * any of the pair families above into an actual dedup decision (each
+    * cluster keeps its min id; near-duplication is transitive in every
+    * published web-dedup pipeline: A~B and B~C drop both B and C even when
+    * A~C was never emitted as a pair).
+    *
+    * Algorithm: alternating large-star / small-star (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", ACM SoCC 2014 — a
+    * public shared-nothing algorithm that converges in O(log n) rounds,
+    * unlike naive min-label propagation whose round count is the graph
+    * DIAMETER — a boilerplate chain a million docs long at web scale):
+    *  - large-star: every node links its LARGER neighbors to the smallest
+    *    node of its neighborhood (incl. itself);
+    *  - small-star: every node links its smaller neighbors and itself to
+    *    the smallest of them.
+    * Each round is two (key, value) long-pair shuffles; edges stay bare
+    * id pairs (never text/signatures), `distinct` after each star bounds
+    * the edge set, and `localCheckpoint` cuts the iteration lineage (the
+    * same discipline as [[graft.sources.Sitemap.seedUrls]]). Convergence
+    * is detected by an order-insensitive (count, xor-of-hashes) checksum
+    * of the canonicalized edge set — one tiny aggregate per round.
+    *
+    * Input: (id_a, id_b) pair rows (any extra columns ignored; self-pairs
+    * dropped). Output: (id, component) for EVERY id present in the input,
+    * where component is the smallest id reachable from it.
+    *
+    * @param maxIter safety backstop (O(log n) suffices: 2^50 nodes). */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+
+    // canonical oriented edge (u > v), self-loops dropped
+    def orient(e: DataFrame): DataFrame =
+      e.filter(col("u") =!= col("v"))
+        .select(greatest(col("u"), col("v")).as("u"),
+          least(col("u"), col("v")).as("v"))
+        .distinct()
+
+    def checksum(e: DataFrame): (Long, Long) = {
+      // bit_xor, not sum: order-insensitive AND overflow-free (ANSI mode
+      // turns a sum-of-hashes Long overflow into a runtime throw)
+      val r = e.select(xxhash64(col("u"), col("v")).as("h"))
+        .agg(count(lit(1)), coalesce(expr("bit_xor(h)"), lit(0L)))
+        .head()
+      (r.getLong(0), r.getLong(1))
+    }
+
+    // large-star: for each node u, link every LARGER neighbor v to
+    // m = min(N(u) ∪ {u}); keeps (m, v>u) edges — roots sink to minima
+    def largeStar(e: DataFrame): DataFrame = {
+      val und = e.select(col("u"), col("v"))
+        .union(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = und.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      orient(und.join(mins, "u").filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v")))
+    }
+
+    // small-star: on oriented edges (u > v), link every smaller neighbor
+    // and u itself to m = min(N(u)) — flattens chains into stars
+    def smallStar(e: DataFrame): DataFrame = {
+      val mins = e.groupBy(col("u")).agg(min(col("v")).as("m"))
+      orient(e.join(mins, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(mins.select(col("u"), col("m").as("v"))))
+    }
+
+    var edges = orient(pairs.select(col("id_a").cast("long").as("u"),
+      col("id_b").cast("long").as("v"))).localCheckpoint()
+    var sig = checksum(edges)
+    var converged = edges.isEmpty
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val nextSum = checksum(next)
+      converged = nextSum == sig
+      edges = next
+      sig = nextSum
+      iter += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxIter rounds")
+    // at the fixed point every edge is (member u, root v=component min)
+    edges.select(col("u").as("id"), col("v").as("component"))
+      .union(edges.select(col("v").as("id"), col("v").as("component")))
+      .distinct()
+  }
+
+  /** Ids to DROP under transitive near-dup resolution: every cluster
+    * member except the component min. Compose with any pair family:
+    * `componentDropIds(lshCandidatePairs(...).filter($"est_jaccard" >= t))`. */
+  def componentDropIds(pairs: DataFrame, maxIter: Int = 50): DataFrame =
+    connectedComponents(pairs, maxIter)
+      .filter(col("id") =!= col("component"))
+      .select(col("id"))
 }

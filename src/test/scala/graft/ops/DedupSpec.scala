@@ -273,4 +273,50 @@ class DedupSpec extends AnyFunSuite {
       .select($"id", $"simhash").as[(Long, Long)].collect().toSeq
     assert(a == b)
   }
+
+  test("connected components: chains, diamonds, and singleton pairs resolve transitively") {
+    // chain 1-2-3-4, diamond 10-11/10-12/11-13/12-13, pair 20-21,
+    // plus a pair given in descending order and a duplicate edge
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (10L, 12L), (11L, 13L), (12L, 13L),
+      (21L, 20L), (20L, 21L)).toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L,
+      20L -> 20L, 21L -> 20L))
+    val drops = Dedup.componentDropIds(pairs).as[Long].collect().toSet
+    assert(drops == Set(2L, 3L, 4L, 11L, 12L, 13L, 21L))
+  }
+
+  test("connected components: long path converges in O(log n) star rounds, not diameter") {
+    // a 256-node path has diameter 255; large/small-star needs ~log2 rounds.
+    // maxIter=14 would stall naive min-label propagation long before 255.
+    val path = (0L until 255L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(path, maxIter = 14)
+      .as[(Long, Long)].collect()
+    assert(comps.length == 256)
+    assert(comps.forall(_._2 == 0L))
+  }
+
+  test("connected components: empty and self-pair inputs") {
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.connectedComponents(empty).isEmpty)
+    // self-pairs carry no connectivity and are dropped entirely
+    val selfs = Seq((5L, 5L), (6L, 7L)).toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(selfs).as[(Long, Long)].collect().toMap
+    assert(comps == Map(6L -> 6L, 7L -> 6L))
+  }
+
+  test("connected components compose with the LSH pair family on the planted corpus") {
+    val cands = Dedup.lshCandidatePairs(docs, "doc_id", "text", numPerm = 64, bands = 16)
+    val verified = Dedup.verifyJaccard(cands, docs, "doc_id", "text")
+      .filter($"jaccard" >= 0.5).select($"id_a", $"id_b")
+    val comps = Dedup.connectedComponents(verified)
+      .as[(Long, Long)].collect().toMap
+    // 100..103 all cluster to 100 (102~103 only via transitivity through 100/101)
+    assert(Seq(100L, 101L, 102L, 103L).forall(comps(_) == 100L))
+    assert(!comps.contains(104L))
+  }
 }
