@@ -104,6 +104,9 @@ object SideTables {
     // near-dup pair rows: the INPUT for q_dedup_components — DuckDB
     // re-derives the transitive closure with WITH RECURSIVE
     save(SparkEntry.dupPairsCorpus(spark, sfDir), "side_dup_pairs")
+    // benchmark/eval rows: the INPUT for q_decontaminate — DuckDB
+    // re-derives the full 13-gram overlap from these + documents
+    save(SparkEntry.benchCorpus(spark, sfDir), "side_bench")
 
     // ---- dedup primitives over the documents table (params MUST match
     // the q_minhash/q_simhash/q_doc_fingerprints queries) ----

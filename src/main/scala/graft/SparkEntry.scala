@@ -474,6 +474,9 @@ object SparkEntry {
       graft.ops.TrainingData.sourceQuota(
         t(s, dir, "documents").select(col("doc_id"), col("source")),
         "source", "doc_id", k = 3)),
+    "q_decontaminate" -> ((s, dir) =>
+      graft.ops.TrainingData.decontaminate(
+        t(s, dir, "documents"), benchCorpus(s, dir))),
 
     // ---- crawl scheduling / sources (SURVEY §2.7 faithful + §2.1) ----
     "q_priority_scores" -> ((s, _) => {
@@ -556,6 +559,27 @@ object SparkEntry {
         t(s, dir, "documents"), "doc_id", "text", numPerm = 32, bands = 16)
       .select(col("id_a"), col("id_b"))
     chains.union(links).union(lsh)
+  }
+
+  /** Deterministic benchmark/eval corpus for decontamination: ~1/17 of
+    * documents contribute a 20-word span of their own text (those docs ARE
+    * contaminated — 8 shared 13-grams each), another ~1/17 contribute
+    * benchmark-only rows disjoint from the corpus. Shared by
+    * q_decontaminate and SideTables (side_bench); the oracle re-derives
+    * the n-gram overlap relationally at sf0.01. */
+  private[graft] def benchCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val id = col("doc_id")
+    val fromDocs = d.filter(pmod(id, lit(17)) === 3)
+      .select(id.as("bench_id"),
+        array_join(slice(split(lower(col("text")), "[^a-z0-9]+"), 3, 20), " ")
+          .as("text"))
+    val unique = d.filter(pmod(id, lit(17)) === 5)
+      .select((id + 100000).as("bench_id"),
+        concat(lit("benchmark only question "), id.cast("string"),
+          lit(" answer alpha beta gamma delta epsilon zeta eta theta iota"),
+          lit(" kappa lambda mu nu")).as("text"))
+    fromDocs.union(unique)
   }
 
   // ---------- oracles ----------
@@ -907,6 +931,34 @@ object SparkEntry {
          |  UNION
          |  SELECT r.u, w.v FROM reach r JOIN und w ON r.v = w.u)
          |SELECT u AS id, min(v) AS component FROM reach GROUP BY u""".stripMargin,
+    "q_decontaminate" ->
+      // the WHOLE 13-gram decontamination re-derived relationally: DuckDB
+      // tokenizes both sides with its own regex engine, expands every
+      // n-gram, and recomputes the distinct-gram overlap — the Spark
+      // side's bloom prefilter must be invisible in the result
+      s"""WITH d AS (SELECT doc_id,
+         |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+         |                x -> x <> '') AS toks
+         |  FROM documents),
+         |dg AS (SELECT DISTINCT doc_id, array_to_string(toks[i+1:i+13], ' ') AS gram
+         |       FROM (SELECT doc_id, toks, unnest(range(len(toks) - 12)) AS i
+         |             FROM d WHERE len(toks) >= 13)),
+         |b AS (SELECT list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+         |             x -> x <> '') AS toks
+         |      FROM ${side("side_bench")}),
+         |bg AS (SELECT DISTINCT array_to_string(toks[i+1:i+13], ' ') AS gram
+         |       FROM (SELECT toks, unnest(range(len(toks) - 12)) AS i
+         |             FROM b WHERE len(toks) >= 13)),
+         |tot AS (SELECT doc_id, count(*) AS n_grams FROM dg GROUP BY 1),
+         |hits AS (SELECT dg.doc_id, count(*) AS n_contaminated
+         |         FROM dg JOIN bg USING (gram) GROUP BY 1)
+         |SELECT d0.doc_id,
+         |  coalesce(t.n_grams, 0) AS n_grams,
+         |  coalesce(h.n_contaminated, 0) AS n_contaminated,
+         |  coalesce(h.n_contaminated, 0) > 0 AS contaminated
+         |FROM documents d0
+         |LEFT JOIN tot t USING (doc_id)
+         |LEFT JOIN hits h USING (doc_id)""".stripMargin,
     "q_sample_hash" ->
       // md5-hex lexicographic threshold: identical digests + identical
       // binary string collation in both engines

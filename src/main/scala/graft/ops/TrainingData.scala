@@ -104,4 +104,52 @@ object TrainingData {
               textCol: String = "text", langCol: String = "lang"): DataFrame =
     prepare(docs, idCol, textCol, langCol)
       .filter(col("kept")).select(col("doc_id"))
+
+  /** Benchmark decontamination — flag corpus documents sharing any
+    * normalized word `n`-gram (default 13, the GPT-3/PaLM convention) with
+    * an eval/benchmark set, so test data never leaks into training data.
+    *
+    * Scale shape at 10^12 docs: the corpus side is NEVER exploded into
+    * n-gram rows (that shuffle is 13× the corpus text volume). Instead the
+    * benchmark's distinct grams — bounded: eval suites are ≤10^7..10^8
+    * grams, a ≤~200 MB bloom at the default fpp — are folded into a
+    * broadcast Bloom filter; one pure per-row pass emits ONLY the grams
+    * that hit it (expected: true matches + fpp·n_grams false positives),
+    * and an exact string join against the benchmark gram set (small →
+    * AQE broadcasts it) removes the false positives, so the OUTPUT is
+    * exact — the bloom affects cost, never results, and determinism holds
+    * regardless of its hash seeds.
+    *
+    * Emits one row per input doc: (id, n_grams, n_contaminated,
+    * contaminated) where n_grams counts the doc's DISTINCT normalized
+    * grams and n_contaminated those also present in the benchmark. */
+  def decontaminate(docs: DataFrame, bench: DataFrame,
+                    idCol: String = "doc_id", textCol: String = "text",
+                    benchTextCol: String = "text",
+                    n: Int = 13, fpp: Double = 0.001): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val benchGrams = bench.select(col(benchTextCol).as("text")).as[String]
+      .flatMap(t => graft.textstats.TextAnalysis.wordGrams(t, n))
+      .distinct().toDF("gram")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nBench = benchGrams.count() // sizes the bloom (and materializes the cache)
+    val bloom = benchGrams.stat.bloomFilter("gram", math.max(1L, nBench), fpp)
+    val bloomB = spark.sparkContext.broadcast(bloom)
+    val perDoc = docs
+      .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .map { case (id, t) =>
+        val grams = graft.textstats.TextAnalysis.wordGrams(t, n).distinct
+        (id, grams.length, grams.filter(bloomB.value.mightContainString))
+      }.toDF("id", "n_grams", "cand")
+    val hits = perDoc.select(col("id"), explode(col("cand")).as("gram"))
+      .join(benchGrams, "gram") // exact verify: bloom false positives drop out
+      .groupBy(col("id")).agg(count(lit(1)).as("n_hits"))
+    perDoc.select(col("id"), col("n_grams"))
+      .join(hits, Seq("id"), "left_outer")
+      .select(col("id").as(idCol), col("n_grams"),
+        coalesce(col("n_hits"), lit(0L)).as("n_contaminated"),
+        (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
+  }
 }

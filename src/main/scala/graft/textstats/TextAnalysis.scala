@@ -243,6 +243,18 @@ object TextAnalysis {
       (0 to toks.length - n).map(i => toks.slice(i, i + n).mkString(" "))
   }
 
+  /** Word n-grams for decontamination and repetition signals: same
+    * tokenization as [[shingles]] (lowercase, `[^a-z0-9]+` splits — the
+    * GPT-3/PaLM-style "sequences of alphanumeric tokens" normalization)
+    * but NO short-text fallback — a doc with fewer than n words emits no
+    * grams, so a 5-word page can never "match" a benchmark 13-gram. */
+  def wordGrams(text: String, n: Int): Seq[String] = {
+    val toks = text.toLowerCase(java.util.Locale.ROOT)
+      .split("[^a-z0-9]+").filter(_.nonEmpty)
+    if (toks.length < n) Nil
+    else (0 to toks.length - n).map(i => toks.slice(i, i + n).mkString(" "))
+  }
+
   private def mix64(z0: Long): Long = {
     var z = z0
     z = (z ^ (z >>> 33)) * 0xff51afd7ed558ccdL

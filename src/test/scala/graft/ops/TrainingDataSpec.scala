@@ -79,4 +79,40 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(exchanges == 1, s"$exchanges exchanges:\n${plan.take(1500)}")
     assert(plan.contains("hashpartitioning(__h"), plan.take(1500))
   }
+
+  test("decontaminate: exact 13-gram overlap, count semantics, short docs immune") {
+    val span = (1 to 20).map(i => s"word$i").mkString(" ") // 20 words → 8 13-grams
+    val docs = Seq(
+      (1L, s"intro text here $span and a closing remark"), // contains the span
+      (2L, "totally unrelated content about spark catalyst optimizer rules " +
+        "and their physical planning behavior at large cluster scale today"),
+      (3L, span.split(" ").take(12).mkString(" ")), // 12 words: below n — no grams
+      (4L, s"Partial overlap: ${(1 to 13).map(i => s"word$i").mkString(" ")} end")
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, s"question $span answer")).toDF("bench_id", "text")
+    val out = TrainingData.decontaminate(docs, bench)
+      .as[(Long, Int, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    // doc 1: all 8 span grams present (plus its own framing grams)
+    assert(out(1L)._3 == 8 && out(1L)._4)
+    assert(out(2L)._3 == 0 && !out(2L)._4)
+    // doc 3 emits no grams at all: n_grams == 0, clean
+    assert(out(3L)._2 == 0 && out(3L)._3 == 0 && !out(3L)._4)
+    // doc 4 shares exactly the one gram word1..word13
+    assert(out(4L)._3 == 1 && out(4L)._4)
+    // normalization: case and punctuation differences do not defeat the match
+    val shouting = Seq((9L, s"SPAM! ${span.toUpperCase}, THE END")).toDF("doc_id", "text")
+    val hit = TrainingData.decontaminate(shouting, bench)
+      .as[(Long, Int, Long, Boolean)].head()
+    assert(hit._3 == 8 && hit._4)
+  }
+
+  test("decontaminate: corpus side is never exploded pre-bloom (no 13x gram shuffle)") {
+    val docs = Seq((1L, (1 to 40).map("w" + _).mkString(" "))).toDF("doc_id", "text")
+    val bench = Seq((1L, "a b c d e f g h i j k l m")).toDF("bench_id", "text")
+    val plan = TrainingData.decontaminate(docs, bench)
+      .queryExecution.optimizedPlan.toString
+    // the only Generate (explode) runs on the post-bloom candidate arrays
+    // — its child is the per-doc map output, never the raw text relation
+    assert("Generate explode".r.findAllIn(plan).length == 1, plan.take(2000))
+  }
 }
