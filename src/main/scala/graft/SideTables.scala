@@ -107,6 +107,9 @@ object SideTables {
     // benchmark/eval rows: the INPUT for q_decontaminate — DuckDB
     // re-derives the full 13-gram overlap from these + documents
     save(SparkEntry.benchCorpus(spark, sfDir), "side_bench")
+    // repetition-structured rows: the INPUT for q_repetition — DuckDB
+    // re-derives every Gopher signal + the threshold flag from these
+    save(SparkEntry.repCorpus(spark, sfDir), "side_repdocs")
 
     // ---- dedup primitives over the documents table (params MUST match
     // the q_minhash/q_simhash/q_doc_fingerprints queries) ----

@@ -477,6 +477,22 @@ object SparkEntry {
     "q_decontaminate" -> ((s, dir) =>
       graft.ops.TrainingData.decontaminate(
         t(s, dir, "documents"), benchCorpus(s, dir))),
+    "q_repetition" -> ((s, dir) => {
+      import s.implicits._
+      repCorpus(s, dir).as[(Long, String)].map { case (id, text) =>
+        val r = graft.textstats.TextAnalysis.repetition(text)
+        (id, r.nLines, r.dupLines, r.lineChars, r.dupLineChars,
+          r.nParas, r.dupParas, r.paraChars, r.dupParaChars,
+          r.tokChars, r.top2Chars, r.top3Chars, r.top4Chars, r.repetitious)
+      }.toDF("doc_id", "n_lines", "dup_lines", "line_chars", "dup_line_chars",
+        "n_paras", "dup_paras", "para_chars", "dup_para_chars",
+        "tok_chars", "top2_chars", "top3_chars", "top4_chars", "repetitious")
+    }),
+    "q_seq_pack" -> ((s, dir) =>
+      graft.ops.TrainingData.packSequences(
+        t(s, dir, "documents").select(col("doc_id"), col("source"),
+          graft.ops.TrainingData.nTokens(col("text")).as("n_tokens")),
+        seqLen = 256)),
 
     // ---- crawl scheduling / sources (SURVEY §2.7 faithful + §2.1) ----
     "q_priority_scores" -> ((s, _) => {
@@ -580,6 +596,28 @@ object SparkEntry {
           lit(" answer alpha beta gamma delta epsilon zeta eta theta iota"),
           lit(" kappa lambda mu nu")).as("text"))
     fromDocs.union(unique)
+  }
+
+  /** Deterministic repetition-structured corpus: every doc gets a 6-line
+    * body built from its own text slices; docs with id%3==0 repeat one
+    * line twice more (dup-line frac 2/6 per doc), id%5==0 append a spam
+    * tail of one word 2-gram repeated 12× (top-2-gram char coverage
+    * spike). Shared by q_repetition and SideTables (side_repdocs); the
+    * oracle re-derives every signal relationally at sf0.01. */
+  private[graft] def repCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val id = col("doc_id")
+    val l1 = substring(col("text"), 1, 40)
+    val l2 = substring(col("text"), 41, 40)
+    val l3 = concat(lit("row "), id.cast("string"))
+    val dupTail = when(pmod(id, lit(3)) === 0,
+        concat(lit("\n"), l2, lit("\n"), l2))
+      .otherwise(concat(lit("\npara-"), id.cast("string")))
+    val spam = when(pmod(id, lit(5)) === 0,
+        concat(lit("\n"), repeat(lit("click here "), 12)))
+      .otherwise(lit(""))
+    d.select(id, concat(l1, lit("\n"), l2, lit("\n\n"), l3, dupTail, spam)
+      .as("text"))
   }
 
   // ---------- oracles ----------
@@ -959,6 +997,89 @@ object SparkEntry {
          |FROM documents d0
          |LEFT JOIN tot t USING (doc_id)
          |LEFT JOIN hits h USING (doc_id)""".stripMargin,
+    "q_repetition" ->
+      // every Gopher repetition signal re-derived relationally: DuckDB
+      // splits lines/paragraphs, tokenizes, expands 2/3/4-grams, and
+      // recomputes the exact-integer numerators/denominators + the
+      // cross-multiplied threshold flag over the side-table input rows
+      s"""WITH d AS (SELECT doc_id, text FROM ${side("side_repdocs")}),
+         |lp AS (SELECT doc_id, part, len(part) AS L, count(*) AS c
+         |       FROM (SELECT doc_id, unnest(list_filter(
+         |               string_split(text, chr(10)), x -> x <> '')) AS part
+         |             FROM d)
+         |       GROUP BY doc_id, part),
+         |la AS (SELECT doc_id, sum(c) AS n_lines, sum(c - 1) AS dup_lines,
+         |         sum(c * L) AS line_chars, sum((c - 1) * L) AS dup_line_chars
+         |       FROM lp GROUP BY doc_id),
+         |pp AS (SELECT doc_id, part, len(part) AS L, count(*) AS c
+         |       FROM (SELECT doc_id, unnest(list_filter(
+         |               string_split(text, chr(10)||chr(10)), x -> x <> '')) AS part
+         |             FROM d)
+         |       GROUP BY doc_id, part),
+         |pa AS (SELECT doc_id, sum(c) AS n_paras, sum(c - 1) AS dup_paras,
+         |         sum(c * L) AS para_chars, sum((c - 1) * L) AS dup_para_chars
+         |       FROM pp GROUP BY doc_id),
+         |tk AS (SELECT doc_id, list_filter(string_split_regex(lower(text),
+         |         '[^a-z0-9]+'), x -> x <> '') AS toks FROM d),
+         |tc AS (SELECT doc_id, len(array_to_string(toks, '')) AS tok_chars FROM tk),
+         |g2 AS (SELECT doc_id, c * (len(gram) - 1) AS top2_chars FROM (
+         |        SELECT doc_id, gram, count(*) AS c, row_number() OVER (
+         |          PARTITION BY doc_id ORDER BY count(*) DESC, gram) AS rn
+         |        FROM (SELECT doc_id, array_to_string(toks[i+1:i+2], ' ') AS gram
+         |              FROM (SELECT doc_id, toks, unnest(range(len(toks) - 1)) AS i
+         |                    FROM tk WHERE len(toks) >= 2))
+         |        GROUP BY doc_id, gram HAVING count(*) >= 2) WHERE rn = 1),
+         |g3 AS (SELECT doc_id, c * (len(gram) - 2) AS top3_chars FROM (
+         |        SELECT doc_id, gram, count(*) AS c, row_number() OVER (
+         |          PARTITION BY doc_id ORDER BY count(*) DESC, gram) AS rn
+         |        FROM (SELECT doc_id, array_to_string(toks[i+1:i+3], ' ') AS gram
+         |              FROM (SELECT doc_id, toks, unnest(range(len(toks) - 2)) AS i
+         |                    FROM tk WHERE len(toks) >= 3))
+         |        GROUP BY doc_id, gram HAVING count(*) >= 2) WHERE rn = 1),
+         |g4 AS (SELECT doc_id, c * (len(gram) - 3) AS top4_chars FROM (
+         |        SELECT doc_id, gram, count(*) AS c, row_number() OVER (
+         |          PARTITION BY doc_id ORDER BY count(*) DESC, gram) AS rn
+         |        FROM (SELECT doc_id, array_to_string(toks[i+1:i+4], ' ') AS gram
+         |              FROM (SELECT doc_id, toks, unnest(range(len(toks) - 3)) AS i
+         |                    FROM tk WHERE len(toks) >= 4))
+         |        GROUP BY doc_id, gram HAVING count(*) >= 2) WHERE rn = 1)
+         |SELECT d.doc_id,
+         |  coalesce(la.n_lines, 0) AS n_lines,
+         |  coalesce(la.dup_lines, 0) AS dup_lines,
+         |  coalesce(la.line_chars, 0) AS line_chars,
+         |  coalesce(la.dup_line_chars, 0) AS dup_line_chars,
+         |  coalesce(pa.n_paras, 0) AS n_paras,
+         |  coalesce(pa.dup_paras, 0) AS dup_paras,
+         |  coalesce(pa.para_chars, 0) AS para_chars,
+         |  coalesce(pa.dup_para_chars, 0) AS dup_para_chars,
+         |  coalesce(tc.tok_chars, 0) AS tok_chars,
+         |  coalesce(g2.top2_chars, 0) AS top2_chars,
+         |  coalesce(g3.top3_chars, 0) AS top3_chars,
+         |  coalesce(g4.top4_chars, 0) AS top4_chars,
+         |  (coalesce(la.dup_lines, 0) * 10 > coalesce(la.n_lines, 0) * 3 OR
+         |   coalesce(la.dup_line_chars, 0) * 5 > coalesce(la.line_chars, 0) OR
+         |   coalesce(pa.dup_paras, 0) * 10 > coalesce(pa.n_paras, 0) * 3 OR
+         |   coalesce(pa.dup_para_chars, 0) * 5 > coalesce(pa.para_chars, 0) OR
+         |   coalesce(g2.top2_chars, 0) * 5 > coalesce(tc.tok_chars, 0) OR
+         |   coalesce(g3.top3_chars, 0) * 50 > coalesce(tc.tok_chars, 0) * 9 OR
+         |   coalesce(g4.top4_chars, 0) * 25 > coalesce(tc.tok_chars, 0) * 4)
+         |    AS repetitious
+         |FROM d
+         |LEFT JOIN la USING (doc_id) LEFT JOIN pa USING (doc_id)
+         |LEFT JOIN tc USING (doc_id) LEFT JOIN g2 USING (doc_id)
+         |LEFT JOIN g3 USING (doc_id) LEFT JOIN g4 USING (doc_id)""".stripMargin,
+    "q_seq_pack" ->
+      // the concatenated-stream layout re-derived as a plain exclusive
+      // cumulative window per source in deterministic doc_id order
+      """SELECT doc_id, source, 0 AS stream, n_tokens, start_tok,
+        |  CAST(floor(start_tok / 256) AS BIGINT) AS seq_id
+        |FROM (
+        |  SELECT doc_id, source,
+        |    len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+        |    coalesce(sum(len(regexp_split_to_array(trim(text), '\s+'))) OVER (
+        |      PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
+        |  FROM documents)""".stripMargin,
     "q_sample_hash" ->
       // md5-hex lexicographic threshold: identical digests + identical
       // binary string collation in both engines

@@ -152,4 +152,38 @@ object TrainingData {
         coalesce(col("n_hits"), lit(0L)).as("n_contaminated"),
         (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
   }
+
+  /** Sequence packing — assign every document its offset in the
+    * concatenated token stream its training sequences are chunked from
+    * (the standard LLM batch layout: concatenate docs, then cut every
+    * `seqLen` tokens; docs may straddle sequence boundaries). Emitted per
+    * doc: its stream, exclusive cumulative `start_tok`, and
+    * `seq_id = start_tok / seqLen`.
+    *
+    * Determinism and scale: the stream order is (`sourceCol`, stream,
+    * `idCol`) — no RNG, identical on any cluster size. A cumulative sum
+    * is inherently sequential per stream, so each (source, stream) is one
+    * window task; `subStreams > 1` splits hot sources into deterministic
+    * xxhash64 sub-streams (the [[Skew]] discipline) so no task ever
+    * buffers a whole Zipfian-head host — each stream is packed
+    * independently, which is exactly how production pipelines shard
+    * corpora across tokenizer workers. Only (id, source, n_tokens) enters
+    * the window shuffle — never text. */
+  def packSequences(docs: DataFrame, idCol: String = "doc_id",
+                    tokensCol: String = "n_tokens",
+                    sourceCol: String = "source",
+                    seqLen: Int = 2048, subStreams: Int = 1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(seqLen > 0, "seqLen must be positive")
+    val stream =
+      if (subStreams <= 1) lit(0)
+      else pmod(xxhash64(col(idCol)), lit(subStreams)).cast("int")
+    val w = Window.partitionBy(col(sourceCol), col("stream"))
+      .orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs.select(col(idCol), col(sourceCol),
+        stream.as("stream"), col(tokensCol).cast("long").as("n_tokens"))
+      .withColumn("start_tok", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("seq_id", floor(col("start_tok") / lit(seqLen)))
+  }
 }

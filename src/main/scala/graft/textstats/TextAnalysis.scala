@@ -255,6 +255,97 @@ object TextAnalysis {
     else (0 to toks.length - n).map(i => toks.slice(i, i + n).mkString(" "))
   }
 
+  // ---------- repetition signals (Gopher / MassiveText-style filters) ----------
+
+  /** Exact-integer repetition signals — the Gopher (Rae et al. 2021,
+    * A1.1) repetition filters re-expressed as integer numerators and
+    * denominators so the flag thresholds reduce to overflow-free integer
+    * cross-multiplications (no division, no float representation drift
+    * between engines):
+    *  - lines/paragraphs: occurrences beyond a value's first are
+    *    "duplicates"; character lengths are CODEPOINT counts (matches
+    *    DuckDB `len`, not UTF-16 units);
+    *  - topNChars(n) = count(most frequent word n-gram occurring ≥ 2
+    *    times) × its alnum char length (0 if every gram is unique), ties
+    *    broken by lexicographically smallest gram; tokChars is the total
+    *    alnum char mass ([[wordGrams]] tokenization).
+    * `repetitious` ORs the published thresholds: dup-line frac > 0.30,
+    * dup-line chars > 0.20, same for paragraphs, top-2/3/4-gram char
+    * coverage > 0.20/0.18/0.16. */
+  final case class Repetition(
+      nLines: Int, dupLines: Int, lineChars: Long, dupLineChars: Long,
+      nParas: Int, dupParas: Int, paraChars: Long, dupParaChars: Long,
+      tokChars: Long, top2Chars: Long, top3Chars: Long, top4Chars: Long,
+      repetitious: Boolean)
+
+  /** (total parts, duplicate parts, total chars, duplicate chars) over
+    * non-empty parts; lengths in codepoints. */
+  private def dupStats(parts: Array[String]): (Int, Int, Long, Long) = {
+    val counts = mutable.HashMap.empty[String, Int]
+    var n = 0
+    var chars = 0L
+    parts.foreach { p =>
+      if (p.nonEmpty) {
+        n += 1
+        chars += p.codePointCount(0, p.length)
+        counts.update(p, counts.getOrElse(p, 0) + 1)
+      }
+    }
+    var dup = 0
+    var dupChars = 0L
+    counts.foreach { case (p, c) =>
+      if (c > 1) {
+        dup += c - 1
+        dupChars += (c - 1).toLong * p.codePointCount(0, p.length)
+      }
+    }
+    (n, dup, chars, dupChars)
+  }
+
+  /** Char mass of the most frequent word n-gram: count × (gram length
+    * minus its n-1 joining spaces); ties → lexicographically smallest.
+    * Only grams occurring ≥ 2 times qualify — a single occurrence is not
+    * repetition, and without this floor every short document flags on
+    * whatever long unique 3-gram it happens to contain. */
+  private def topGramChars(toks: Array[String], n: Int): Long = {
+    if (toks.length < n) return 0L
+    val counts = mutable.HashMap.empty[String, Int]
+    var i = 0
+    while (i <= toks.length - n) {
+      val g = toks.slice(i, i + n).mkString(" ")
+      counts.update(g, counts.getOrElse(g, 0) + 1)
+      i += 1
+    }
+    var bestGram: String = null
+    var bestCnt = 1 // grams at count 1 never qualify
+    counts.foreach { case (g, c) =>
+      if (c > bestCnt || (c == bestCnt && bestGram != null && g < bestGram)) {
+        bestGram = g; bestCnt = c
+      }
+    }
+    if (bestGram == null) 0L
+    else bestCnt.toLong * (bestGram.length - (n - 1))
+  }
+
+  def repetition(text: String): Repetition = {
+    if (text == null || text.isEmpty)
+      return Repetition(0, 0, 0L, 0L, 0, 0, 0L, 0L, 0L, 0L, 0L, 0L, repetitious = false)
+    val (nL, dL, cL, dcL) = dupStats(text.split("\n", -1))
+    val (nP, dP, cP, dcP) = dupStats(text.split("\n\n", -1))
+    val toks = text.toLowerCase(java.util.Locale.ROOT)
+      .split("[^a-z0-9]+").filter(_.nonEmpty)
+    var tokChars = 0L
+    toks.foreach(tokChars += _.length) // tokens are pure ASCII [a-z0-9]
+    val t2 = topGramChars(toks, 2)
+    val t3 = topGramChars(toks, 3)
+    val t4 = topGramChars(toks, 4)
+    val flag =
+      dL.toLong * 10 > nL.toLong * 3 || dcL * 5 > cL ||
+      dP.toLong * 10 > nP.toLong * 3 || dcP * 5 > cP ||
+      t2 * 5 > tokChars || t3 * 50 > tokChars * 9 || t4 * 25 > tokChars * 4
+    Repetition(nL, dL, cL, dcL, nP, dP, cP, dcP, tokChars, t2, t3, t4, flag)
+  }
+
   private def mix64(z0: Long): Long = {
     var z = z0
     z = (z ^ (z >>> 33)) * 0xff51afd7ed558ccdL

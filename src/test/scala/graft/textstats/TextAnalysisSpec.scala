@@ -158,4 +158,36 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(TextAnalysis.rhpBucket(v, 8, 42L) == TextAnalysis.rhpBucket(v, 8, 42L))
     assert(TextAnalysis.rhpBucket(v, 8, 42L) != TextAnalysis.rhpBucket(v.map(-_), 8, 42L))
   }
+
+  test("repetition: duplicate line/paragraph accounting") {
+    // 5 non-empty lines, "bbb" three times; paragraphs split on \n\n
+    val r = TextAnalysis.repetition("aaaa\nbbb\n\nbbb\ncc\nbbb")
+    assert(r.nLines == 5 && r.dupLines == 2)
+    assert(r.lineChars == 4 + 3 * 3 + 2 && r.dupLineChars == 6)
+    assert(r.nParas == 2 && r.dupParas == 0)
+    // dup-line frac 2/5 > 0.30 → flagged
+    assert(r.repetitious)
+    val clean = TextAnalysis.repetition(
+      "the quick brown fox\njumps over lazy dogs\n\nwhile the cat sleeps quietly today")
+    assert(clean.dupLines == 0 && clean.dupParas == 0 && !clean.repetitious)
+  }
+
+  test("repetition: top n-gram char coverage and tie-breaks") {
+    // "click here" ×3 among 6 tokens: top2 count 3, gram chars 9 → 27 of 28
+    val r = TextAnalysis.repetition("click here click here click here end!")
+    assert(r.tokChars == "clickhereclickhereclickhereend".length)
+    assert(r.top2Chars == 3L * ("click here".length - 1))
+    assert(r.repetitious) // 27*5 > 28
+    // all-unique grams never qualify (count ≥ 2 floor)
+    assert(TextAnalysis.repetition("bb cc aa").top2Chars == 0L)
+    // tie at count 2 → lexicographically smallest 2-gram wins
+    val t = TextAnalysis.repetition("aa bb aa bb cc dd cc dd")
+    assert(t.top2Chars == 2L * 4) // "aa bb" ×2, 4 alnum chars each
+    // codepoint counting: astral char counts once in line chars
+    val e = TextAnalysis.repetition("ab💩")
+    assert(e.nLines == 1 && e.lineChars == 3)
+    // empty / null
+    assert(TextAnalysis.repetition("").nLines == 0)
+    assert(!TextAnalysis.repetition(null).repetitious)
+  }
 }
