@@ -110,6 +110,9 @@ object SideTables {
     // repetition-structured rows: the INPUT for q_repetition — DuckDB
     // re-derives every Gopher signal + the threshold flag from these
     save(SparkEntry.repCorpus(spark, sfDir), "side_repdocs")
+    // normalization-bearing rows: the INPUT for q_text_normalize — DuckDB
+    // re-runs NFC + newline/control canonicalization with its own engine
+    save(SparkEntry.normCorpus(spark, sfDir), "side_normdocs")
 
     // ---- dedup primitives over the documents table (params MUST match
     // the q_minhash/q_simhash/q_doc_fingerprints queries) ----

@@ -493,6 +493,14 @@ object SparkEntry {
         t(s, dir, "documents").select(col("doc_id"), col("source"),
           graft.ops.TrainingData.nTokens(col("text")).as("n_tokens")),
         seqLen = 256)),
+    "q_text_normalize" -> ((s, dir) => {
+      import s.implicits._
+      normCorpus(s, dir).as[(Long, String)].map { case (id, t0) =>
+        val n = graft.textstats.TextAnalysis.normalizeForTraining(t0)
+        (id, n, n != t0,
+          t0.codePointCount(0, t0.length), n.codePointCount(0, n.length))
+      }.toDF("doc_id", "text_norm", "changed", "n_cp_before", "n_cp_after")
+    }),
 
     // ---- crawl scheduling / sources (SURVEY §2.7 faithful + §2.1) ----
     "q_priority_scores" -> ((s, _) => {
@@ -618,6 +626,25 @@ object SparkEntry {
       .otherwise(lit(""))
     d.select(id, concat(l1, lit("\n"), l2, lit("\n\n"), l3, dupTail, spam)
       .as("text"))
+  }
+
+  /** Deterministic normalization-bearing corpus: ~3/4 of docs get a tail
+    * containing decomposed accents, the fi ligature, CRLF/CR line breaks,
+    * a BEL control, or the OHM-sign NFC singleton (codepoints constructed
+    * programmatically — no raw controls in source). Shared by
+    * q_text_normalize and SideTables (side_normdocs). */
+  private[graft] def normCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val id = col("doc_id")
+    def cp(c: Int) = new String(Character.toChars(c))
+    val decomposedE = "e" + cp(0x301) // é decomposed
+    val ringA = "A" + cp(0x30A)       // Å decomposed
+    val inj = when(pmod(id, lit(4)) === 0,
+        lit("caf" + decomposedE + "\r\n" + ringA + "ngstr" + cp(0x7) + "om"))
+      .when(pmod(id, lit(4)) === 1, lit(cp(0xFB01) + "le list\r\ntail"))
+      .when(pmod(id, lit(4)) === 2, lit("plain ascii tail"))
+      .otherwise(lit(cp(0x2126) + " ohm \r mixed" + cp(0x7F)))
+    d.select(id, concat(substring(col("text"), 1, 80), lit(" "), inj).as("text"))
   }
 
   // ---------- oracles ----------
@@ -1080,6 +1107,20 @@ object SparkEntry {
         |      PARTITION BY source ORDER BY doc_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
         |  FROM documents)""".stripMargin,
+    "q_text_normalize" ->
+      // NFC + newline canonicalization + control strip re-derived with
+      // DuckDB's own utf8proc nfc_normalize and RE2 — cross-engine NFC
+      // parity (incl. OHM singleton + mark reordering) IS the property
+      // under test; len() counts codepoints on both sides
+      s"""WITH n AS (SELECT doc_id, text,
+         |    regexp_replace(
+         |      replace(replace(nfc_normalize(text), chr(13)||chr(10), chr(10)),
+         |              chr(13), chr(10)),
+         |      '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g') AS text_norm
+         |  FROM ${side("side_normdocs")})
+         |SELECT doc_id, text_norm, text_norm <> text AS changed,
+         |  len(text) AS n_cp_before, len(text_norm) AS n_cp_after
+         |FROM n""".stripMargin,
     "q_sample_hash" ->
       // md5-hex lexicographic threshold: identical digests + identical
       // binary string collation in both engines

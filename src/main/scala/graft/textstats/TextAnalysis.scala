@@ -255,6 +255,35 @@ object TextAnalysis {
     else (0 to toks.length - n).map(i => toks.slice(i, i + n).mkString(" "))
   }
 
+  // ---------- text normalization (training-corpus canonical form) ----------
+
+  /** Canonical text form for training corpora, in a fixed order whose
+    * every step is reproducible in DuckDB (the q_text_normalize oracle):
+    *  1. Unicode NFC (java.text.Normalizer ≡ utf8proc `nfc_normalize` ≡
+    *     CPython unicodedata — verified at codepoint level incl. the OHM
+    *     SIGN singleton and combining-mark reordering);
+    *  2. newline canonicalization: CRLF → LF, then lone CR → LF;
+    *  3. strip C0 controls except TAB/LF, and DEL.
+    * Without NFC, byte-level dedup treats "café" composed and decomposed
+    * as distinct documents and n-gram matching silently misses. */
+  def normalizeForTraining(text: String): String = {
+    if (text == null) return null
+    val nfc = java.text.Normalizer.normalize(text, java.text.Normalizer.Form.NFC)
+    val sb = new java.lang.StringBuilder(nfc.length)
+    var i = 0
+    while (i < nfc.length) {
+      val c = nfc.charAt(i)
+      if (c == '\r') {
+        sb.append('\n')
+        if (i + 1 < nfc.length && nfc.charAt(i + 1) == '\n') i += 1
+      } else if ((c < 0x20 && c != '\t' && c != '\n') || c == 0x7f) {
+        // dropped control
+      } else sb.append(c)
+      i += 1
+    }
+    sb.toString
+  }
+
   // ---------- repetition signals (Gopher / MassiveText-style filters) ----------
 
   /** Exact-integer repetition signals — the Gopher (Rae et al. 2021,

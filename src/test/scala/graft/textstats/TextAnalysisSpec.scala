@@ -159,6 +159,17 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(TextAnalysis.rhpBucket(v, 8, 42L) != TextAnalysis.rhpBucket(v.map(-_), 8, 42L))
   }
 
+  test("normalizeForTraining: NFC, newline canonicalization, control strip") {
+    def cp(c: Int) = new String(Character.toChars(c))
+    assert(TextAnalysis.normalizeForTraining("cafe" + cp(0x301)) == "caf" + cp(0xE9))
+    assert(TextAnalysis.normalizeForTraining("a\r\nb\rc") == "a\nb\nc")
+    assert(TextAnalysis.normalizeForTraining("x" + cp(7) + "\ty" + cp(0x7F)) == "x\ty")
+    assert(TextAnalysis.normalizeForTraining(cp(0x2126)) == cp(0x3A9)) // OHM → Ω
+    assert(TextAnalysis.normalizeForTraining(null) == null)
+    assert(TextAnalysis.normalizeForTraining("plain text\nwith lines") ==
+      "plain text\nwith lines")
+  }
+
   test("repetition: duplicate line/paragraph accounting") {
     // 5 non-empty lines, "bbb" three times; paragraphs split on \n\n
     val r = TextAnalysis.repetition("aaaa\nbbb\n\nbbb\ncc\nbbb")
