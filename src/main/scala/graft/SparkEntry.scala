@@ -466,6 +466,9 @@ object SparkEntry {
       Dedup.paragraphDedup(paraCorpus(s, dir), "doc_id", "text", maxDocs = 2)),
     "q_dedup_components" -> ((s, dir) =>
       Dedup.connectedComponents(dupPairsCorpus(s, dir))),
+    "q_neardup_drops" -> ((s, dir) =>
+      Dedup.nearDupDropList(t(s, dir, "documents"), "doc_id", "text",
+        numPerm = 32, bands = 16, minJaccard = 0.7)),
     "q_sample_hash" -> ((s, dir) =>
       graft.ops.TrainingData.deterministicSample(
           t(s, dir, "documents"), "doc_id", "s1", "4")
@@ -1121,6 +1124,30 @@ object SparkEntry {
          |SELECT doc_id, text_norm, text_norm <> text AS changed,
          |  len(text) AS n_cp_before, len(text_norm) AS n_cp_after
          |FROM n""".stripMargin,
+    "q_neardup_drops" ->
+      // the WHOLE near-dup pipeline re-derived: candidate pairs from the
+      // band keys, exact jaccard from the shingle sets, transitive
+      // closure with WITH RECURSIVE, keeper = component min
+      s"""WITH RECURSIVE
+         |b AS (SELECT * FROM ${side("side_bands")}),
+         |shg AS (SELECT * FROM ${side("side_shingles")}),
+         |cand AS (SELECT DISTINCT a.id AS id_a, b2.id AS id_b
+         |         FROM b a JOIN b b2 ON a.band_key = b2.band_key AND a.id < b2.id),
+         |jac AS (SELECT c.id_a, c.id_b,
+         |    round(CASE WHEN len(sa.sh) = 0 AND len(sb.sh) = 0 THEN 1.0
+         |      ELSE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+         |        (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) END, 6) AS j
+         |  FROM cand c
+         |  JOIN shg sa ON c.id_a = sa.id JOIN shg sb ON c.id_b = sb.id),
+         |e AS (SELECT id_a, id_b FROM jac WHERE j >= 0.7 AND id_a <> id_b),
+         |und AS (SELECT id_a AS u, id_b AS v FROM e
+         |        UNION SELECT id_b, id_a FROM e),
+         |reach(u, v) AS (
+         |  SELECT u, u FROM (SELECT DISTINCT u FROM und)
+         |  UNION
+         |  SELECT r.u, w.v FROM reach r JOIN und w ON r.v = w.u)
+         |SELECT u AS drop_id, min(v) AS keeper FROM reach
+         |GROUP BY u HAVING u <> min(v)""".stripMargin,
     "q_sample_hash" ->
       // md5-hex lexicographic threshold: identical digests + identical
       // binary string collation in both engines

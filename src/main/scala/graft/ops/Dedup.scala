@@ -466,4 +466,23 @@ object Dedup {
     connectedComponents(pairs, maxIter)
       .filter(col("id") =!= col("component"))
       .select(col("id"))
+
+  /** The whole near-dup pipeline in one call — the MinHash-dedup shape
+    * production corpora run (RefinedWeb/Dolma): LSH candidates → exact
+    * n-gram Jaccard verification at `minJaccard` → transitive closure →
+    * one `(drop_id, keeper)` row per non-keeper cluster member (keeper =
+    * component min id; singletons never appear). Every stage keeps its
+    * scale shape: the band shuffle carries (band_key, id) only, texts
+    * join onto the candidate slice, closure rounds ship edges only. */
+  def nearDupDropList(docs: DataFrame, idCol: String, textCol: String,
+                      numPerm: Int = 32, bands: Int = 16,
+                      minJaccard: Double = 0.7, maxIter: Int = 50): DataFrame = {
+    val cands = lshCandidatePairs(docs, idCol, textCol, numPerm, bands)
+    val pairs = verifyJaccard(cands, docs, idCol, textCol)
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"))
+    connectedComponents(pairs, maxIter)
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as("drop_id"), col("component").as("keeper"))
+  }
 }

@@ -319,4 +319,15 @@ class DedupSpec extends AnyFunSuite {
     assert(Seq(100L, 101L, 102L, 103L).forall(comps(_) == 100L))
     assert(!comps.contains(104L))
   }
+
+  test("nearDupDropList: end-to-end drop list keeps one doc per cluster") {
+    val drops = Dedup.nearDupDropList(docs, "doc_id", "text",
+        numPerm = 64, bands = 16, minJaccard = 0.5)
+      .as[(Long, Long)].collect().toMap
+    // cluster 100..103: keeper 100 stays, the rest map to it
+    assert(!drops.contains(100L))
+    assert(Seq(101L, 102L, 103L).forall(drops(_) == 100L))
+    // unique docs are never dropped
+    assert((0L until 40L).forall(!drops.contains(_)))
+  }
 }
