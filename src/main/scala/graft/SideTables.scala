@@ -113,6 +113,9 @@ object SideTables {
     // normalization-bearing rows: the INPUT for q_text_normalize — DuckDB
     // re-runs NFC + newline/control canonicalization with its own engine
     save(SparkEntry.normCorpus(spark, sfDir), "side_normdocs")
+    // shared-span rows: the INPUT for q_dup_spans — DuckDB re-derives the
+    // content-defined anchors, window digests, and per-doc counts
+    save(SparkEntry.spanCorpus(spark, sfDir), "side_spandocs")
 
     // ---- dedup primitives over the documents table (params MUST match
     // the q_minhash/q_simhash/q_doc_fingerprints queries) ----

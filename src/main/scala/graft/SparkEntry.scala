@@ -504,6 +504,16 @@ object SparkEntry {
           t0.codePointCount(0, t0.length), n.codePointCount(0, n.length))
       }.toDF("doc_id", "text_norm", "changed", "n_cp_before", "n_cp_after")
     }),
+    "q_dup_spans" -> ((s, dir) =>
+      Dedup.duplicatedSpans(spanCorpus(s, dir), "doc_id", "text",
+        k = 40, anchorLen = 8, anchorZeros = 1)),
+    "q_lm_quality" -> ((s, dir) =>
+      graft.ops.QualityLm.scoreSelfFit(t(s, dir, "documents"),
+        vocabSize = 1000)),
+    "q_mix_corpus" -> ((s, dir) =>
+      graft.ops.TrainingData.mixCorpus(
+        t(s, dir, "documents").select(col("doc_id"), col("source")),
+        "source", "doc_id", mixWeights.toMap)),
 
     // ---- crawl scheduling / sources (SURVEY §2.7 faithful + §2.1) ----
     "q_priority_scores" -> ((s, _) => {
@@ -649,6 +659,41 @@ object SparkEntry {
       .otherwise(lit(cp(0x2126) + " ohm \r mixed" + cp(0x7F)))
     d.select(id, concat(substring(col("text"), 1, 80), lit(" "), inj).as("text"))
   }
+
+  /** Deterministic shared-span corpus: docs with id%4==0 embed a fixed
+    * ~300-char license block at an id-VARYING offset inside their own text
+    * (the content-defined-anchor alignment property is what the oracle
+    * exercises), id%20==0 additionally append a second shared block; the
+    * rest keep a unique 170-char slice. Shared by q_dup_spans and
+    * SideTables (side_spandocs). */
+  private[graft] def spanCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val id = col("doc_id")
+    val block = "By accessing this website you agree to be bound by these " +
+      "terms and conditions of use all materials are provided as is without " +
+      "warranty of any kind either express or implied including but not " +
+      "limited to the implied warranties of merchantability and fitness " +
+      "for a particular purpose and non-infringement of third party rights"
+    val block2 = "All content on this site is provided for informational " +
+      "purposes only and does not constitute legal advice no attorney " +
+      "client relationship is formed by reading these pages"
+    val body = when(pmod(id, lit(4)) === 0,
+        concat(col("text").substr(lit(1), lit(20) + pmod(id, lit(3)) * 15),
+          lit(" " + block + " "), col("text").substr(lit(90), lit(80))))
+      .otherwise(col("text").substr(lit(1), lit(170)))
+    val tail2 = when(pmod(id, lit(20)) === 0, lit(" " + block2)).otherwise(lit(""))
+    d.select(id, concat(body, tail2).as("text"))
+  }
+
+  /** Mixture weights for q_mix_corpus — the oracle VALUES derive from the
+    * SAME weightParts split, so Spark and DuckDB share thresholds by
+    * construction. */
+  private val mixWeights = Seq("src0" -> 2.5, "src1" -> 0.25, "src2" -> 3.0)
+
+  private def mixValuesSql: String = mixWeights.map { case (s0, w) =>
+    val (f, h) = graft.ops.TrainingData.weightParts(w)
+    s"('$s0', $f, '$h')"
+  }.mkString(", ")
 
   // ---------- oracles ----------
 
@@ -1124,6 +1169,61 @@ object SparkEntry {
          |SELECT doc_id, text_norm, text_norm <> text AS changed,
          |  len(text) AS n_cp_before, len(text_norm) AS n_cp_after
          |FROM n""".stripMargin,
+    "q_dup_spans" ->
+      // the whole substring-duplication pass re-derived relationally:
+      // every position, the content-defined anchor predicate, the k-char
+      // window digests, cross-doc duplicated digests, per-doc counts
+      s"""WITH d AS (SELECT doc_id, text FROM ${side("side_spandocs")}),
+         |w AS (SELECT doc_id, substr(md5(substr(text, p + 1, 40)), 1, 16) AS dg
+         |      FROM (SELECT doc_id, text,
+         |              unnest(generate_series(0, len(text) - 40)) AS p FROM d)
+         |      WHERE substr(md5(substr(text, p + 1, 8)), 1, 1) = '0'),
+         |dup AS (SELECT dg FROM w GROUP BY dg HAVING count(DISTINCT doc_id) >= 2),
+         |pd AS (SELECT w.doc_id, count(*) AS n_windows,
+         |         CAST(sum(CASE WHEN dup.dg IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |           AS n_dup_windows
+         |       FROM w LEFT JOIN dup ON w.dg = dup.dg GROUP BY w.doc_id)
+         |SELECT d.doc_id, coalesce(pd.n_windows, 0) AS n_windows,
+         |  coalesce(pd.n_dup_windows, 0) AS n_dup_windows,
+         |  coalesce(pd.n_dup_windows, 0) * 5 > coalesce(pd.n_windows, 0) * 1
+         |    AS span_flagged
+         |FROM d LEFT JOIN pd USING (doc_id)""".stripMargin,
+    "q_lm_quality" ->
+      // the whole fit+score pass re-derived: tokenizer, count ranking with
+      // the same tie-break, OOV = V+1, integer rank sums, bucket cuts
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |                       x -> x <> '')) AS token
+        |  FROM documents),
+        |cnt AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+        |vocab AS (SELECT token, rank FROM (
+        |    SELECT token, ROW_NUMBER() OVER (ORDER BY c DESC, token) AS rank
+        |    FROM cnt) WHERE rank <= 1000),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
+        |sc AS (SELECT tf.doc_id,
+        |    CAST(sum(tf) AS BIGINT) AS n_tokens,
+        |    CAST(sum(CASE WHEN v.rank IS NULL THEN tf ELSE 0 END) AS BIGINT) AS n_oov,
+        |    CAST(sum(tf * coalesce(v.rank, 1001)) AS BIGINT) AS rank_sum
+        |  FROM tf LEFT JOIN vocab v USING (token) GROUP BY tf.doc_id)
+        |SELECT d.doc_id, coalesce(sc.n_tokens, 0) AS n_tokens,
+        |  coalesce(sc.n_oov, 0) AS n_oov, coalesce(sc.rank_sum, 0) AS rank_sum,
+        |  CASE WHEN coalesce(sc.n_tokens, 0) = 0 THEN 'tail'
+        |       WHEN sc.rank_sum * 8 < sc.n_tokens * 1000 THEN 'head'
+        |       WHEN sc.rank_sum * 2 < sc.n_tokens * 1000 THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id""".stripMargin,
+    "q_mix_corpus" ->
+      // epoch fan-out re-derived: VALUES carry the same (full, frac_hex)
+      // split weightParts produced for the Spark side
+      s"""WITH w(source, full_epochs, frac_hex) AS (VALUES $mixValuesSql),
+         |d AS (SELECT doc_id, source FROM documents),
+         |j AS (SELECT d.doc_id, d.source,
+         |    coalesce(w.full_epochs, 1)
+         |      + CASE WHEN substr(md5('mix:' || d.doc_id), 1, 8)
+         |              < coalesce(w.frac_hex, '00000000') THEN 1 ELSE 0 END AS n
+         |  FROM d LEFT JOIN w USING (source))
+         |SELECT doc_id, source, unnest(generate_series(0, n - 1)) AS epoch
+         |FROM j WHERE n > 0""".stripMargin,
     "q_neardup_drops" ->
       // the WHOLE near-dup pipeline re-derived: candidate pairs from the
       // band keys, exact jaccard from the shingle sets, transitive

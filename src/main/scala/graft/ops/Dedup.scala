@@ -485,4 +485,70 @@ object Dedup {
       .filter(col("id") =!= col("component"))
       .select(col("id").as("drop_id"), col("component").as("keeper"))
   }
+
+  /** Substring-level exact-duplication signals — the distributed
+    * alternative to the suffix-array pass of Lee et al. 2021
+    * ("Deduplicating Training Data Makes Language Models Better"):
+    * doc-level MinHash misses the boilerplate/license/quote SPANS that
+    * recur verbatim inside otherwise-unique documents, and a suffix
+    * array over 100 TB does not distribute. Instead, positions are
+    * selected CONTENT-DEFINED — position `p` is an anchor iff
+    * `md5(substr(text, p+1, anchorLen))` starts with `anchorZeros` hex
+    * zeros — so the same duplicated substring selects the same anchors
+    * in every document regardless of where it sits (fixed-stride windows
+    * would mis-align across docs). Each anchor contributes the 16-hex
+    * digest of the `k`-char window starting there; a window digest seen
+    * in ≥ `minDocs` distinct docs is a duplicated span.
+    *
+    * Emits one row per input doc: (id, n_windows, n_dup_windows,
+    * span_flagged) with `span_flagged` an exact cross-multiplied
+    * threshold (`n_dup_windows·thrDen > n_windows·thrNum` — the
+    * [[graft.textstats.TextAnalysis.repetition]] no-float discipline).
+    *
+    * Scale shape at 10^12 docs: the whole selection runs as ONE
+    * codegen'd Catalyst expression tree (sequence→filter→transform→
+    * explode) — no JVM map, no text in any shuffle. The digest shuffle
+    * carries (16-hex, id) ≈ 24 B per anchor; `anchorZeros` tunes the
+    * anchor rate 16^-z (z=1 → one window per ~16 chars ≈ 1.5× text
+    * volume shuffled — verification-grade; z=2 → one per ~256 chars ≈
+    * 0.1× — the web-scale setting, recall for an L-char duplicated run
+    * = 1-(1-16^-z)^(L-k), ~98% at L=1000, z=2). The dup-digest aggregate
+    * partial-aggregates map-side; the join back is digest-keyed and
+    * AQE-handled. Probabilistic ONLY in coverage (anchor placement),
+    * never in precision: every reported window is a byte-exact k-char
+    * match (16-hex md5 collisions: ~2^-64·pairs). */
+  def duplicatedSpans(docs: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text",
+                      k: Int = 40, anchorLen: Int = 8, anchorZeros: Int = 1,
+                      minDocs: Int = 2,
+                      thrNum: Int = 1, thrDen: Int = 5): DataFrame = {
+    require(k >= anchorLen, s"window k=$k shorter than anchorLen=$anchorLen")
+    require(anchorZeros >= 1 && anchorZeros <= 8, "anchorZeros in 1..8")
+    val zeros = "0" * anchorZeros
+    val t = col(textCol)
+    // positions 0..len-k (sequence(0,0) guard: p+k<=len re-checked in filter
+    // because Spark's sequence(0, negative) would DESCEND, not empty out)
+    val positions = sequence(lit(0), greatest(length(t) - k, lit(0)))
+    val anchors = filter(positions, p =>
+      (p + lit(k) <= length(t)) &&
+        md5(t.substr(p + lit(1), lit(anchorLen))).substr(lit(1), lit(anchorZeros)) === lit(zeros))
+    val digests = transform(anchors, p =>
+      md5(t.substr(p + lit(1), lit(k))).substr(lit(1), lit(16)))
+    val win = docs.select(col(idCol).as("__id"), explode(digests).as("dg"))
+    val dup = win.groupBy(col("dg"))
+      .agg(countDistinct(col("__id")).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .select(col("dg"), lit(1).as("__hit"))
+    val perDoc = win.join(dup, Seq("dg"), "left_outer")
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(coalesce(col("__hit"), lit(0)).cast("long")).as("n_dup_windows"))
+    docs.select(col(idCol).as("__id"))
+      .join(perDoc, Seq("__id"), "left_outer")
+      .select(col("__id").as(idCol),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        (coalesce(col("n_dup_windows"), lit(0L)) * thrDen >
+          coalesce(col("n_windows"), lit(0L)) * thrNum).as("span_flagged"))
+  }
 }

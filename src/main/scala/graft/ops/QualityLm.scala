@@ -1,0 +1,96 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Corpus-fit language-model quality scoring — the CCNet shape (Wenzek et
+ * al. 2020: score every document against an LM fitted on a reference
+ * corpus, then bucket head/middle/tail) re-expressed with EXACT integer
+ * arithmetic so the score is bit-identical on every engine and cluster
+ * size. Instead of float log-probabilities, each vocab token carries its
+ * frequency RANK (1 = most common); a document's score is the sum of its
+ * tokens' ranks (out-of-vocab = vocabSize+1), and the head/middle cuts
+ * are cross-multiplied mean-rank thresholds (`rank_sum·div < n_tokens·V`)
+ * — the same no-float discipline as
+ * [[graft.textstats.TextAnalysis.repetition]]. Rank-sum and
+ * log-prob-sum order documents near-identically under Zipf (rank and
+ * -log p are monotone in each other), which is all the bucketing uses.
+ *
+ * Scale shape at 10^12 docs:
+ *  - fit: the token-count aggregate partial-aggregates map-side (the
+ *    shuffle carries (token, count), bounded by DISTINCT tokens per
+ *    mapper, not token occurrences); `minCount` prunes the Zipf hapax
+ *    tail BEFORE the single global ranking window, which therefore runs
+ *    over ≤ the pruned vocabulary — at web scale set minCount so that
+ *    survives ≲10^7 rows (one task, seconds), the standard vocab-build
+ *    shape;
+ *  - score: per-doc term frequencies aggregate locally per (id, token)
+ *    first, the pruned vocab broadcasts (≤ vocabSize rows), and the
+ *    final per-doc aggregate ships three longs per doc. Text never
+ *    enters any shuffle.
+ */
+object QualityLm {
+
+  /** The shared tokenizer (fit + score + the DuckDB oracle re-derivation):
+    * lowercase, split on runs outside [a-z0-9], drop empties. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "[^a-z0-9]+"), t => t =!= "")
+
+  /** Fit the unigram vocab: top `vocabSize` tokens by (count desc, token
+    * asc — deterministic tie-break), ranked 1..V. `minCount` drops the
+    * hapax tail before the global ranking window (Zipf: singletons are
+    * most of the DISTINCT mass but none of the probability mass). */
+  def fitUnigram(ref: DataFrame, textCol: String = "text",
+                 vocabSize: Int = 1000, minCount: Long = 1L): DataFrame = {
+    val counts = ref.select(explode(tokens(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+    counts
+      .withColumn("rank",
+        row_number().over(Window.orderBy(desc("cnt"), asc("token"))))
+      .filter(col("rank") <= vocabSize)
+  }
+
+  /** Score every document against a fitted vocab. Emits one row per input
+    * doc: (id, n_tokens, n_oov, rank_sum, bucket) where
+    * bucket = head  if rank_sum·headDiv < n_tokens·vocabSize
+    *          middle if rank_sum·midDiv < n_tokens·vocabSize
+    *          tail   otherwise (and for token-less docs).
+    * All longs — no division anywhere. */
+  def scoreDocs(docs: DataFrame, vocab: DataFrame,
+                idCol: String = "doc_id", textCol: String = "text",
+                vocabSize: Int = 1000,
+                headDiv: Int = 8, midDiv: Int = 2): DataFrame = {
+    val oov = lit(vocabSize + 1L)
+    val tf = docs
+      .select(col(idCol).as("__id"), explode(tokens(col(textCol))).as("token"))
+      .groupBy(col("__id"), col("token")).agg(count(lit(1)).as("tf"))
+    val scored = tf
+      .join(broadcast(vocab.select(col("token"), col("rank"))), Seq("token"), "left_outer")
+      .groupBy(col("__id"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum(when(col("rank").isNull, col("tf")).otherwise(lit(0L))).as("n_oov"),
+        sum(col("tf") * coalesce(col("rank").cast("long"), oov)).as("rank_sum"))
+    docs.select(col(idCol).as("__id"))
+      .join(scored, Seq("__id"), "left_outer")
+      .select(col("__id").as(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        coalesce(col("rank_sum"), lit(0L)).as("rank_sum"),
+        when(coalesce(col("n_tokens"), lit(0L)) === 0, "tail")
+          .when(col("rank_sum") * headDiv < col("n_tokens") * vocabSize, "head")
+          .when(col("rank_sum") * midDiv < col("n_tokens") * vocabSize, "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
+  /** fit-on-self convenience (CCNet fits on a curated reference corpus;
+    * self-fit is the bootstrap when none exists yet). */
+  def scoreSelfFit(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text", vocabSize: Int = 1000,
+                   minCount: Long = 1L,
+                   headDiv: Int = 8, midDiv: Int = 2): DataFrame =
+    scoreDocs(docs, fitUnigram(docs, textCol, vocabSize, minCount),
+      idCol, textCol, vocabSize, headDiv, midDiv)
+}

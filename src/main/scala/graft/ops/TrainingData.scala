@@ -153,6 +153,62 @@ object TrainingData {
         (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** Split a mixture weight into (full epoch repeats, 8-hex md5 threshold
+    * for the fractional epoch): weight 2.3 → every doc appears in epochs
+    * 0 and 1, and the deterministic ~30% of docs whose
+    * `substr(md5(salt:id),1,8)` sorts below the threshold also appear in
+    * epoch 2. floor(frac·2^32) as 8 hex digits — exact, engine-portable
+    * (md5 prefixes are uniform over hex strings). */
+  def weightParts(w: Double): (Int, String) = {
+    require(w >= 0.0, s"negative mixture weight $w")
+    val full = math.floor(w).toInt
+    val frac = w - full
+    val scaled = math.min(math.floor(frac * 4294967296.0).toLong, 0xFFFFFFFFL)
+    (full, f"$scaled%08x")
+  }
+
+  /** Per-source epoch-weight corpus mixing — the mixture primitive LLM
+    * pipelines run before packing (Llama-style source weights: wiki×2.5,
+    * web×1, low-quality×0.3): emit one (id, source, epoch) row per epoch
+    * the doc participates in. Integer part of the weight = unconditional
+    * repeats; fractional part = a deterministic md5-threshold subset
+    * ([[weightParts]]) so the SAME docs are chosen on every run, engine,
+    * and cluster size — resumable corpora forbid RNG here. Sources absent
+    * from `weights` get `defaultWeight`; weight 0 drops the source.
+    *
+    * Scale shape: the weights table broadcasts (≤ thousands of sources
+    * with explicit weights), the epoch fan-out multiplies only
+    * (id, source) rows — text joins back by id downstream — and there is
+    * NO shuffle at all: scan → broadcast join → explode is one stage. */
+  def mixCorpus(docs: DataFrame, srcCol: String = "source",
+                idCol: String = "doc_id",
+                weights: Map[String, Double] = Map.empty,
+                salt: String = "mix",
+                defaultWeight: Double = 1.0): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val (dFull, dHex) = weightParts(defaultWeight)
+    val wrows = weights.toSeq.map { case (s0, w) =>
+      val (f, h) = weightParts(w); (s0, f, h)
+    }
+    val wdf = spark.createDataset(wrows).toDF("__src", "__full", "__fh")
+    val joined =
+      if (wrows.isEmpty) docs.select(col(idCol), col(srcCol))
+        .withColumn("__full", lit(dFull)).withColumn("__fh", lit(dHex))
+      else docs.select(col(idCol), col(srcCol))
+        .join(broadcast(wdf), col(srcCol) === col("__src"), "left_outer")
+        .withColumn("__full", coalesce(col("__full"), lit(dFull)))
+        .withColumn("__fh", coalesce(col("__fh"), lit(dHex)))
+    joined
+      .withColumn("__n", col("__full") +
+        when(substring(md5(concat(lit(salt), lit(":"),
+            col(idCol).cast("string"))), 1, 8) < col("__fh"), 1)
+          .otherwise(0))
+      .filter(col("__n") > 0) // weight <1 unselected docs drop out entirely
+      .select(col(idCol), col(srcCol),
+        explode(sequence(lit(0L), col("__n").cast("long") - 1)).as("epoch"))
+  }
+
   /** Sequence packing — assign every document its offset in the
     * concatenated token stream its training sequences are chunked from
     * (the standard LLM batch layout: concatenate docs, then cut every

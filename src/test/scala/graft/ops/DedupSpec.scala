@@ -266,6 +266,44 @@ class DedupSpec extends AnyFunSuite {
     assert(plan.contains("count(distinct __id"), plan.take(2000))
   }
 
+  test("duplicatedSpans finds a shared span at DIFFERENT offsets; uniques and short docs stay clean") {
+    val block = "By accessing this website you agree to be bound by these terms " +
+      "and conditions of use all materials are provided as is without warranty " +
+      "of any kind either express or implied including but not limited to the " +
+      "implied warranties of merchantability and fitness for a particular purpose"
+    val rows = Seq(
+      (1L, s"doc one opens with its own words then $block and closes uniquely"),
+      (2L, s"$block trailed by a completely different second document body here"),
+      (3L, "entirely unique third document with no shared license span at all " +
+        "just ordinary prose about spark catalyst expression trees and shuffles " +
+        "that keeps going long enough to produce several anchored windows too " +
+        "so the zero-dup assertion is meaningful rather than vacuous here"),
+      (4L, "short"), // < k chars: no windows at all
+      (5L, null.asInstanceOf[String])) // null text: no windows, no crash
+      .toDF("doc_id", "text")
+    val out = Dedup.duplicatedSpans(rows, "doc_id", "text")
+      .as[(Long, Long, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(out.size == 5)
+    // the block is ~300 chars → anchors are content-defined, so both docs
+    // report the SAME shared windows despite different embedding offsets
+    assert(out(1L)._3 > 0, s"doc 1 saw no dup windows: ${out(1L)}")
+    assert(out(2L)._3 > 0, s"doc 2 saw no dup windows: ${out(2L)}")
+    assert(out(3L)._2 > 0 && out(3L)._3 == 0, s"unique doc polluted: ${out(3L)}")
+    assert(out(4L) == ((4L, 0L, 0L, false)))
+    assert(out(5L) == ((5L, 0L, 0L, false)))
+    // determinism across evaluations
+    val again = Dedup.duplicatedSpans(rows, "doc_id", "text")
+      .as[(Long, Long, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(again == out)
+  }
+
+  test("duplicatedSpans digest shuffle groups 16-hex digests, never text") {
+    val rows = Seq((1L, "a" * 100), (2L, "b" * 100)).toDF("doc_id", "text")
+    val plan = Dedup.duplicatedSpans(rows, "doc_id", "text")
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("count(distinct __id"), plan.take(2000))
+  }
+
   test("fingerprints deterministic across evaluations") {
     val a = Dedup.fingerprints(docs, "doc_id", "text").orderBy($"id")
       .select($"id", $"simhash").as[(Long, Long)].collect().toSeq

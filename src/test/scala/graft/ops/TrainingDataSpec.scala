@@ -106,6 +106,60 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(hit._3 == 8 && hit._4)
   }
 
+  test("weightParts: exact integer/threshold split") {
+    assert(TrainingData.weightParts(2.5) == ((2, "80000000")))
+    assert(TrainingData.weightParts(0.25) == ((0, "40000000")))
+    assert(TrainingData.weightParts(3.0) == ((3, "00000000")))
+    assert(TrainingData.weightParts(0.0) == ((0, "00000000")))
+    assert(TrainingData.weightParts(1.0) == ((1, "00000000")))
+    intercept[IllegalArgumentException](TrainingData.weightParts(-0.1))
+  }
+
+  test("mixCorpus: integer repeats, deterministic fractional epoch, weight-0 drop, default weight") {
+    val docs = (0L until 400L).map { i =>
+      (i, Seq("wiki", "web", "junk", "other")((i % 4).toInt))
+    }.toDF("doc_id", "source")
+    val weights = Map("wiki" -> 2.5, "web" -> 1.0, "junk" -> 0.0)
+    val out = TrainingData.mixCorpus(docs, "source", "doc_id", weights)
+      .as[(Long, String, Long)].collect()
+    val bySrc = out.groupBy(_._2)
+    // junk (weight 0) vanishes entirely
+    assert(!bySrc.contains("junk"))
+    // web ×1.0 and unlisted "other" ×default 1.0: exactly epoch 0, all 100 docs
+    assert(bySrc("web").map(_._3).toSet == Set(0L) && bySrc("web").length == 100)
+    assert(bySrc("other").map(_._3).toSet == Set(0L) && bySrc("other").length == 100)
+    // wiki ×2.5: every doc in epochs 0 and 1; epoch 2 = the md5 subset
+    val wiki = bySrc("wiki").groupBy(_._1)
+    assert(wiki.size == 100)
+    assert(wiki.values.forall(rows => {
+      val es = rows.map(_._3).sorted.toSeq
+      es == Seq(0L, 1L) || es == Seq(0L, 1L, 2L)
+    }))
+    val extra = wiki.values.count(_.length == 3)
+    assert(extra > 25 && extra < 75, s"fractional epoch picked $extra/100")
+    // the fractional subset is EXACTLY the md5-threshold predicate
+    val expect = wiki.keys.filter { id =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"mix:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      hex < "80000000"
+    }.toSet
+    assert(wiki.filter(_._2.length == 3).keys.toSet == expect)
+    // determinism across evaluations
+    val again = TrainingData.mixCorpus(docs, "source", "doc_id", weights)
+      .as[(Long, String, Long)].collect()
+    assert(out.sorted.toSeq == again.sorted.toSeq)
+  }
+
+  test("mixCorpus: no shuffle — scan, broadcast join, explode only") {
+    val docs = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "source")
+    val plan = TrainingData.mixCorpus(docs, "source", "doc_id", Map("a" -> 2.0))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") || plan.contains("BroadcastExchange"),
+      plan.take(2000))
+    assert(!plan.contains("ShuffleExchange"), plan.take(2000))
+  }
+
   test("packSequences: exclusive cumsum per source; docs straddle seq boundaries") {
     val docs = Seq((1L, "a", 100L), (2L, "a", 200L), (3L, "a", 50L),
       (10L, "b", 300L)).toDF("doc_id", "source", "n_tokens")
