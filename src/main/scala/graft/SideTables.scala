@@ -116,6 +116,12 @@ object SideTables {
     // shared-span rows: the INPUT for q_dup_spans — DuckDB re-derives the
     // content-defined anchors, window digests, and per-doc counts
     save(SparkEntry.spanCorpus(spark, sfDir), "side_spandocs")
+    // "next snapshot" rows: the INPUT for q_corpus_delta — DuckDB
+    // re-derives the full-outer membership/hash classification
+    save(SparkEntry.newCorpus(spark, sfDir), "side_newdocs")
+    // per-source-dup-rate rows: the INPUT for q_source_stats — DuckDB
+    // re-derives the governance rollup + blocklist flag
+    save(SparkEntry.srcDupCorpus(spark, sfDir), "side_srcdocs")
 
     // ---- dedup primitives over the documents table (params MUST match
     // the q_minhash/q_simhash/q_doc_fingerprints queries) ----

@@ -514,6 +514,16 @@ object SparkEntry {
       graft.ops.TrainingData.mixCorpus(
         t(s, dir, "documents").select(col("doc_id"), col("source")),
         "source", "doc_id", mixWeights.toMap)),
+    "q_shard_assign" -> ((s, dir) =>
+      graft.ops.TrainingData.shardAssignments(
+        t(s, dir, "documents").select(col("doc_id")),
+        "doc_id", numShards = 8, subStreams = 4)),
+    "q_corpus_delta" -> ((s, dir) =>
+      graft.ops.TrainingData.corpusDelta(
+        t(s, dir, "documents"), newCorpus(s, dir))),
+    "q_source_stats" -> ((s, dir) =>
+      graft.ops.TrainingData.sourceStats(srcDupCorpus(s, dir),
+        dupNum = 1, dupDen = 5)),
 
     // ---- crawl scheduling / sources (SURVEY §2.7 faithful + §2.1) ----
     "q_priority_scores" -> ((s, _) => {
@@ -683,6 +693,36 @@ object SparkEntry {
       .otherwise(col("text").substr(lit(1), lit(170)))
     val tail2 = when(pmod(id, lit(20)) === 0, lit(" " + block2)).otherwise(lit(""))
     d.select(id, concat(body, tail2).as("text"))
+  }
+
+  /** Deterministic "next snapshot" of the documents table for
+    * q_corpus_delta: id%13==0 removed, id%7==0 revised, ~1/11 added under
+    * shifted ids. Shared with SideTables (side_newdocs). */
+  private[graft] def newCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val id = col("doc_id")
+    val kept = d.filter(pmod(id, lit(13)) =!= 0)
+      .select(id,
+        when(pmod(id, lit(7)) === 0, concat(col("text"), lit(" revision 2")))
+          .otherwise(col("text")).as("text"))
+    val added = d.filter(pmod(id, lit(11)) === 0)
+      .select((id + lit(500000)).as("doc_id"),
+        concat(lit("brand new document "), id.cast("string")).as("text"))
+    kept.unionByName(added)
+  }
+
+  /** Deterministic per-source-dup-rate corpus for q_source_stats: source
+    * srcN collapses ids with id%20 < N%8 onto one fixed spam page, so dup
+    * excess varies 0..7/25 across sources and the blocklist flag is
+    * non-degenerate. Shared with SideTables (side_srcdocs). */
+  private[graft] def srcDupCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val id = col("doc_id")
+    val n = substring(col("source"), 4, 10).cast("int")
+    d.select(id, col("source"),
+      when(pmod(id, lit(20)) < pmod(n, lit(8)),
+        lit("one weird spam page repeated everywhere"))
+        .otherwise(col("text")).as("text"))
   }
 
   /** Mixture weights for q_mix_corpus — the oracle VALUES derive from the
@@ -1224,6 +1264,43 @@ object SparkEntry {
          |  FROM d LEFT JOIN w USING (source))
          |SELECT doc_id, source, unnest(generate_series(0, n - 1)) AS epoch
          |FROM j WHERE n > 0""".stripMargin,
+    "q_shard_assign" ->
+      // the skew-safe two-stage (sub-stream rank + broadcast offsets)
+      // re-derived as ONE plain per-shard window — exactness of the
+      // decomposition is the property under test
+      """WITH h AS (SELECT doc_id, md5('shard:' || doc_id) AS hh FROM documents),
+        |s AS (SELECT doc_id, hh,
+        |    CAST(CAST('0x' || substr(hh, 1, 8) AS BIGINT) % 8 AS INT) AS shard,
+        |    CAST('0x' || substr(hh, 9, 8) AS BIGINT) % 4 AS sub
+        |  FROM h)
+        |SELECT doc_id, shard,
+        |  ROW_NUMBER() OVER (PARTITION BY shard ORDER BY sub, hh, doc_id) - 1
+        |    AS pos
+        |FROM s""".stripMargin,
+    "q_corpus_delta" ->
+      // membership-flag + null-safe-hash classification re-derived over
+      // the same two snapshots
+      s"""WITH o AS (SELECT doc_id, md5(text) AS old_hash, TRUE AS in_old
+         |           FROM documents),
+         |n AS (SELECT doc_id, md5(text) AS new_hash, TRUE AS in_new
+         |      FROM ${side("side_newdocs")}),
+         |j AS (SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+         |        old_hash, new_hash, in_old, in_new
+         |      FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+         |SELECT doc_id, old_hash, new_hash,
+         |  CASE WHEN in_old IS NULL THEN 'added'
+         |       WHEN in_new IS NULL THEN 'removed'
+         |       WHEN old_hash IS DISTINCT FROM new_hash THEN 'changed'
+         |       ELSE 'unchanged' END AS status
+         |FROM j""".stripMargin,
+    "q_source_stats" ->
+      s"""SELECT source, count(*) AS n_docs, count(text) AS n_text_docs,
+         |  count(DISTINCT md5(text)) AS n_distinct,
+         |  CAST(coalesce(sum(len(text)), 0) AS BIGINT) AS total_chars,
+         |  count(text) - count(DISTINCT md5(text)) AS n_dup_docs,
+         |  (count(text) - count(DISTINCT md5(text))) * 5 > count(*) * 1
+         |    AS blocklisted
+         |FROM ${side("side_srcdocs")} GROUP BY source""".stripMargin,
     "q_neardup_drops" ->
       // the WHOLE near-dup pipeline re-derived: candidate pairs from the
       // band keys, exact jaccard from the shingle sets, transitive

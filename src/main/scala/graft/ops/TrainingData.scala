@@ -209,6 +209,91 @@ object TrainingData {
         explode(sequence(lit(0L), col("__n").cast("long") - 1)).as("epoch"))
   }
 
+  /** Deterministic training-shard assignment — the "global shuffle" a
+    * tokenizer/loader fleet needs, without a global sort: every doc gets
+    * (shard, pos) where `shard` is an md5-mod bucket and `pos` is its
+    * 0-based position within the shard in a deterministic pseudorandom
+    * order (sub-stream, md5, id). Same (shard, pos) on every run, engine,
+    * and cluster size — RNG-free, so a resumed or re-run corpus build
+    * feeds workers identical data in identical order.
+    *
+    * Scale shape at 10^12 docs: a naive per-shard `row_number` window
+    * buffers n/numShards rows in ONE task (10^9 rows at 1024 shards).
+    * Instead the rank runs per (shard, subStream) — task size
+    * n/(shards·subs) — and each sub-stream's exclusive offset within its
+    * shard comes from a (shards·subs)-row count aggregate that
+    * broadcast-joins back: the [[Skew]] two-stage discipline. Only
+    * (id, 32-hex) enters the shuffle. */
+  def shardAssignments(docs: DataFrame, idCol: String = "doc_id",
+                       numShards: Int = 16, salt: String = "shard",
+                       subStreams: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(numShards > 0 && subStreams > 0, "numShards/subStreams positive")
+    val h = md5(concat(lit(salt), lit(":"), col(idCol).cast("string")))
+    val slim = docs.select(col(idCol), h.as("__h"))
+      .withColumn("shard",
+        pmod(conv(substring(col("__h"), 1, 8), 16, 10).cast("long"),
+          lit(numShards.toLong)).cast("int"))
+      .withColumn("__sub",
+        pmod(conv(substring(col("__h"), 9, 8), 16, 10).cast("long"),
+          lit(subStreams.toLong)).cast("int"))
+    val ranked = slim.withColumn("__r", row_number().over(
+      Window.partitionBy(col("shard"), col("__sub"))
+        .orderBy(col("__h"), col(idCol))))
+    val offs = slim.groupBy(col("shard"), col("__sub"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__off", coalesce(sum(col("__c")).over(
+        Window.partitionBy(col("shard")).orderBy(col("__sub"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("shard"), col("__sub"), col("__off"))
+    ranked.join(broadcast(offs), Seq("shard", "__sub"))
+      .select(col(idCol), col("shard"),
+        (col("__off") + col("__r") - 1).as("pos"))
+  }
+
+  /** Snapshot-to-snapshot corpus delta — what changed between two corpus
+    * versions (the incremental-rebuild primitive: retokenize only
+    * added/changed docs, retire removed ones). Presence is tracked with
+    * explicit flags, NOT hash nullness, so null-text rows classify by
+    * membership and only differ via the null-safe hash comparison.
+    * Scale shape: both sides project to (id, 32-hex) before the single
+    * full-outer id-keyed shuffle join — text never moves. */
+  def corpusDelta(oldDocs: DataFrame, newDocs: DataFrame,
+                  idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    val o = oldDocs.select(col(idCol).as("__id"),
+      md5(col(textCol)).as("old_hash"), lit(true).as("__in_old"))
+    val n = newDocs.select(col(idCol).as("__id"),
+      md5(col(textCol)).as("new_hash"), lit(true).as("__in_new"))
+    o.join(n, Seq("__id"), "full_outer")
+      .select(col("__id").as(idCol), col("old_hash"), col("new_hash"),
+        when(col("__in_old").isNull, "added")
+          .when(col("__in_new").isNull, "removed")
+          .when(!(col("old_hash") <=> col("new_hash")), "changed")
+          .otherwise("unchanged").as("status"))
+  }
+
+  /** Per-source corpus governance rollup — the FineWeb/C4-style domain
+    * triage table: doc counts, distinct-content counts, exact duplicate
+    * excess, total chars, and a cross-multiplied dup-rate blocklist flag
+    * (`n_dup_docs·dupDen > n_docs·dupNum`, i.e. rate > num/den — no
+    * floats). One map-side-combinable aggregate over (source,
+    * 32-hex, length) projections; the distinct-count shuffle carries
+    * (source, hash) only. */
+  def sourceStats(docs: DataFrame, srcCol: String = "source",
+                  idCol: String = "doc_id", textCol: String = "text",
+                  dupNum: Int = 1, dupDen: Int = 5): DataFrame =
+    docs.select(col(srcCol), md5(col(textCol)).as("__h"),
+        length(col(textCol)).cast("long").as("__len"))
+      .groupBy(col(srcCol))
+      .agg(count(lit(1)).as("n_docs"),
+        count(col("__h")).as("n_text_docs"),
+        countDistinct(col("__h")).as("n_distinct"),
+        coalesce(sum(col("__len")), lit(0L)).as("total_chars"))
+      .withColumn("n_dup_docs", col("n_text_docs") - col("n_distinct"))
+      .withColumn("blocklisted",
+        col("n_dup_docs") * dupDen > col("n_docs") * dupNum)
+
   /** Sequence packing — assign every document its offset in the
     * concatenated token stream its training sequences are chunked from
     * (the standard LLM batch layout: concatenate docs, then cut every

@@ -160,6 +160,62 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(!plan.contains("ShuffleExchange"), plan.take(2000))
   }
 
+  test("shardAssignments: two-stage skew-safe ranks equal the plain per-shard ranking") {
+    val docs = (0L until 500L).map(i => Tuple1(i)).toDF("doc_id")
+    val out = TrainingData.shardAssignments(docs, "doc_id",
+      numShards = 4, subStreams = 4)
+      .as[(Long, Int, Long)].collect()
+    assert(out.length == 500)
+    // per-shard positions are exactly 0..n_shard-1, no gaps or dups
+    out.groupBy(_._2).foreach { case (shard, rows) =>
+      val ps = rows.map(_._3).sorted.toSeq
+      assert(ps == (0L until rows.length).toSeq, s"shard $shard positions: $ps")
+    }
+    // the decomposed (offset + sub-rank) result equals the naive single
+    // window recomputed from scratch in plain Scala
+    def hex(id: Long) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"shard:$id".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expect = (0L until 500L).map { id =>
+      val h = hex(id)
+      (id, h, (java.lang.Long.parseLong(h.substring(0, 8), 16) % 4).toInt,
+        java.lang.Long.parseLong(h.substring(8, 16), 16) % 4)
+    }.groupBy(_._3).flatMap { case (shard, rows) =>
+      rows.sortBy(r => (r._4, r._2, r._1)).zipWithIndex
+        .map { case (r, i) => r._1 -> ((shard, i.toLong)) }
+    }
+    assert(out.map(r => r._1 -> ((r._2, r._3))).toMap == expect)
+  }
+
+  test("corpusDelta: membership flags drive added/removed; hashes null-safely drive changed") {
+    val old = Seq((1L, "same"), (2L, "before"), (3L, "gone"),
+      (5L, null.asInstanceOf[String]), (6L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val nw = Seq((1L, "same"), (2L, "after"), (4L, "fresh"),
+      (5L, null.asInstanceOf[String]), (6L, "text now"))
+      .toDF("doc_id", "text")
+    val out = TrainingData.corpusDelta(old, nw)
+      .select($"doc_id", $"status").as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed",
+      4L -> "added", 5L -> "unchanged", 6L -> "changed"))
+  }
+
+  test("sourceStats: exact dup excess and cross-multiplied blocklist") {
+    val docs = Seq(
+      (1L, "a", "spam"), (2L, "a", "spam"), (3L, "a", "spam"), (4L, "a", "real a"),
+      (10L, "b", "one"), (11L, "b", "two"), (12L, "b", "three"),
+      (20L, "c", null.asInstanceOf[String]), (21L, "c", "only text"))
+      .toDF("doc_id", "source", "text")
+    val out = TrainingData.sourceStats(docs, dupNum = 1, dupDen = 3)
+      .as[(String, Long, Long, Long, Long, Long, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    // a: 4 docs, 2 distinct → 2 dup excess; 2*3 > 4 → blocklisted
+    assert(out("a") == (("a", 4L, 4L, 2L, 18L, 2L, true)))
+    // b: all unique → clean
+    assert(out("b") == (("b", 3L, 3L, 3L, 11L, 0L, false)))
+    // c: null text counts in n_docs but not in text/dup accounting
+    assert(out("c") == (("c", 2L, 1L, 1L, 9L, 0L, false)))
+  }
+
   test("packSequences: exclusive cumsum per source; docs straddle seq boundaries") {
     val docs = Seq((1L, "a", 100L), (2L, "a", 200L), (3L, "a", 50L),
       (10L, "b", 300L)).toDF("doc_id", "source", "n_tokens")
