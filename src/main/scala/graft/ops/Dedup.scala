@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import scala.collection.mutable.ArrayBuffer
 import org.apache.spark.util.LongAccumulator
 import graft.textstats.TextAnalysis
 
@@ -398,8 +399,20 @@ object Dedup {
     * dropped). Output: (id, component) for EVERY id present in the input,
     * where component is the smallest id reachable from it.
     *
+    * Size-gated local finish: the convergence checksum already counts the
+    * edge set each round, and star rounds only shrink it, so once it fits
+    * a bounded driver budget the remaining O(log n) multi-shuffle rounds
+    * cost more in job latency than a single collect — the same two-phase
+    * shape production CC implementations use (contract distributed, finish
+    * small). At `localFinishEdges` = 2M the transient driver allocation is
+    * ~64 MB of edge tuples + ~4M-node union-find arrays (~300 MB worst
+    * case) — a CONSTANT independent of corpus size, like the size-gated
+    * dedup broadcast in [[graft.pipeline.Extract]]; pass 0 to force the
+    * pure-distributed path.
+    *
     * @param maxIter safety backstop (O(log n) suffices: 2^50 nodes). */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 50,
+                          localFinishEdges: Long = 2_000_000L): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
 
@@ -442,7 +455,8 @@ object Dedup {
     var edges = orient(pairs.select(col("id_a").cast("long").as("u"),
       col("id_b").cast("long").as("v"))).localCheckpoint()
     var sig = checksum(edges)
-    var converged = edges.isEmpty
+    if (sig._1 <= localFinishEdges) return localUnionFind(edges)
+    var converged = sig._1 == 0L
     var iter = 0
     while (!converged && iter < maxIter) {
       val next = smallStar(largeStar(edges)).localCheckpoint()
@@ -451,12 +465,49 @@ object Dedup {
       edges = next
       sig = nextSum
       iter += 1
+      if (!converged && sig._1 <= localFinishEdges) return localUnionFind(edges)
     }
     require(converged, s"connectedComponents did not converge in $maxIter rounds")
     // at the fixed point every edge is (member u, root v=component min)
     edges.select(col("u").as("id"), col("v").as("component"))
       .union(edges.select(col("v").as("id"), col("v").as("component")))
       .distinct()
+  }
+
+  /** Driver-side union-find finish for a small (gated) edge set. Star
+    * rounds preserve both connectivity and the node set, so running this
+    * at any round yields the same (id, component-min) mapping the fixed
+    * point would. Unboxed id→index map + array parents; path compression;
+    * union by min id so every root IS its component's smallest id. */
+  private def localUnionFind(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val es = edges.select(col("u"), col("v")).as[(Long, Long)].collect()
+    val idx = new scala.collection.mutable.LongMap[Int](math.max(16, es.length * 2))
+    val ids = new ArrayBuffer[Long]()
+    val parent = new ArrayBuffer[Int]()
+    def node(x: Long): Int =
+      idx.getOrElseUpdate(x, { ids += x; parent += parent.length; parent.length - 1 })
+    def find(i: Int): Int = {
+      var r = i
+      while (parent(r) != r) r = parent(r)
+      var c = i
+      while (parent(c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+    var k = 0
+    while (k < es.length) {
+      val ru = find(node(es(k)._1)); val rv = find(node(es(k)._2))
+      if (ru != rv) {
+        if (ids(ru) < ids(rv)) parent(rv) = ru else parent(ru) = rv
+      }
+      k += 1
+    }
+    val out = new Array[(Long, Long)](ids.length)
+    var i = 0
+    while (i < ids.length) { out(i) = (ids(i), ids(find(i))); i += 1 }
+    spark.createDataset(scala.collection.immutable.ArraySeq.unsafeWrapArray(out))
+      .toDF("id", "component")
   }
 
   /** Ids to DROP under transitive near-dup resolution: every cluster

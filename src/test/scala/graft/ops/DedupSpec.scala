@@ -332,10 +332,24 @@ class DedupSpec extends AnyFunSuite {
     // a 256-node path has diameter 255; large/small-star needs ~log2 rounds.
     // maxIter=14 would stall naive min-label propagation long before 255.
     val path = (0L until 255L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val comps = Dedup.connectedComponents(path, maxIter = 14)
+    // localFinishEdges = 0 pins the pure-distributed star rounds
+    val comps = Dedup.connectedComponents(path, maxIter = 14, localFinishEdges = 0L)
       .as[(Long, Long)].collect()
     assert(comps.length == 256)
     assert(comps.forall(_._2 == 0L))
+  }
+
+  test("connected components: size-gated local finish matches the distributed fixed point") {
+    // chains + diamonds + an isolated pair, shuffled orientation
+    val pairs = (Seq((9L, 3L), (3L, 7L), (40L, 41L), (12L, 11L), (11L, 10L),
+      (10L, 13L), (13L, 12L)) ++ (100L until 140L).map(i => (i, i + 1)))
+      .toDF("id_a", "id_b")
+    val local = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    val dist = Dedup.connectedComponents(pairs, localFinishEdges = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(local == dist)
+    assert(local(9L) == 3L && local(41L) == 40L && local(139L) == 100L)
   }
 
   test("connected components: empty and self-pair inputs") {
