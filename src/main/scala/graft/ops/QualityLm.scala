@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -21,11 +20,10 @@ import org.apache.spark.sql.functions._
  * Scale shape at 10^12 docs:
  *  - fit: the token-count aggregate partial-aggregates map-side (the
  *    shuffle carries (token, count), bounded by DISTINCT tokens per
- *    mapper, not token occurrences); `minCount` prunes the Zipf hapax
- *    tail BEFORE the single global ranking window, which therefore runs
- *    over ≤ the pruned vocabulary — at web scale set minCount so that
- *    survives ≲10^7 rows (one task, seconds), the standard vocab-build
- *    shape;
+ *    mapper, not token occurrences); the global top-V is a distributed
+ *    TakeOrderedAndProject (per-partition top-V merged on the driver),
+ *    so no single task ever sees the full distinct-token set, and the
+ *    driver holds exactly vocabSize rows;
  *  - score: per-doc term frequencies aggregate locally per (id, token)
  *    first, the pruned vocab broadcasts (≤ vocabSize rows), and the
  *    final per-doc aggregate ships three longs per doc. Text never
@@ -40,17 +38,27 @@ object QualityLm {
 
   /** Fit the unigram vocab: top `vocabSize` tokens by (count desc, token
     * asc — deterministic tie-break), ranked 1..V. `minCount` drops the
-    * hapax tail before the global ranking window (Zipf: singletons are
-    * most of the DISTINCT mass but none of the probability mass). */
+    * hapax tail before the global ranking (Zipf: singletons are most of
+    * the DISTINCT mass but none of the probability mass).
+    *
+    * The global top-V is `orderBy().limit()` — Spark plans that as a
+    * distributed TakeOrderedAndProject (per-partition top-V, merged on
+    * the driver), NOT a single-partition sort; ranks are then assigned
+    * over the ≤ vocabSize collected rows. Driver memory is bounded by
+    * the vocabSize CONSTANT, never by the distinct-token count (billions
+    * at web scale — a global ranking window there is a scale-killer). */
   def fitUnigram(ref: DataFrame, textCol: String = "text",
                  vocabSize: Int = 1000, minCount: Long = 1L): DataFrame = {
-    val counts = ref.select(explode(tokens(col(textCol))).as("token"))
+    val spark = ref.sparkSession
+    import spark.implicits._
+    val top = ref.select(explode(tokens(col(textCol))).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= minCount)
-    counts
-      .withColumn("rank",
-        row_number().over(Window.orderBy(desc("cnt"), asc("token"))))
-      .filter(col("rank") <= vocabSize)
+      .orderBy(desc("cnt"), asc("token")).limit(vocabSize)
+      .as[(String, Long)].collect()
+    val ranked = top.iterator.zipWithIndex
+      .map { case ((t, c), i) => (t, c, i + 1) }.toSeq
+    spark.createDataset(ranked).toDF("token", "cnt", "rank")
   }
 
   /** Score every document against a fitted vocab. Emits one row per input
