@@ -444,6 +444,19 @@ object SparkEntry {
       Dedup.verifyJaccard(cands, t(s, dir, "documents"), "doc_id", "text")
         .orderBy(desc("jaccard"), col("id_a"), col("id_b")).limit(50)
     }),
+    "q_lsh_incremental" -> ((s, dir) => {
+      // continuous-crawl shape: corpus = doc_id % 3 != 0 (its band index is
+      // built separately, as a persisted index would be), new batch = the
+      // rest; only new–new / new–old candidates may be emitted
+      val docs = t(s, dir, "documents")
+      val idxFps = Dedup.fingerprints(
+        docs.filter(pmod(col("doc_id"), lit(3)) =!= 0), "doc_id", "text", numPerm = 32)
+      Dedup.incrementalLshPairs(
+          docs.filter(pmod(col("doc_id"), lit(3)) === 0), "doc_id", "text",
+          Dedup.minhashBands(idxFps, bands = 16),
+          idxFps.select(col("id"), col("minhash")), numPerm = 32, bands = 16)
+        .orderBy(desc("est_jaccard"), col("id_a"), col("id_b")).limit(100)
+    }),
     "q_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
         .orderBy(col("hamming"), col("id_a"), col("id_b")).limit(50)),
@@ -1004,6 +1017,19 @@ object SparkEntry {
          |        ELSE CAST(inter AS DOUBLE) / (na + nb - inter) END, 6) AS jaccard
          |FROM scored
          |ORDER BY jaccard DESC, id_a, id_b LIMIT 50""".stripMargin,
+    "q_lsh_incremental" ->
+      // side_bands/side_fp cover the FULL corpus with the same params, so
+      // the old/new split re-derives by id arithmetic; the incremental
+      // contract (>=1 new id per pair) is the WHERE clause
+      s"""WITH b AS (SELECT * FROM ${side("side_bands")}),
+         |fp AS (SELECT * FROM ${side("side_fp")}),
+         |cand AS (SELECT DISTINCT a.id AS id_a, b2.id AS id_b
+         |         FROM b a JOIN b b2 ON a.band_key = b2.band_key AND a.id < b2.id
+         |         WHERE a.id % 3 = 0 OR b2.id % 3 = 0)
+         |SELECT c.id_a, c.id_b,
+         |  round(CAST(len(list_filter(range(1, 33), i -> fa.minhash[i] = fb.minhash[i])) AS DOUBLE) / 32, 6) AS est_jaccard
+         |FROM cand c JOIN fp fa ON c.id_a = fa.id JOIN fp fb ON c.id_b = fb.id
+         |ORDER BY est_jaccard DESC, id_a, id_b LIMIT 100""".stripMargin,
     "q_simhash_pairs" ->
       s"""WITH blk AS (SELECT * FROM ${side("side_simblocks")}),
          |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,

@@ -165,6 +165,97 @@ object Dedup {
       .distinct() // same pair can match in several buckets; ids only — tiny
   }
 
+  /** [[bucketPairs]] with a per-row novelty tag: emits only pairs where at
+    * least one member is NEW — the incremental variant (old–old pairs were
+    * resolved when the index was built; regenerating them is the n² trap
+    * of naive re-runs). Same deterministic smallest-ids skew guard and
+    * truncation telemetry as the batch core. */
+  private[ops] def bucketPairsTagged(keyed: DataFrame, maxBucket: Int,
+                                     m: LshMetrics): DataFrame = {
+    val spark = keyed.sparkSession
+    import spark.implicits._
+    val truncBuckets = m.truncatedBuckets
+    val truncRows = m.truncatedRows
+    keyed.as[(Long, Long, Boolean)]
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val heap = new java.util.PriorityQueue[(Long, Boolean)](
+          16, Ordering.by[(Long, Boolean), Long](_._1).reverse)
+        var extra = 0L
+        it.foreach { case (_, id, isNew) =>
+          if (heap.size < maxBucket) heap.add((id, isNew))
+          else if (id < heap.peek()._1) { heap.poll(); heap.add((id, isNew)); extra += 1 }
+          else extra += 1
+        }
+        if (extra > 0) { truncBuckets.add(1L); truncRows.add(extra) }
+        val members = new Array[(Long, Boolean)](heap.size)
+        var k = members.length - 1
+        while (k >= 0) { members(k) = heap.poll(); k -= 1 }
+        for {
+          i <- members.indices.iterator
+          j <- (i + 1) until members.length
+          if members(i)._2 || members(j)._2
+        } yield (members(i)._1, members(j)._1)
+      }.toDF("id_a", "id_b")
+      .distinct()
+  }
+
+  /** Incremental MinHash-LSH candidates: a NEW batch against the band
+    * index of the already-resolved corpus — the continuous-crawl dedup
+    * shape. At 10^12 docs you never re-LSH the corpus per crawl: its
+    * (band_key, id) rows and (id, minhash) signatures persist
+    * ([[writeBandIndex]]); only the new batch (≪ corpus) computes
+    * signatures, and per-bucket pair generation runs over the union of
+    * the two band-row sets, emitting ONLY new–new and new–old pairs.
+    * Under an Iceberg bucket(band_key) layout the index side is
+    * storage-partitioned and only the new batch's band rows move.
+    * New and old id sets must be disjoint (two crawls share the id
+    * space, not ids). Output: (id_a, id_b, est_jaccard) with est from
+    * signature agreement exactly as [[lshCandidatePairs]]. */
+  def incrementalLshPairs(newDocs: DataFrame, idCol: String, textCol: String,
+                          indexBands: DataFrame, indexSigs: DataFrame,
+                          numPerm: Int = 32, bands: Int = 16,
+                          shingleN: Int = 3, maxBucket: Int = 1000,
+                          metrics: Option[LshMetrics] = None): DataFrame = {
+    val spark = newDocs.sparkSession
+    val m = metrics.getOrElse(new LshMetrics(spark))
+    val newFps = fingerprints(newDocs, idCol, textCol, numPerm, shingleN)
+    val tagged = indexBands
+      .select(col("band_key"), col("id"), lit(false).as("is_new"))
+      .unionByName(minhashBands(newFps, bands)
+        .select(col("band_key"), col("id"), lit(true).as("is_new")))
+    val pairs = bucketPairsTagged(tagged, maxBucket, m)
+    val sigs = indexSigs.select(col("id"), col("minhash"))
+      .unionByName(newFps.select(col("id"), col("minhash")))
+    pairs
+      .join(sigs.withColumnRenamed("id", "id_a").withColumnRenamed("minhash", "mh_a"), "id_a")
+      .join(sigs.withColumnRenamed("id", "id_b").withColumnRenamed("minhash", "mh_b"), "id_b")
+      .withColumn("est_jaccard", round(
+        expr("aggregate(zip_with(mh_a, mh_b, (x, y) -> IF(x = y, 1, 0)), 0, (a, v) -> a + v)")
+          .cast("double") / numPerm, 6))
+      .select(col("id_a"), col("id_b"), col("est_jaccard"))
+  }
+
+  /** Persist a corpus band index for [[incrementalLshPairs]]: band rows
+    * hash-clustered into `numBuckets` files by band_key plus the
+    * (id, minhash) signature table (locally parquet; the Iceberg swap is
+    * a bucket(band_key) partition spec — the same config-swap story as
+    * the docs_clean bucket(url) layout in BASELINE.md). */
+  def writeBandIndex(docs: DataFrame, idCol: String, textCol: String,
+                     path: String, numPerm: Int = 32, bands: Int = 16,
+                     shingleN: Int = 3, numBuckets: Int = 64): Unit = {
+    val fps = fingerprints(docs, idCol, textCol, numPerm, shingleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      minhashBands(fps, bands)
+        .repartition(numBuckets, col("band_key"))
+        .sortWithinPartitions(col("band_key"))
+        .write.mode("overwrite").parquet(s"$path/bands")
+      fps.select(col("id"), col("minhash"))
+        .write.mode("overwrite").parquet(s"$path/sigs")
+    } finally fps.unpersist()
+  }
+
   /** MinHash-LSH candidate pairs (id_a < id_b) with estimated Jaccard from
     * signature agreement. `bands` controls the sim threshold
     * (~(1/bands)^(1/rows)). Oversized buckets keep their `maxBucket`

@@ -48,6 +48,44 @@ class DedupSpec extends AnyFunSuite {
     assert(!verified.exists(p => p._1 == 104L || p._2 == 104L))
   }
 
+  test("incremental LSH: equals the batch candidate set minus old–old pairs") {
+    // corpus = even ids (with dup cluster members 100/102/104), batch = odd
+    val oldDocs = docs.filter(pmod($"doc_id", lit(2)) === 0)
+    val newDocs = docs.filter(pmod($"doc_id", lit(2)) === 1)
+    val idxFps = Dedup.fingerprints(oldDocs, "doc_id", "text", numPerm = 64)
+    val inc = Dedup.incrementalLshPairs(newDocs, "doc_id", "text",
+        Dedup.minhashBands(idxFps, bands = 16),
+        idxFps.select($"id", $"minhash"), numPerm = 64, bands = 16)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    // every pair involves at least one NEW (odd) id — never old–old
+    assert(inc.nonEmpty && inc.forall(p => p._1 % 2 == 1 || p._2 % 2 == 1))
+    // identical to the batch run over the full corpus, filtered to >=1 new
+    val batch = Dedup.lshCandidatePairs(docs, "doc_id", "text", numPerm = 64, bands = 16)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+      .filter(p => p._1 % 2 == 1 || p._2 % 2 == 1)
+    assert(inc == batch)
+    // the planted cross-split near-dups surface (100-101 exact, 101 new)
+    assert(inc.contains((100L, 101L)))
+  }
+
+  test("incremental LSH over a persisted band index round-trips") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bandidx").toString
+    val oldDocs = docs.filter(pmod($"doc_id", lit(2)) === 0)
+    val newDocs = docs.filter(pmod($"doc_id", lit(2)) === 1)
+    Dedup.writeBandIndex(oldDocs, "doc_id", "text", dir,
+      numPerm = 64, bands = 16, numBuckets = 4)
+    val viaIndex = Dedup.incrementalLshPairs(newDocs, "doc_id", "text",
+        spark.read.parquet(s"$dir/bands"), spark.read.parquet(s"$dir/sigs"),
+        numPerm = 64, bands = 16)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val idxFps = Dedup.fingerprints(oldDocs, "doc_id", "text", numPerm = 64)
+    val direct = Dedup.incrementalLshPairs(newDocs, "doc_id", "text",
+        Dedup.minhashBands(idxFps, bands = 16),
+        idxFps.select($"id", $"minhash"), numPerm = 64, bands = 16)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(viaIndex == direct && viaIndex.nonEmpty)
+  }
+
   test("simhash pairs: exact dups always found; near-dups found when within the blocking guarantee") {
     import graft.textstats.TextAnalysis
     val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 7)
