@@ -83,6 +83,10 @@ object SideTables {
     // ---- per-row scalar frames (deterministic recompute gates) ----
     save(SparkEntry.boilerFrame(spark), "side_boiler")
     save(SparkEntry.mediaFrame(spark), "side_media")
+    // raw payload hex: the oracle re-derives kind + PNG/GIF fixed-offset
+    // dims + the JPEG marker chain + the WAV chunk walk from these bytes
+    save(graft.ops.Multimodal.syntheticMedia(spark, 200)
+      .select($"media_id", hex($"payload").as("ph")), "side_media_raw")
     // raw resized payloads / frame windows — the oracle recomputes
     // octet_length + md5(hex(...)) from the bytes themselves
     save(graft.ops.Multimodal.withResized(

@@ -133,6 +133,9 @@ object SparkEntry {
     graft.ops.Multimodal.withMediaFeatures(media, "payload")
       .select(col("media_id"), col("media_meta.kind").as("kind"),
         col("media_meta.width").as("width"), col("media_meta.height").as("height"),
+        col("media_meta.sample_rate").as("sample_rate"),
+        col("media_meta.channels").as("channels"),
+        col("media_meta.duration_ms").as("duration_ms"),
         round(element_at(col("features"), 1), 5).as("f0"))
   }
 
@@ -982,8 +985,70 @@ object SparkEntry {
       s"""SELECT url, blocks, stripped_elements, main_chars
          |FROM ${side("side_boiler")}""".stripMargin,
     "q_media_features" ->
-      s"""SELECT media_id, kind, width, height, f0
-         |FROM ${side("side_media")}""".stripMargin,
+      // kind + dims + WAV format re-derived INDEPENDENTLY from the raw
+      // payload hex: PNG/GIF at fixed offsets, JPEG via a recursive
+      // marker-chain walk, WAV via a recursive chunk walk. Only f0 (the
+      // documented stub feature) passes through side_media.
+      s"""WITH RECURSIVE raw AS (
+         |  SELECT media_id, ph, length(ph)/2 AS nb FROM ${side("side_media_raw")}),
+         |k AS (SELECT media_id, ph, nb,
+         |    CASE WHEN substr(ph,1,8)='89504E47' THEN 'image/png'
+         |         WHEN substr(ph,1,6)='FFD8FF' THEN 'image/jpeg'
+         |         WHEN substr(ph,1,8)='47494638' THEN 'image/gif'
+         |         WHEN substr(ph,1,8)='52494646' AND substr(ph,17,8)='57415645' THEN 'audio/wav'
+         |         WHEN substr(ph,1,8)='52494646' AND substr(ph,17,8)='41564920' THEN 'video/avi'
+         |         ELSE 'unknown' END AS kind
+         |  FROM raw),
+         |png AS (SELECT media_id,
+         |    ('0x'||substr(ph,33,8))::INT AS width,
+         |    ('0x'||substr(ph,41,8))::INT AS height
+         |  FROM k WHERE kind='image/png' AND nb>=24),
+         |gif AS (SELECT media_id,
+         |    ('0x'||substr(ph,15,2)||substr(ph,13,2))::INT AS width,
+         |    ('0x'||substr(ph,19,2)||substr(ph,17,2))::INT AS height
+         |  FROM k WHERE kind='image/gif' AND nb>=10),
+         |jrec(media_id, ph, nb, p) AS (
+         |  SELECT media_id, ph, nb, 2 FROM k WHERE kind='image/jpeg'
+         |  UNION ALL
+         |  SELECT media_id, ph, nb, p + 2 + ('0x'||substr(ph,2*p+5,4))::BIGINT
+         |  FROM jrec
+         |  WHERE p+4 <= nb
+         |    AND NOT (substr(ph,2*p+3,2) BETWEEN 'C0' AND 'CF'
+         |             AND substr(ph,2*p+3,2) NOT IN ('C4','C8','CC'))
+         |    AND substr(ph,2*p+3,2) NOT IN ('DA','D9')),
+         |jpg AS (SELECT media_id,
+         |    ('0x'||substr(ph,2*p+15,4))::INT AS width,
+         |    ('0x'||substr(ph,2*p+11,4))::INT AS height
+         |  FROM jrec
+         |  WHERE p+9 <= nb AND substr(ph,2*p+3,2) BETWEEN 'C0' AND 'CF'
+         |    AND substr(ph,2*p+3,2) NOT IN ('C4','C8','CC')),
+         |wrec(media_id, ph, nb, p) AS (
+         |  SELECT media_id, ph, nb, 12 FROM k WHERE kind='audio/wav' AND nb >= 36
+         |  UNION ALL
+         |  SELECT media_id, ph, nb,
+         |    p + 8 + ('0x'||substr(ph,2*p+15,2)||substr(ph,2*p+13,2)||substr(ph,2*p+11,2)||substr(ph,2*p+9,2))::BIGINT
+         |      + ('0x'||substr(ph,2*p+9,2))::BIGINT % 2
+         |  FROM wrec WHERE p+8 <= nb),
+         |wfmt AS (SELECT media_id,
+         |    ('0x'||substr(ph,2*p+23,2)||substr(ph,2*p+21,2))::INT AS channels,
+         |    ('0x'||substr(ph,2*p+31,2)||substr(ph,2*p+29,2)||substr(ph,2*p+27,2)||substr(ph,2*p+25,2))::INT AS sample_rate,
+         |    ('0x'||substr(ph,2*p+39,2)||substr(ph,2*p+37,2)||substr(ph,2*p+35,2)||substr(ph,2*p+33,2))::BIGINT AS byte_rate
+         |  FROM wrec WHERE p+24 <= nb AND substr(ph,2*p+1,8)='666D7420'),
+         |wdata AS (SELECT media_id,
+         |    ('0x'||substr(ph,2*p+15,2)||substr(ph,2*p+13,2)||substr(ph,2*p+11,2)||substr(ph,2*p+9,2))::BIGINT AS data_len
+         |  FROM wrec WHERE p+8 <= nb AND substr(ph,2*p+1,8)='64617461')
+         |SELECT k.media_id, k.kind,
+         |  COALESCE(png.width, jpg.width, gif.width) AS width,
+         |  COALESCE(png.height, jpg.height, gif.height) AS height,
+         |  wfmt.sample_rate, wfmt.channels,
+         |  CASE WHEN wdata.data_len IS NOT NULL AND wfmt.byte_rate > 0
+         |       THEN (wdata.data_len * 1000) // wfmt.byte_rate END AS duration_ms,
+         |  m.f0
+         |FROM k
+         |LEFT JOIN png USING (media_id) LEFT JOIN jpg USING (media_id)
+         |LEFT JOIN gif USING (media_id) LEFT JOIN wfmt USING (media_id)
+         |LEFT JOIN wdata USING (media_id)
+         |JOIN ${side("side_media")} m USING (media_id)""".stripMargin,
     "q_media_resize" ->
       // n_bytes + digest recomputed INDEPENDENTLY by DuckDB from the raw
       // resized payload (md5 over the uppercase hex — both engines'

@@ -22,7 +22,11 @@ object Multimodal {
     if (b(0) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') "image/png"
     else if (b(0) == 0xff && b(1) == 0xd8 && b(2) == 0xff) "image/jpeg"
     else if (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8') "image/gif"
-    else if (b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F') "audio/wav-or-video/avi"
+    else if (b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F') {
+      if (bytes.length >= 12 && b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E') "audio/wav"
+      else if (bytes.length >= 12 && b(8) == 'A' && b(9) == 'V' && b(10) == 'I' && b(11) == ' ') "video/avi"
+      else "riff"
+    }
     else if (b(0) == 'I' && b(1) == 'D' && b(2) == '3') "audio/mpeg"
     else if (bytes.length > 8 && b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p') "video/mp4"
     else if (b(0) == '%' && b(1) == 'P' && b(2) == 'D' && b(3) == 'F') "application/pdf"
@@ -37,6 +41,78 @@ object Multimodal {
       ((bytes(o) & 0xff) << 24) | ((bytes(o + 1) & 0xff) << 16) |
         ((bytes(o + 2) & 0xff) << 8) | (bytes(o + 3) & 0xff)
     Some((i32(16), i32(20)))
+  }
+
+  /** JPEG width/height (REAL marker-chain scan — dimensions live in plain
+    * segment headers, no codec needed). From offset 2 each segment is
+    * `FF <marker> <len:u16be>`; any SOF0–SOF15 except DHT(C4)/JPG(C8)/
+    * DAC(CC) carries height at +5 (u16be) and width at +7. Standalone
+    * markers (RSTn/TEM) and fill FF bytes are skipped; the scan stops at
+    * SOS/EOI or truncation. */
+  def jpegDims(bytes: Array[Byte]): Option[(Int, Int)] = {
+    if (bytes == null || bytes.length < 4) return None
+    def b(i: Int): Int = bytes(i) & 0xff
+    if (!(b(0) == 0xff && b(1) == 0xd8 && b(2) == 0xff)) return None
+    var p = 2
+    while (p + 3 < bytes.length) {
+      if (b(p) != 0xff) return None // desynced stream
+      val m = b(p + 1)
+      if (m == 0xff) p += 1 // fill byte
+      else if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) p += 2 // standalone
+      else {
+        val len = (b(p + 2) << 8) | b(p + 3)
+        if (len < 2) return None
+        if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc) {
+          if (p + 8 >= bytes.length) return None
+          return Some((((b(p + 7) << 8) | b(p + 8)), ((b(p + 5) << 8) | b(p + 6))))
+        }
+        if (m == 0xda || m == 0xd9) return None // SOS/EOI before any SOF
+        p += 2 + len
+      }
+    }
+    None
+  }
+
+  /** GIF logical-screen width/height (REAL: u16le at bytes 6/8). */
+  def gifDims(bytes: Array[Byte]): Option[(Int, Int)] = {
+    if (bytes == null || bytes.length < 10) return None
+    def b(i: Int): Int = bytes(i) & 0xff
+    if (!(b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8')) return None
+    Some((b(6) | (b(7) << 8), b(8) | (b(9) << 8)))
+  }
+
+  /** Parsed WAV `fmt ` header + duration derived from the `data` chunk. */
+  final case class WavFormat(channels: Int, sampleRate: Int,
+                             bitsPerSample: Int, durationMs: Option[Long])
+
+  /** WAV format (REAL chunk walk — RIFF headers are plain structs, no
+    * codec needed): after `RIFF....WAVE`, chunks are `<id:4><size:u32le>`
+    * word-aligned; `fmt ` carries channels/rate/bits, `data`'s size over
+    * the byte rate gives the duration. Malformed sizes stop the walk. */
+  def wavFormat(bytes: Array[Byte]): Option[WavFormat] = {
+    if (bytes == null || bytes.length < 36) return None
+    def b(i: Int): Int = bytes(i) & 0xff
+    def le16(o: Int): Int = b(o) | (b(o + 1) << 8)
+    def le32(o: Int): Long =
+      (b(o) | (b(o + 1) << 8) | (b(o + 2) << 16)).toLong | (b(o + 3).toLong << 24)
+    if (!(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+          b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E')) return None
+    var p = 12L
+    var fmt: Option[(Int, Int, Int, Long)] = None // ch, rate, bits, byteRate
+    var dataLen = -1L
+    while (p + 8 <= bytes.length && (fmt.isEmpty || dataLen < 0)) {
+      val o = p.toInt
+      val id = new String(bytes, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val size = le32(o + 4)
+      if (id == "fmt " && o + 24 <= bytes.length)
+        fmt = Some((le16(o + 10), le32(o + 12).toInt, le16(o + 22), le32(o + 16)))
+      else if (id == "data") dataLen = size
+      p += 8L + size + (size & 1L)
+    }
+    fmt.map { case (ch, rate, bits, byteRate) =>
+      WavFormat(ch, rate, bits,
+        if (dataLen >= 0 && byteRate > 0) Some(dataLen * 1000L / byteRate) else None)
+    }
   }
 
   /** STUBBED decode: a real implementation would hand batches to an image
@@ -61,7 +137,10 @@ object Multimodal {
     StructField("kind", StringType),
     StructField("n_bytes", LongType),
     StructField("width", IntegerType),
-    StructField("height", IntegerType)))
+    StructField("height", IntegerType),
+    StructField("sample_rate", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("duration_ms", LongType)))
 
   /** Attach typed metadata + stub feature vector to a binary media column.
     * One typed pass; batch-shaped like a mapInPandas stage (iterator in/out,
@@ -74,10 +153,13 @@ object Multimodal {
     df.mapPartitions { rows =>
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](idx)
-        val dims = pngDims(bytes)
+        val dims = pngDims(bytes).orElse(jpegDims(bytes)).orElse(gifDims(bytes))
+        val wav = wavFormat(bytes)
         val meta = Row(mediaKind(bytes),
           if (bytes == null) 0L else bytes.length.toLong,
-          dims.map(_._1).orNull, dims.map(_._2).orNull)
+          dims.map(_._1).orNull, dims.map(_._2).orNull,
+          wav.map(_.sampleRate).orNull, wav.map(_.channels).orNull,
+          wav.flatMap(_.durationMs).orNull)
         Row.fromSeq(r.toSeq :+ meta :+ stubDecodeFeatures(bytes, dim).toSeq)
       }
     }(org.apache.spark.sql.Encoders.row(outSchema))
@@ -119,7 +201,7 @@ object Multimodal {
         val out = stubResize(r.getAs[Array[Byte]](idx), targetW, targetH)
         val dims = pngDims(out)
         Row.fromSeq(r.toSeq :+ out :+ Row(mediaKind(out), out.length.toLong,
-          dims.map(_._1).orNull, dims.map(_._2).orNull))
+          dims.map(_._1).orNull, dims.map(_._2).orNull, null, null, null))
       }
     }(org.apache.spark.sql.Encoders.row(outSchema))
   }
@@ -171,15 +253,56 @@ object Multimodal {
     * and rows-only queries — no external data. */
   def syntheticMedia(spark: org.apache.spark.sql.SparkSession, n: Int): DataFrame = {
     import spark.implicits._
-    val pngSig = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
     (0 until n).map { i =>
       val w = 16 + (i % 64)
       val h = 16 + ((i * 7) % 64)
-      val ihdr = Array[Byte](0, 0, 0, 13, 'I', 'H', 'D', 'R',
-        (w >> 24).toByte, (w >> 16).toByte, (w >> 8).toByte, w.toByte,
-        (h >> 24).toByte, (h >> 16).toByte, (h >> 8).toByte, h.toByte)
       val body = Array.tabulate[Byte](64)(j => ((i * 31 + j * 7) % 251).toByte)
-      (i.toLong, pngSig ++ ihdr ++ body)
+      val payload = (i % 4) match {
+        case 0 => syntheticPng(w, h, body)
+        case 1 => syntheticJpeg(w, h, body)
+        case 2 => syntheticGif(w, h, body)
+        case _ => syntheticWav(8000 + 100 * (i % 40), 1 + (i % 2), 16, body)
+      }
+      (i.toLong, payload)
     }.toDF("media_id", "payload")
+  }
+
+  private def syntheticPng(w: Int, h: Int, body: Array[Byte]): Array[Byte] = {
+    val sig = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+    val ihdr = Array[Byte](0, 0, 0, 13, 'I', 'H', 'D', 'R',
+      (w >> 24).toByte, (w >> 16).toByte, (w >> 8).toByte, w.toByte,
+      (h >> 24).toByte, (h >> 16).toByte, (h >> 8).toByte, h.toByte)
+    sig ++ ihdr ++ body
+  }
+
+  /** SOI + canonical APP0/JFIF + SOF0 (3 components) + body + EOI. */
+  private def syntheticJpeg(w: Int, h: Int, body: Array[Byte]): Array[Byte] = {
+    val app0 = Array[Byte](0xff.toByte, 0xe0.toByte, 0, 16,
+      'J', 'F', 'I', 'F', 0, 1, 1, 0, 0, 1, 0, 1, 0, 0)
+    val sof0 = Array[Byte](0xff.toByte, 0xc0.toByte, 0, 17, 8,
+      (h >> 8).toByte, h.toByte, (w >> 8).toByte, w.toByte, 3,
+      1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1)
+    Array[Byte](0xff.toByte, 0xd8.toByte) ++ app0 ++ sof0 ++ body ++
+      Array[Byte](0xff.toByte, 0xd9.toByte)
+  }
+
+  /** GIF89a header + logical screen descriptor + body + trailer. */
+  private def syntheticGif(w: Int, h: Int, body: Array[Byte]): Array[Byte] =
+    "GIF89a".getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++
+      Array[Byte](w.toByte, (w >> 8).toByte, h.toByte, (h >> 8).toByte, 0, 0, 0) ++
+      body ++ Array[Byte](0x3b)
+
+  /** Canonical 44-byte RIFF/WAVE header (PCM fmt) + data chunk. */
+  private def syntheticWav(rate: Int, channels: Int, bits: Int,
+                           data: Array[Byte]): Array[Byte] = {
+    val byteRate = rate * channels * bits / 8
+    val blockAlign = channels * bits / 8
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    def tag(s: String) = s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    tag("RIFF") ++ le32(36 + data.length) ++ tag("WAVE") ++
+      tag("fmt ") ++ le32(16) ++ le16(1) ++ le16(channels) ++ le32(rate) ++
+      le32(byteRate) ++ le16(blockAlign) ++ le16(bits) ++
+      tag("data") ++ le32(data.length) ++ data
   }
 }

@@ -12,6 +12,10 @@ class MultimodalSpec extends AnyFunSuite {
   test("magic-byte sniffing") {
     assert(Multimodal.mediaKind("PNG\r\n".getBytes("ISO-8859-1")) == "image/png")
     assert(Multimodal.mediaKind(Array(0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xe0.toByte)) == "image/jpeg")
+    assert(Multimodal.mediaKind("RIFFxxxxWAVEfmt ".getBytes) == "audio/wav")
+    assert(Multimodal.mediaKind("RIFFxxxxAVI LIST".getBytes) == "video/avi")
+    assert(Multimodal.mediaKind("RIFFxxxx".getBytes) == "riff")
+    assert(Multimodal.mediaKind("GIF89a".getBytes) == "image/gif")
     assert(Multimodal.mediaKind("%PDF-1.4".getBytes) == "application/pdf")
     assert(Multimodal.mediaKind(Array[Byte](1, 2, 3, 4)) == "unknown")
     assert(Multimodal.mediaKind(null) == "unknown")
@@ -23,18 +27,65 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.pngDims(bytes).contains((16, 16)))
   }
 
+  test("jpeg dims from the SOF marker chain; malformed streams return None") {
+    // synthetic corpus id 1 is a JPEG with w=17, h=23 (16+1, 16+7)
+    val df = Multimodal.syntheticMedia(spark, 5)
+    val jp = df.filter($"media_id" === 1).select($"payload").as[Array[Byte]].head()
+    assert(Multimodal.jpegDims(jp).contains((17, 23)))
+    // SOF not first segment: the scan walks past APP0 (already the case
+    // in the corpus); truncation mid-SOF is None, not a crash
+    assert(Multimodal.jpegDims(jp.take(24)).isEmpty)
+    // EOI before any SOF
+    assert(Multimodal.jpegDims(Array(0xff, 0xd8, 0xff, 0xd9).map(_.toByte)).isEmpty)
+    // desynced (non-FF where a marker should start)
+    assert(Multimodal.jpegDims(Array(0xff, 0xd8, 0xff, 0xe0, 0, 4, 1, 1, 7, 7)
+      .map(_.toByte)).isEmpty)
+    assert(Multimodal.jpegDims(null).isEmpty)
+  }
+
+  test("gif dims little-endian; wav chunk walk yields format + duration") {
+    val df = Multimodal.syntheticMedia(spark, 8)
+    val gf = df.filter($"media_id" === 2).select($"payload").as[Array[Byte]].head()
+    assert(Multimodal.gifDims(gf).contains((18, 30))) // 16+2, 16+14
+    val wv = df.filter($"media_id" === 3).select($"payload").as[Array[Byte]].head()
+    val f = Multimodal.wavFormat(wv).get
+    // id 3: rate 8300, 2 channels, 16-bit, 64-byte data
+    assert(f.sampleRate == 8300 && f.channels == 2 && f.bitsPerSample == 16)
+    assert(f.durationMs.contains(64L * 1000 / (8300L * 2 * 16 / 8)))
+    // odd-sized chunk before data: the walk honors word alignment
+    def tag(s: String) = s.getBytes("US-ASCII")
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    val odd = tag("RIFF") ++ le32(100) ++ tag("WAVE") ++
+      tag("LIST") ++ le32(3) ++ Array[Byte](1, 2, 3, 0) ++ // 3 + 1 pad
+      wv.drop(12)
+    val f2 = Multimodal.wavFormat(odd).get
+    assert(f2.sampleRate == 8300 && f2.durationMs == f.durationMs)
+    // fmt but no data chunk: format parses, duration absent
+    val noData = wv.take(36)
+    assert(Multimodal.wavFormat(noData).exists(_.durationMs.isEmpty))
+    assert(Multimodal.wavFormat("RIFFxxxxAVI ".getBytes).isEmpty)
+  }
+
   test("withMediaFeatures: schema, meta struct, deterministic stub features") {
     val df = Multimodal.syntheticMedia(spark, 50)
     val out = Multimodal.withMediaFeatures(df, "payload", dim = 8)
     assert(out.schema.fieldNames.toSeq ==
       Seq("media_id", "payload", "media_meta", "features"))
     val rows = out.select($"media_id", $"media_meta.kind", $"media_meta.width",
-      size($"features")).as[(Long, String, Int, Int)].collect()
+      size($"features")).as[(Long, String, Option[Int], Int)].collect()
     assert(rows.length == 50)
-    assert(rows.forall(_._2 == "image/png"))
+    // mixed corpus: kind follows media_id % 4
+    val kindById = rows.map(r => r._1 -> r._2).toMap
+    assert(kindById(0L) == "image/png" && kindById(1L) == "image/jpeg")
+    assert(kindById(2L) == "image/gif" && kindById(3L) == "audio/wav")
     assert(rows.forall(_._4 == 8))
     val byId = rows.map(r => r._1 -> r._3).toMap
-    assert(byId(0L) == 16 && byId(1L) == 17)
+    assert(byId(0L).contains(16) && byId(1L).contains(17) && byId(2L).contains(18))
+    // audio rows carry format, not dims
+    val wavMeta = out.filter($"media_id" === 3)
+      .select($"media_meta.width", $"media_meta.sample_rate", $"media_meta.channels")
+      .collect()(0)
+    assert(wavMeta.isNullAt(0) && wavMeta.getInt(1) == 8300 && wavMeta.getInt(2) == 2)
     // determinism across evaluations
     val f1 = out.orderBy($"media_id").select($"features").as[Seq[Float]].collect().toSeq
     val f2 = Multimodal.withMediaFeatures(df, "payload", dim = 8)
