@@ -36,6 +36,10 @@ import graft.pipeline.{Extract, PagesGen}
  *            SPARK_GRAFT_BENCH_QUIET_LOAD (default 4.0) + _QUIET_WAIT
  *            (default 120 s; 0 disables): wait up to _WAIT seconds for
  *            1-min loadavg < _LOAD before the timed section,
+ *            SPARK_GRAFT_BENCH_CODEC_AB=zstd,snappy: replace the timed
+ *            loop with interleaved per-codec full runs in ONE window
+ *            (same-window A/B — cross-window codec comparisons confound
+ *            with external load drift),
  *            SPARK_GRAFT_BENCH_JSON (default bench_last.json in cwd):
  *            the JSON line is ALSO written here, unprefixed — sbt wraps
  *            stdout in "[info]", which left BENCH_r0*.json unparsed.
@@ -100,6 +104,9 @@ object Bench {
       n / ((System.nanoTime() - t0) / 1e9)
     }
 
+    val codecAb = sys.env.getOrElse("SPARK_GRAFT_BENCH_CODEC_AB", "")
+    val codecRuns = scala.collection.mutable.LinkedHashMap
+      .empty[String, scala.collection.mutable.ArrayBuffer[Double]]
     val only = sys.env.getOrElse("SPARK_GRAFT_BENCH_ONLY", "")
     // "" = headline + full sweep; "extract" = headline only; otherwise a
     // comma-separated query-name filter (no headline — query isolation)
@@ -166,7 +173,7 @@ object Bench {
       loadPre = loadavg()
       spinPre = spinRate(2.0, warm = true)
 
-      (1 to nRuns).foreach { i =>
+      if (codecAb.isEmpty) (1 to nRuns).foreach { i =>
         // pure distributed extraction throughput: scan → typed map → count
         // (no shuffles/writes) — the docs/sec core of the BASELINE metric
         val (mapDocs, mapSecs) = secs {
@@ -186,6 +193,29 @@ object Bench {
           docsExtracted = summary.docs
           fullRuns += summary.docs / fullSecs
           rmrf(new java.io.File(outDir)) // bound /tmp usage across runs
+        }
+      }
+      // SPARK_GRAFT_BENCH_CODEC_AB=zstd,snappy: REPLACE the normal timed
+      // loop with interleaved per-codec full-pipeline runs in the SAME
+      // window — codec comparisons from different windows confound with
+      // this box's external load drift (the session codec conf is mutable
+      // at runtime, so each run writes its own codec)
+      if (codecAb.nonEmpty) {
+        val codecs = codecAb.split(',').map(_.trim).filter(_.nonEmpty)
+        codecs.foreach(c => codecRuns.getOrElseUpdate(c,
+          scala.collection.mutable.ArrayBuffer.empty[Double]))
+        (1 to nRuns).foreach { i =>
+          codecs.foreach { c =>
+            spark.conf.set("spark.sql.parquet.compression.codec", c)
+            val outDir = s"$benchRoot/out_cc_${System.nanoTime()}"
+            val (summary, fullSecs) = secs {
+              Extract.run(spark, pages, outDir, runId = s"bench_cc_${c}_$i",
+                numBuckets = nBuckets)
+            }
+            docsExtracted = summary.docs
+            codecRuns(c) += summary.docs / fullSecs
+            rmrf(new java.io.File(outDir))
+          }
         }
       }
       loadPost = loadavg()
@@ -244,8 +274,17 @@ object Bench {
     val alignedJson =
       if (alignedRuns.isEmpty) ""
       else s""","aligned_docs_per_sec":${f"${median(alignedRuns.toSeq)}%.1f"},"runs_aligned_docs_per_sec":${arr(alignedRuns.toSeq)}"""
+    val codecJson =
+      if (codecRuns.isEmpty) ""
+      else {
+        val meds = codecRuns.map { case (c, rs) =>
+          "\"" + c + "\":" + f"${median(rs.toSeq)}%.1f" }.mkString("{", ",", "}")
+        val raws = codecRuns.map { case (c, rs) =>
+          "\"" + c + "\":" + arr(rs.toSeq) }.mkString("{", ",", "}")
+        s""","codec_ab":$meds,"codec_runs":$raws"""
+      }
     val json =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir","extract_docs":$docsExtracted,"docs_per_sec":${f"$docsPerSec%.1f"},"map_docs_per_sec":${f"$mapRate%.1f"},"runs_full_docs_per_sec":${arr(fullRuns.toSeq)},"runs_map_docs_per_sec":${arr(mapRuns.toSeq)}$alignedJson,"bench_docs":$nDocs,"cpus":$cpus,"loadavg_pre":${f"$loadPre%.2f"},"loadavg_post":${f"$loadPost%.2f"},"spin_docs_per_sec_pre":${f"$spinPre%.1f"},"spin_docs_per_sec_post":${f"$spinPost%.1f"},"quiet_wait_secs":${f"$quietWaited%.1f"}}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir","extract_docs":$docsExtracted,"docs_per_sec":${f"$docsPerSec%.1f"},"map_docs_per_sec":${f"$mapRate%.1f"},"runs_full_docs_per_sec":${arr(fullRuns.toSeq)},"runs_map_docs_per_sec":${arr(mapRuns.toSeq)}$alignedJson$codecJson,"bench_docs":$nDocs,"cpus":$cpus,"loadavg_pre":${f"$loadPre%.2f"},"loadavg_post":${f"$loadPost%.2f"},"spin_docs_per_sec_pre":${f"$spinPre%.1f"},"spin_docs_per_sec_post":${f"$spinPost%.1f"},"quiet_wait_secs":${f"$quietWaited%.1f"}}"""
     println(json)
     // machine-readable artifact (VERDICT r03 wrong #5): sbt prefixes
     // stdout with "[info]", so ALSO write the line to a file

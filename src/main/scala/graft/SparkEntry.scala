@@ -419,6 +419,32 @@ object SparkEntry {
       val meta = ex.map(p => (p.meta.url, p.meta.canonical)).toDF("url", "canonical")
       graft.ops.LinkGraph.canonicalGroups(urls, meta)
     }),
+    "q_frontier_schedule" -> ((s, _) => {
+      // politeness plan over the REAL extracted frontier (distinct link
+      // destinations): md5-derived deterministic priorities, 5 workers
+      // (the reference's --max_workers), 3000 ms (its --initial_delay)
+      import s.implicits._
+      val frontier = extractedPersisted(s)
+        .flatMap(p => p.links.map(_.dst_url))
+        .toDF("url").distinct()
+        .withColumn("priority_score",
+          pmod(conv(substring(md5(col("url")), 1, 8), 16, 10).cast("long"),
+            lit(1000L)).cast("int"))
+      graft.ops.Frontier.politenessSchedule(frontier, numWorkers = 5,
+        delayMs = 3000L)
+    }),
+    "q_pagerank" -> ((s, _) => {
+      // graph-global crawl priority over the REAL extracted link graph:
+      // 3 damped iterations, dangling mass redistributed; ranks rounded
+      // to 7 decimals (drift between Spark's and DuckDB's float sum
+      // orders is ~1e-14 relative — far below the rounding quantum)
+      import s.implicits._
+      val edges = extractedPersisted(s)
+        .flatMap(p => p.links.map(l => (p.doc.url, l.dst_url)))
+        .toDF("src_url", "dst_url")
+      graft.ops.LinkGraph.pageRank(edges, iterations = 3, damping = 0.85)
+        .select(col("url"), round(col("rank"), 7).as("rank"))
+    }),
     "q_skew_topk" -> ((s, _) => {
       // top-3 most-linked destination urls per destination host via the
       // salted (skew-safe) two-stage window — hosts are Zipfian at crawl
@@ -954,6 +980,67 @@ object SparkEntry {
          |SELECT representative, count(*) AS n_aliases,
          |  CAST(sum(CASE WHEN via_canonical THEN 1 ELSE 0 END) AS BIGINT) AS n_canonicalized
          |FROM resolved GROUP BY representative""".stripMargin,
+    "q_frontier_schedule" ->
+      // worker = md5-mod of host, fetch_seq = per-host priority window,
+      // est_start = exact integer wave arithmetic — the whole schedule
+      // re-derived from raw side_links rows (host via the same lexical
+      // regex q_link_report pins against Spark's parse_url)
+      s"""WITH f AS (SELECT DISTINCT dst_url AS url FROM ${side("side_links")}),
+         |p AS (SELECT url,
+         |    CAST(CAST('0x' || substr(md5(url), 1, 8) AS BIGINT) % 1000 AS INT)
+         |      AS pr,
+         |    NULLIF(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?(\\[[^\\]/?#]*\\]|[^/?#:]*)', 1), '') AS host
+         |  FROM f),
+         |w AS (SELECT url, host, pr,
+         |    ROW_NUMBER() OVER (PARTITION BY host ORDER BY pr DESC, url)
+         |      AS fetch_seq
+         |  FROM p)
+         |SELECT url, host,
+         |  CAST(CAST('0x' || substr(md5('host:' || host), 1, 8) AS BIGINT) % 5
+         |    AS INT) AS worker,
+         |  fetch_seq, (fetch_seq - 1) * 3000 AS est_start_ms
+         |FROM w""".stripMargin,
+    "q_pagerank" ->
+      // the 3 damped iterations UNROLLED relationally: DuckDB re-derives
+      // the simple graph, out-degrees, per-iteration dangling mass, and
+      // contribution sums from the raw side_links rows — the Spark side's
+      // persist/unpersist iteration never appears here
+      s"""WITH e AS (SELECT DISTINCT src_url AS src, dst_url AS dst
+         |           FROM ${side("side_links")}
+         |           WHERE src_url IS NOT NULL AND dst_url IS NOT NULL
+         |             AND src_url <> dst_url),
+         |nodes AS (SELECT src AS url FROM e UNION SELECT dst FROM e),
+         |prm AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+         |deg AS (SELECT src, count(*)::DOUBLE AS outdeg FROM e GROUP BY src),
+         |r0 AS (SELECT url, 1.0/(SELECT n FROM prm) AS r FROM nodes),
+         |g1 AS (SELECT coalesce(sum(r.r), 0) AS dang FROM r0 r
+         |       LEFT JOIN deg d ON r.url = d.src WHERE d.src IS NULL),
+         |c1 AS (SELECT e.dst AS url, sum(r.r/d.outdeg) AS c FROM e
+         |       JOIN r0 r ON e.src = r.url JOIN deg d ON e.src = d.src
+         |       GROUP BY e.dst),
+         |r1 AS (SELECT n0.url, (1 - 0.85)::DOUBLE/(SELECT n FROM prm)
+         |         + 0.85::DOUBLE*(coalesce(c.c, 0)
+         |                         + (SELECT dang FROM g1)/(SELECT n FROM prm)) AS r
+         |       FROM nodes n0 LEFT JOIN c1 c ON n0.url = c.url),
+         |g2 AS (SELECT coalesce(sum(r.r), 0) AS dang FROM r1 r
+         |       LEFT JOIN deg d ON r.url = d.src WHERE d.src IS NULL),
+         |c2 AS (SELECT e.dst AS url, sum(r.r/d.outdeg) AS c FROM e
+         |       JOIN r1 r ON e.src = r.url JOIN deg d ON e.src = d.src
+         |       GROUP BY e.dst),
+         |r2 AS (SELECT n0.url, (1 - 0.85)::DOUBLE/(SELECT n FROM prm)
+         |         + 0.85::DOUBLE*(coalesce(c.c, 0)
+         |                         + (SELECT dang FROM g2)/(SELECT n FROM prm)) AS r
+         |       FROM nodes n0 LEFT JOIN c2 c ON n0.url = c.url),
+         |g3 AS (SELECT coalesce(sum(r.r), 0) AS dang FROM r2 r
+         |       LEFT JOIN deg d ON r.url = d.src WHERE d.src IS NULL),
+         |c3 AS (SELECT e.dst AS url, sum(r.r/d.outdeg) AS c FROM e
+         |       JOIN r2 r ON e.src = r.url JOIN deg d ON e.src = d.src
+         |       GROUP BY e.dst),
+         |r3 AS (SELECT n0.url, (1 - 0.85)::DOUBLE/(SELECT n FROM prm)
+         |         + 0.85::DOUBLE*(coalesce(c.c, 0)
+         |                         + (SELECT dang FROM g3)/(SELECT n FROM prm)) AS r
+         |       FROM nodes n0 LEFT JOIN c3 c ON n0.url = c.url)
+         |SELECT url, round(r, 7) AS rank FROM r3""".stripMargin,
     "q_skew_topk" ->
       // the salted two-stage window must equal the straightforward
       // single-window top-k — DuckDB re-derives host, counts, and ranking

@@ -40,6 +40,91 @@ object LinkGraph {
         sum(when(col("via_canonical"), 1L).otherwise(0L)).as("n_canonicalized"))
 
   /**
+   * PageRank over the extracted link graph — the classic crawl-priority
+   * centrality (complements `Priority.calculate`'s per-page recency
+   * formula with a graph-global importance signal; the reference orders
+   * its queue by per-page features only, core/scraper.py:640-664).
+   *
+   * Scale shape (the reason this is hand-rolled rather than GraphX):
+   *  - every shuffle carries (url, double) pairs only — payloads never
+   *    enter the iteration;
+   *  - the per-destination contribution sum is a map-side-combinable
+   *    aggregate, so Zipfian in-link hubs (google.com at crawl scale)
+   *    are absorbed by partial aggregation, never buffered in one task;
+   *  - each iteration materializes + persists its rank frame and
+   *    unpersists the previous one — lineage stays O(1), not O(iters);
+   *  - the dangling-mass redistribution is a scalar aggregate per
+   *    iteration (one double to the driver, independent of graph size).
+   *
+   * Semantics: standard damped PageRank on the DISTINCT simple graph
+   * (self-loops and duplicate edges dropped); nodes = every url appearing
+   * as src or dst; dangling mass (nodes with no out-links — most dst-only
+   * urls in a closed-world crawl snapshot) is redistributed uniformly, so
+   * each iteration's ranks sum to exactly 1 up to float error.
+   *
+   * edges: first two columns are (src, dst). Returns (url, rank).
+   */
+  def pageRank(edges: DataFrame, iterations: Int = 3,
+               damping: Double = 0.85): DataFrame = {
+    require(iterations >= 0, s"iterations must be >= 0: $iterations")
+    val spark = edges.sparkSession
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e = edges
+      .select(col(edges.columns(0)).as("src"), col(edges.columns(1)).as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+      .distinct()
+      .persist(MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("url"))
+      .union(e.select(col("dst").as("url")))
+      .distinct()
+      .persist(MEMORY_AND_DISK)
+    val n = nodes.count().toDouble
+    if (n == 0) {
+      e.unpersist(); nodes.unpersist()
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("url",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("rank",
+            org.apache.spark.sql.types.DoubleType))))
+    }
+    // out-degree of the simple graph; dst-only urls have no row here
+    val deg = e.groupBy(col("src"))
+      .agg(count(lit(1)).cast("double").as("outdeg"))
+      .persist(MEMORY_AND_DISK)
+    var ranks = nodes.select(col("url"), lit(1.0 / n).as("rank"))
+      .persist(MEMORY_AND_DISK)
+    ranks.count() // materialize before the loop reuses it twice
+    for (_ <- 1 to iterations) {
+      // scalar: total rank sitting on dangling nodes this iteration
+      val dangling = ranks.join(deg, ranks("url") === deg("src"), "left_anti")
+        .agg(coalesce(sum(col("rank")), lit(0.0)))
+        .first().getDouble(0)
+      val contrib = e
+        .join(deg, "src")
+        .join(ranks, col("src") === ranks("url"))
+        .select(col("dst").as("url"), (col("rank") / col("outdeg")).as("w"))
+      val next = nodes
+        .join(contrib.groupBy(col("url")).agg(sum(col("w")).as("c")),
+          Seq("url"), "left_outer")
+        .select(col("url"),
+          (lit((1.0 - damping) / n) +
+            lit(damping) * (coalesce(col("c"), lit(0.0)) + lit(dangling / n)))
+            .as("rank"))
+        .persist(MEMORY_AND_DISK)
+      next.count() // cut lineage before dropping the previous frame
+      ranks.unpersist()
+      ranks = next
+    }
+    // the returned frame is itself persisted + materialized, so its
+    // building blocks can drop out of the cache now
+    e.unpersist(); deg.unpersist(); nodes.unpersist()
+    ranks
+  }
+
+  /**
    * links: (src_url, dst_url, kind, anchor); corpus: (url); anchors:
    * (url, anchor_id). Left joins against url + (url, anchor) projections —
    * never payloads; rollup per destination host.

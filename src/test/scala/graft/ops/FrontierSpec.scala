@@ -1,0 +1,73 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.pipeline.SparkTestBase
+
+/** Frontier.politenessSchedule: the politeness invariant (one host, one
+  * worker), the reference's priority-queue order within a host, exact
+  * integer wave arithmetic, DynamicRateLimiter delay clamping, and
+  * NULL-host visibility. */
+class FrontierSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private lazy val frontier = Seq(
+    ("https://a.example.com/high", 900),
+    ("https://a.example.com/mid", 500),
+    ("https://a.example.com/low", 100),
+    ("https://a.example.com/tie1", 500), // priority tie → url asc
+    ("https://b.example.com/only", 700),
+    ("https://c.example.com/x", 50),
+    ("https://c.example.com/y", 60),
+    ("not a url at all", 999) // unparsable host stays visible
+  ).toDF("url", "priority_score")
+
+  private lazy val out = Frontier
+    .politenessSchedule(frontier, numWorkers = 3, delayMs = 3000L)
+    .collect()
+    .map(r => (r.getString(0), Option(r.getString(1)),
+      if (r.isNullAt(2)) None else Some(r.getInt(2)),
+      r.getInt(3), r.getLong(4)))
+
+  test("one host maps to exactly one worker") {
+    val byHost = out.filter(_._2.isDefined).groupBy(_._2.get)
+    byHost.foreach { case (h, rows) =>
+      assert(rows.map(_._3).distinct.length == 1, s"host $h split across workers")
+    }
+  }
+
+  test("fetch_seq is the dense per-host priority order with url tie-break") {
+    val a = out.filter(_._2.contains("a.example.com")).sortBy(_._4).map(_._1)
+    assert(a.toSeq == Seq("https://a.example.com/high",
+      "https://a.example.com/mid", "https://a.example.com/tie1",
+      "https://a.example.com/low"))
+    val c = out.filter(_._2.contains("c.example.com")).sortBy(_._4).map(_._1)
+    assert(c.toSeq == Seq("https://c.example.com/y", "https://c.example.com/x"))
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._4).sorted.toSeq == (1 to rows.length), "seq not dense")
+    }
+  }
+
+  test("est_start_ms is exact (seq-1)*delay integer arithmetic") {
+    out.foreach { case (_, _, _, seq, start) =>
+      assert(start == (seq - 1) * 3000L)
+    }
+  }
+
+  test("delay clamps to DynamicRateLimiter's [500, 5000] bounds") {
+    def startOfSecond(delay: Long): Long = Frontier
+      .politenessSchedule(frontier, numWorkers = 3, delayMs = delay)
+      .filter("fetch_seq = 2").select("est_start_ms")
+      .as[Long].head()
+    assert(startOfSecond(100L) == 500L)   // below min → 0.5 s
+    assert(startOfSecond(60000L) == 5000L) // above max → 5 s
+    assert(startOfSecond(2000L) == 2000L)  // in bounds → kept
+  }
+
+  test("unparsable host → NULL host + NULL worker, row kept") {
+    val bad = out.filter(_._1 == "not a url at all")
+    assert(bad.length == 1)
+    assert(bad.head._2.isEmpty && bad.head._3.isEmpty && bad.head._4 == 1)
+  }
+}
