@@ -80,6 +80,25 @@ object SideTables {
     save(graft.sources.Sitemap.entries(
       graft.sources.Sitemap.syntheticSitemapPages(spark)), "side_sitemap")
 
+    // ---- robots gate: the fuzz-pinned PARSE layer exported as relations
+    // (frontier match paths + status flags + entries/agents/rules); the
+    // q_robots_filter oracle re-derives selection + first-match in DuckDB
+    val rbFrontier = graft.ops.Frontier.frontierPaths(
+      spark.read.parquet(s"$runDir/links").select($"dst_url".as("url")).distinct())
+    save(rbFrontier, "side_rb_frontier")
+    val rbRobots = graft.ops.Frontier.syntheticRobots(rbFrontier, "host")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    save(rbRobots.join(
+      graft.ops.Frontier.hostPolicies(rbRobots, SparkEntry.RobotsAgent)
+        .select($"host", $"parse_failed"), Seq("host"))
+      .select($"host", $"status", $"parse_failed"), "side_rb_hosts")
+    val (rbEntries, rbAgents, rbRules) =
+      graft.ops.Frontier.robotsParsedTables(rbRobots)
+    save(rbEntries, "side_rb_entries")
+    save(rbAgents, "side_rb_agents")
+    save(rbRules, "side_rb_rules")
+    rbRobots.unpersist()
+
     // ---- per-row scalar frames (deterministic recompute gates) ----
     save(SparkEntry.boilerFrame(spark), "side_boiler")
     save(SparkEntry.mediaFrame(spark), "side_media")

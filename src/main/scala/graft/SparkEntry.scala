@@ -35,6 +35,10 @@ object SparkEntry {
     * run over (one `Extract.run` feeds every extraction side table). */
   private[graft] val ExtractN = 200L
 
+  /** Crawl identity for q_robots_filter; its lowered product token
+    * ("graftbot") is a LITERAL in the DuckDB oracle — keep in sync. */
+  private[graft] val RobotsAgent = "GraftBot/1.0 (+https://graft.example/bot)"
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
@@ -432,6 +436,20 @@ object SparkEntry {
             lit(1000L)).cast("int"))
       graft.ops.Frontier.politenessSchedule(frontier, numWorkers = 5,
         delayMs = 3000L)
+    }),
+    "q_robots_filter" -> ((s, _) => {
+      // robots gate over the REAL extracted frontier against a
+      // deterministic synthetic robots corpus (one md5-assigned template
+      // per host — all 8 decision branches represented); the oracle
+      // re-derives agent→entry selection, the first-match prefix scan,
+      // and the read()-status flags relationally from the parsed tables
+      import s.implicits._
+      val frontier = extractedPersisted(s)
+        .flatMap(p => p.links.map(_.dst_url))
+        .toDF("url").distinct()
+      val robots = graft.ops.Frontier.syntheticRobots(
+        graft.ops.Frontier.frontierPaths(frontier), "host")
+      graft.ops.Frontier.robotsFilter(frontier, robots, RobotsAgent)
     }),
     "q_pagerank" -> ((s, _) => {
       // graph-global crawl priority over the REAL extracted link graph:
@@ -1000,6 +1018,57 @@ object SparkEntry {
          |    AS INT) AS worker,
          |  fetch_seq, (fetch_seq - 1) * 3000 AS est_start_ms
          |FROM w""".stripMargin,
+    "q_robots_filter" ->
+      // the parse layer (side_rb_* tables + match_path) is the
+      // CPython-fuzz-pinned input; DuckDB independently re-derives entry
+      // selection (substring agent match, min file-order, default
+      // fallback), the first-match prefix scan, the read()-status flags,
+      // the decision taxonomy, and the crawl-delay projection
+      s"""WITH f AS (SELECT url, match_path, host FROM ${side("side_rb_frontier")}),
+         |h AS (SELECT host, status, parse_failed FROM ${side("side_rb_hosts")}),
+         |e AS (SELECT host, entry_seq, delay_s FROM ${side("side_rb_entries")}),
+         |a AS (SELECT host, entry_seq, agent_lower FROM ${side("side_rb_agents")}),
+         |r AS (SELECT host, entry_seq, rule_seq, prefix, is_allow FROM ${side("side_rb_rules")}),
+         |spec AS (SELECT host, min(entry_seq) AS es FROM a
+         |         WHERE entry_seq >= 0
+         |           AND (agent_lower = '*' OR contains('graftbot', agent_lower))
+         |         GROUP BY host),
+         |dflt AS (SELECT DISTINCT host, -1 AS es FROM e WHERE entry_seq = -1),
+         |sel AS (SELECT h.host, coalesce(s.es, d.es) AS es
+         |        FROM h LEFT JOIN spec s ON h.host = s.host
+         |               LEFT JOIN dflt d ON h.host = d.host),
+         |fm AS (SELECT f.url, min(r.rule_seq) AS rs
+         |       FROM f JOIN sel ON f.host = sel.host
+         |            JOIN r ON r.host = f.host AND r.entry_seq = sel.es
+         |       WHERE r.prefix = '*' OR starts_with(f.match_path, r.prefix)
+         |       GROUP BY f.url)
+         |SELECT f.url, f.host, f.match_path,
+         |  CASE WHEN h.host IS NULL THEN TRUE
+         |       WHEN h.parse_failed THEN FALSE
+         |       WHEN h.status IN (401, 403) THEN FALSE
+         |       WHEN h.status >= 400 AND h.status < 500 THEN TRUE
+         |       WHEN h.status >= 500 THEN FALSE
+         |       WHEN sel.es IS NULL THEN TRUE
+         |       WHEN fm.rs IS NOT NULL THEN mr.is_allow
+         |       ELSE TRUE END AS allowed,
+         |  CASE WHEN h.host IS NULL THEN 'no_robots'
+         |       WHEN h.parse_failed THEN 'parse_failed'
+         |       WHEN h.status IN (401, 403) THEN 'disallow_all'
+         |       WHEN h.status >= 400 AND h.status < 500 THEN 'allow_all'
+         |       WHEN h.status >= 500 THEN 'unread'
+         |       WHEN sel.es IS NULL THEN 'no_entry'
+         |       WHEN fm.rs IS NOT NULL THEN 'rule'
+         |       ELSE 'entry_default' END AS decision,
+         |  CASE WHEN h.host IS NOT NULL AND NOT h.parse_failed
+         |        AND h.status < 400 AND sel.es IS NOT NULL
+         |       THEN ed.delay_s END AS crawl_delay_s
+         |FROM f
+         |LEFT JOIN h ON f.host = h.host
+         |LEFT JOIN sel ON f.host = sel.host
+         |LEFT JOIN fm ON f.url = fm.url
+         |LEFT JOIN r mr ON mr.host = f.host AND mr.entry_seq = sel.es
+         |                AND mr.rule_seq = fm.rs
+         |LEFT JOIN e ed ON ed.host = f.host AND ed.entry_seq = sel.es""".stripMargin,
     "q_pagerank" ->
       // the 3 damped iterations UNROLLED relationally: DuckDB re-derives
       // the simple graph, out-degrees, per-iteration dangling mass, and

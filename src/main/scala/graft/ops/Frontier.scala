@@ -64,4 +64,199 @@ object Frontier {
       .select(col("url"), col("host"), worker.as("worker"), col("fetch_seq"),
         ((col("fetch_seq") - 1).cast("long") * lit(d)).as("est_start_ms"))
   }
+
+  /** One Allow/Disallow prefix of the entry selected for the crawl agent. */
+  final case class RobotsRule(prefix: String, allow: Boolean)
+
+  /** Per-host robots policy, reduced for ONE crawl agent (the agent is a
+    * job constant, so entry selection collapses at parse time and the
+    * per-url work is just the first-match rule scan). */
+  final case class HostPolicy(host: String, disallow_all: Boolean,
+                              allow_all: Boolean, parsed: Boolean,
+                              parse_failed: Boolean, has_entry: Boolean,
+                              rules: Seq[RobotsRule], crawl_delay_s: Option[Long])
+
+  /**
+   * Parse a robots corpus (one row per host) into per-host policies for
+   * `userAgent`, with [[graft.url.RobotsTxt]]'s CPython-pinned semantics.
+   *
+   * Per-HOST failure isolation: a body that crashes `parse` (the
+   * documented isdigit/int() crash parity) marks the host `parse_failed`
+   * and FAILS CLOSED (deny) instead of killing the job — the reference's
+   * Python stack would abort the whole crawl on that host's file; at 10^7
+   * hosts one hostile robots.txt must not be able to do that.
+   *
+   * robots: (host STRING, status INT, body STRING).
+   */
+  def hostPolicies(robots: DataFrame, userAgent: String): DataFrame = {
+    val spark = robots.sparkSession
+    import spark.implicits._
+    import graft.url.RobotsTxt
+    robots.select(col("host").cast("string"), col("status").cast("int"),
+      col("body").cast("string"))
+      .as[(String, Int, String)]
+      .map { case (host, status, body) =>
+        try {
+          val r = RobotsTxt.fromStatus(status, if (body == null) "" else body)
+          val sel = RobotsTxt.selectEntry(r, userAgent)
+          HostPolicy(host, r.disallowAll, r.allowAll, r.parsed,
+            parse_failed = false, has_entry = sel.isDefined,
+            rules = sel.map(_.rulelines.map(l => RobotsRule(l.path, l.allowance)))
+              .getOrElse(Nil),
+            crawl_delay_s = if (r.parsed) sel.flatMap(_.delay) else None)
+        } catch {
+          case _: Exception =>
+            HostPolicy(host, disallow_all = false, allow_all = false,
+              parsed = false, parse_failed = true, has_entry = false,
+              Nil, None)
+        }
+      }.toDF()
+  }
+
+  /**
+   * Robots gate over a url frontier: which urls may `userAgent` fetch,
+   * and at what per-host delay — `urllib.robotparser.can_fetch` semantics
+   * host-by-host (fuzz-pinned in RobotsFuzzSpec), evaluated as a PLAN:
+   *
+   *  - robots bodies are parsed ONCE PER HOST (not per url) and reduced
+   *    to the selected entry's rule array for this agent;
+   *  - the per-url first-match scan runs in pure Catalyst
+   *    (`filter(rules, ...)` + null-safe `get(..., 0)` — first match =
+   *    head of the order-preserving filter), so the hot path stays inside
+   *    whole-stage codegen; only the tiny match-path normalization
+   *    (quote∘urlunparse∘urlparse∘unquote, CPython-pinned) is a typed map;
+   *  - the only shuffle carries (url, host, match_path) and the per-host
+   *    policy rows — never page payloads;
+   *  - a host ABSENT from the robots corpus is `no_robots` (allow — the
+   *    404 branch of `RobotFileParser.read()`), kept visible rather than
+   *    silently merged into the rule path.
+   *
+   * Returns (url, host, match_path, allowed, decision, crawl_delay_s);
+   * `decision` names the branch that decided, and is re-derived
+   * relationally by the q_robots_filter oracle from status + parsed
+   * structure alone.
+   */
+  /** (url, match_path, host) — the normalized per-url probe frame
+    * `robotsFilter` matches rule prefixes against (exported as
+    * side_rb_frontier so the oracle takes the CPython-pinned match path
+    * as INPUT and re-derives everything relational downstream of it). */
+  def frontierPaths(frontier: DataFrame, urlCol: String = "url"): DataFrame = {
+    val spark = frontier.sparkSession
+    import spark.implicits._
+    frontier.select(col(urlCol).cast("string").as("url"))
+      .as[String]
+      .map(u => (u, graft.url.RobotsTxt.matchPath(u)))
+      .toDF("url", "match_path")
+      .withColumn("host", expr("try_parse_url(url, 'HOST')"))
+  }
+
+  /**
+   * The FULL parsed robots structure as three relational frames — the
+   * q_robots_filter oracle re-derives agent→entry selection, first-match
+   * rule scan, and the status flags in DuckDB from these (the parse
+   * itself is the fuzz-pinned layer):
+   *  - entries: (host, entry_seq, delay_s) — file order; -1 = default;
+   *  - agents:  (host, entry_seq, agent_lower) — specific entries only;
+   *  - rules:   (host, entry_seq, rule_seq, prefix, is_allow).
+   * Hosts whose body crashes parse or whose status skips it contribute
+   * no rows.
+   */
+  def robotsParsedTables(robots: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val spark = robots.sparkSession
+    import spark.implicits._
+    import graft.url.RobotsTxt
+    val src = robots.select(col("host").cast("string"), col("status").cast("int"),
+      col("body").cast("string")).as[(String, Int, String)]
+    def parsedEntries(host: String, status: Int, body: String)
+      : Seq[(Int, RobotsTxt.Entry)] =
+      try {
+        val r = RobotsTxt.fromStatus(status, if (body == null) "" else body)
+        r.entries.zipWithIndex.map { case (e, i) => (i, e) } ++
+          r.defaultEntry.map(e => (-1, e))
+      } catch { case _: Exception => Nil }
+    val entries = src.flatMap { case (h, st, b) =>
+      parsedEntries(h, st, b).map { case (i, e) => (h, i, e.delay) }
+    }.toDF("host", "entry_seq", "delay_s")
+    val agents = src.flatMap { case (h, st, b) =>
+      parsedEntries(h, st, b).filter(_._1 >= 0).flatMap { case (i, e) =>
+        e.useragents.map(a => (h, i, a.toLowerCase(java.util.Locale.ROOT)))
+      }
+    }.toDF("host", "entry_seq", "agent_lower")
+    val rules = src.flatMap { case (h, st, b) =>
+      parsedEntries(h, st, b).flatMap { case (i, e) =>
+        e.rulelines.zipWithIndex.map { case (r, j) =>
+          (h, i, j, r.path, r.allowance)
+        }
+      }
+    }.toDF("host", "entry_seq", "rule_seq", "prefix", "is_allow")
+    (entries, agents, rules)
+  }
+
+  def robotsFilter(frontier: DataFrame, robots: DataFrame, userAgent: String,
+                   urlCol: String = "url"): DataFrame = {
+    val spark = frontier.sparkSession
+    import spark.implicits._
+    val slim = frontierPaths(frontier, urlCol)
+    val joined = slim.join(
+      hostPolicies(robots, userAgent).withColumnRenamed("host", "__rh"),
+      col("host") === col("__rh"), "left")
+    val firstMatch = expr(
+      "get(filter(rules, r -> r.prefix = '*' OR startswith(match_path, r.prefix)), 0)")
+    joined
+      .withColumn("__m", firstMatch)
+      .withColumn("decision",
+        when(col("__rh").isNull, "no_robots")
+          .when(col("parse_failed"), "parse_failed")
+          .when(col("disallow_all"), "disallow_all")
+          .when(col("allow_all"), "allow_all")
+          .when(!col("parsed"), "unread")
+          .when(!col("has_entry"), "no_entry")
+          .when(col("__m").isNotNull, "rule")
+          .otherwise("entry_default"))
+      .withColumn("allowed",
+        when(col("decision").isin("no_robots", "allow_all", "no_entry",
+          "entry_default"), true)
+          .when(col("decision") === "rule", col("__m").getField("allow"))
+          .otherwise(false))
+      .select(col("url"), col("host"), col("match_path"), col("allowed"),
+        col("decision"),
+        when(col("has_entry"), col("crawl_delay_s")).as("crawl_delay_s"))
+  }
+
+  /**
+   * Deterministic synthetic robots corpus over a host frame — the test /
+   * verification input (no external data, per the brief). Eight
+   * md5-assigned template families exercise every decision branch:
+   * specific-agent groups, '*' default groups, substring agent matching,
+   * unicode-digit crawl delays, 403/404/5xx statuses, an empty 200 body,
+   * and one crash-parity body per 8 hosts (parse-failure isolation).
+   */
+  def syntheticRobots(hosts: DataFrame, hostCol: String = "host"): DataFrame = {
+    val spark = hosts.sparkSession
+    import spark.implicits._
+    hosts.select(col(hostCol).cast("string")).where(col(hostCol).isNotNull)
+      .distinct().as[String]
+      .map { h =>
+        val d = java.lang.Long.parseLong(
+          java.security.MessageDigest.getInstance("MD5")
+            .digest(("robots:" + h).getBytes("UTF-8"))
+            .take(4).map("%02x".format(_)).mkString, 16).toInt % 8
+        d match {
+          case 0 => (h, 200,
+            "User-agent: GraftBot\nAllow: /docs/page12\nDisallow: /docs/page1\n" +
+              "Crawl-delay: 2\n\nUser-agent: *\nDisallow: /\n")
+          case 1 => (h, 200,
+            "User-agent: *\nDisallow: /assets/\nDisallow: /docs/page3\n" +
+              "Crawl-delay: ٥\nSitemap: https://" + h + "/sitemap.xml\n")
+          case 2 => (h, 404, "")
+          case 3 => (h, 403, "")
+          case 4 => (h, 500, "")
+          case 5 => (h, 200, "")
+          case 6 => (h, 200, "User-agent: *\nCrawl-delay: ²\n")
+          case _ => (h, 200,
+            "User-agent: bot\nDisallow: /docs/page2\n\n" +
+              "User-agent: nomatch\nDisallow: /\n")
+        }
+      }.toDF("host", "status", "body")
+  }
 }
