@@ -51,8 +51,14 @@ object LinkGraph {
    *  - the per-destination contribution sum is a map-side-combinable
    *    aggregate, so Zipfian in-link hubs (google.com at crawl scale)
    *    are absorbed by partial aggregation, never buffered in one task;
-   *  - each iteration materializes + persists its rank frame and
-   *    unpersists the previous one — lineage stays O(1), not O(iters);
+   *  - each iteration eagerly `localCheckpoint`s its rank frame, which
+   *    TRUNCATES the logical plan to the materialized RDD — `persist`
+   *    alone does not (the cached frame still carries its full lineage
+   *    tree, which compounds per iteration: the un-truncated 3-iteration
+   *    plan audited at 1031 exchange nodes; the checkpointed one is
+   *    flat). A long-lived production run would swap in a reliable
+   *    `checkpoint` dir — executor loss under localCheckpoint forfeits
+   *    the RDD — but the plan-shape requirement is the truncation;
    *  - the dangling-mass redistribution is a scalar aggregate per
    *    iteration (one double to the driver, independent of graph size).
    *
@@ -94,9 +100,10 @@ object LinkGraph {
     val deg = e.groupBy(col("src"))
       .agg(count(lit(1)).cast("double").as("outdeg"))
       .persist(MEMORY_AND_DISK)
+    // eager localCheckpoint: materializes AND truncates the plan to the
+    // stored RDD, so each iteration's frame is a leaf, not a growing tree
     var ranks = nodes.select(col("url"), lit(1.0 / n).as("rank"))
-      .persist(MEMORY_AND_DISK)
-    ranks.count() // materialize before the loop reuses it twice
+      .localCheckpoint(true)
     for (_ <- 1 to iterations) {
       // scalar: total rank sitting on dangling nodes this iteration
       val dangling = ranks.join(deg, ranks("url") === deg("src"), "left_anti")
@@ -106,20 +113,19 @@ object LinkGraph {
         .join(deg, "src")
         .join(ranks, col("src") === ranks("url"))
         .select(col("dst").as("url"), (col("rank") / col("outdeg")).as("w"))
-      val next = nodes
+      ranks = nodes
         .join(contrib.groupBy(col("url")).agg(sum(col("w")).as("c")),
           Seq("url"), "left_outer")
         .select(col("url"),
           (lit((1.0 - damping) / n) +
             lit(damping) * (coalesce(col("c"), lit(0.0)) + lit(dangling / n)))
             .as("rank"))
-        .persist(MEMORY_AND_DISK)
-      next.count() // cut lineage before dropping the previous frame
-      ranks.unpersist()
-      ranks = next
+        .localCheckpoint(true)
+      // the superseded iteration's checkpoint RDD is now unreferenced and
+      // reclaimed by the ContextCleaner
     }
-    // the returned frame is itself persisted + materialized, so its
-    // building blocks can drop out of the cache now
+    // the returned frame is a materialized leaf, so its building blocks
+    // can drop out of the cache now
     e.unpersist(); deg.unpersist(); nodes.unpersist()
     ranks
   }
