@@ -99,6 +99,18 @@ object SideTables {
     save(rbRules, "side_rb_rules")
     rbRobots.unpersist()
 
+    // ---- WARC ingestion: raw file hex + boundary triples exported; the
+    // q_warc_records oracle re-parses headers/HTTP/digests from the hex
+    // and pins the boundaries with the offset-tiling condition ----
+    val warcBytes = graft.sources.Warc.syntheticWarcBytes(
+      SparkEntry.WarcN, withBroken = true)
+    save(Seq(("synthetic.warc", warcBytes)).toDF("path", "content")
+      .select($"path", lower(hex($"content")).as("file_hex")), "side_warc_file")
+    save(graft.sources.Warc.records(
+        Seq(("synthetic.warc", warcBytes)).toDF("path", "content"))
+      .toDF().select($"rec_idx", $"offset".as("rec_offset"), $"total_len",
+        $"parse_error"), "side_warc_recs")
+
     // ---- per-row scalar frames (deterministic recompute gates) ----
     save(SparkEntry.boilerFrame(spark), "side_boiler")
     save(SparkEntry.mediaFrame(spark), "side_media")

@@ -39,6 +39,9 @@ object SparkEntry {
     * ("graftbot") is a LITERAL in the DuckDB oracle — keep in sync. */
   private[graft] val RobotsAgent = "GraftBot/1.0 (+https://graft.example/bot)"
 
+  /** Pages in the synthetic WARC archive (q_warc_records + side_warc_*). */
+  private[graft] val WarcN = 120
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
@@ -450,6 +453,52 @@ object SparkEntry {
       val robots = graft.ops.Frontier.syntheticRobots(
         graft.ops.Frontier.frontierPaths(frontier), "host")
       graft.ops.Frontier.robotsFilter(frontier, robots, RobotsAgent)
+    }),
+    "q_warc_records" -> ((s, _) => {
+      // raw Common-Crawl-shaped ingestion: the synthetic WARC archive
+      // (one broken record for the resync probe) scanned into records +
+      // the HTTP envelope; the oracle re-derives EVERYTHING except the
+      // exported boundary triples (rec_idx, rec_offset, total_len) from
+      // the raw file hex — headers, Content-Length, status, mime, body
+      // digest — and the boundary export itself is pinned by the offset
+      // tiling condition inside the oracle's derivation
+      import s.implicits._
+      val recs = graft.sources.Warc.records(
+        graft.sources.Warc.syntheticWarcFrame(s, WarcN, withBroken = true))
+      recs.map { r =>
+        def hexOf(b: Array[Byte]): String = {
+          val sb = new java.lang.StringBuilder(b.length * 2)
+          b.foreach(x => sb.append("%02x".format(x & 0xff)))
+          sb.toString
+        }
+        def shaOfHex(h: String): String =
+          hexOf(java.security.MessageDigest.getInstance("SHA-256")
+            .digest(h.getBytes("US-ASCII")))
+        if (r.parse_error != null)
+          (r.rec_idx, r.offset, r.total_len, r.parse_error, null: String,
+            null: String, null: String, null: String, None: Option[Long],
+            None: Option[Int], null: String, None: Option[Long], null: String)
+        else {
+          val http =
+            if (r.warc_type == "response")
+              Some(graft.sources.Warc.parseHttpResponse(r.payload))
+                .filter(_.error == null)
+            else None
+          val bodyHex = http.map(h => hexOf(h.body))
+          (r.rec_idx, r.offset, r.total_len, null: String, r.warc_type,
+            r.target_uri, r.warc_date, r.record_id, Some(r.content_length),
+            http.map(_.status),
+            http.flatMap(_.headers.collectFirst {
+              case (n, v) if n.equalsIgnoreCase("Content-Type") => v
+            }).orNull,
+            http.map(_.body.length.toLong),
+            // digest of the lowercase HEX (DuckDB 1.0's sha256 is
+            // VARCHAR-only, the established q_media_resize idiom)
+            bodyHex.map(shaOfHex).orNull)
+        }
+      }.toDF("rec_idx", "rec_offset", "total_len", "parse_error", "warc_type",
+        "target_uri", "warc_date", "record_id", "content_length",
+        "http_status", "mime", "body_len", "body_sha256")
     }),
     "q_pagerank" -> ((s, _) => {
       // graph-global crawl priority over the REAL extracted link graph:
@@ -1069,6 +1118,62 @@ object SparkEntry {
          |LEFT JOIN r mr ON mr.host = f.host AND mr.entry_seq = sel.es
          |                AND mr.rule_seq = fm.rs
          |LEFT JOIN e ed ON ed.host = f.host AND ed.entry_seq = sel.es""".stripMargin,
+    "q_warc_records" ->
+      // DuckDB re-parses the WARC stream from the raw file hex: header
+      // block found via the even-aligned-hex regex trick ((?:..)*? keeps
+      // byte alignment), fields regexp'd out of the decoded header text,
+      // payload sliced by the re-derived Content-Length, the HTTP
+      // envelope parsed the same way, and the body digest recomputed as
+      // sha256-of-lowercase-hex. Only the boundary triples are taken as
+      // input, and those are pinned by the exp_off tiling condition —
+      // non-tiling offsets NULL the fields and fail the hash compare.
+      // (Corpus guarantee: every response payload contains a full HTTP
+      // header block, so the '' no-match sentinel never reaches body
+      // arithmetic on non-error rows.)
+      s"""WITH fl AS (SELECT file_hex FROM ${side("side_warc_file")}),
+         |rec AS (SELECT rec_idx, rec_offset, total_len, parse_error,
+         |    substr((SELECT file_hex FROM fl),
+         |           CAST(rec_offset*2 + 1 AS BIGINT),
+         |           CAST(total_len*2 AS BIGINT)) AS rh,
+         |    coalesce(sum(total_len) OVER (ORDER BY rec_idx
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS exp_off
+         |  FROM ${side("side_warc_recs")}),
+         |hdr AS (SELECT *,
+         |    CASE WHEN parse_error IS NULL AND rec_offset = exp_off
+         |      THEN decode(unhex(regexp_extract(rh, '^((?:..)*?)0d0a0d0a', 1)))
+         |    END AS hs,
+         |    length(regexp_extract(rh, '^((?:..)*?)0d0a0d0a', 1)) AS hl
+         |  FROM rec),
+         |fld AS (SELECT *,
+         |    nullif(regexp_extract(hs, '(?mi)^WARC-Type:[ \\t]*([^\\r\\n]*)', 1), '') AS wt,
+         |    nullif(regexp_extract(hs, '(?mi)^WARC-Target-URI:[ \\t]*([^\\r\\n]*)', 1), '') AS uri,
+         |    nullif(regexp_extract(hs, '(?mi)^WARC-Date:[ \\t]*([^\\r\\n]*)', 1), '') AS dt,
+         |    nullif(regexp_extract(hs, '(?mi)^WARC-Record-ID:[ \\t]*([^\\r\\n]*)', 1), '') AS rid,
+         |    try_cast(regexp_extract(hs, '(?mi)^Content-Length:[ \\t]*([0-9]+)', 1) AS BIGINT) AS cl
+         |  FROM hdr),
+         |pay AS (SELECT *,
+         |    CASE WHEN hs IS NOT NULL AND wt = 'response'
+         |      THEN substr(rh, hl + 9, CAST(cl*2 AS BIGINT)) END AS ph
+         |  FROM fld),
+         |hh AS (SELECT *,
+         |    CASE WHEN ph IS NOT NULL
+         |      THEN regexp_extract(ph, '^((?:..)*?)0d0a0d0a', 1) END AS hph
+         |  FROM pay),
+         |httpp AS (SELECT *,
+         |    CASE WHEN hph IS NOT NULL THEN decode(unhex(hph)) END AS hps
+         |  FROM hh)
+         |SELECT rec_idx, rec_offset, total_len, parse_error,
+         |  wt AS warc_type, uri AS target_uri, dt AS warc_date,
+         |  rid AS record_id, cl AS content_length,
+         |  try_cast(regexp_extract(hps, '^HTTP/[0-9]\\.[0-9] ([0-9]{3})', 1) AS INT)
+         |    AS http_status,
+         |  nullif(regexp_extract(hps, '(?mi)^Content-Type:[ \\t]*([^\\r\\n]*)', 1), '')
+         |    AS mime,
+         |  CASE WHEN hph IS NOT NULL
+         |       THEN CAST((length(ph) - length(hph) - 8) / 2 AS BIGINT) END AS body_len,
+         |  CASE WHEN hph IS NOT NULL
+         |       THEN sha256(substr(ph, length(hph) + 9)) END AS body_sha256
+         |FROM httpp""".stripMargin,
     "q_pagerank" ->
       // the 3 damped iterations UNROLLED relationally: DuckDB re-derives
       // the simple graph, out-degrees, per-iteration dangling mass, and

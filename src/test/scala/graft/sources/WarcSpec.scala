@@ -1,0 +1,95 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.pipeline.{PagesGen, SparkTestBase}
+
+/** Warc: record grammar (version line, headers, Content-Length payload,
+  * CRLF CRLF), obs-fold + case-insensitive headers, failure isolation
+  * with resync, multi-member gzip, the HTTP response envelope, and the
+  * pages() projection agreeing byte-for-byte with PagesGen. */
+class WarcSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestBase.spark
+
+  test("synthetic roundtrip: counts, types, payload bytes") {
+    val recs = Warc.parseRecords("f", Warc.syntheticWarcBytes(50))
+    assert(recs.forall(_.parse_error == null))
+    assert(recs.count(_.warc_type == "warcinfo") == 1)
+    assert(recs.count(_.warc_type == "request") == 10)
+    assert(recs.count(_.warc_type == "response") == 50)
+    // offsets tile the stream exactly
+    recs.sliding(2).foreach { case Seq(a, b) =>
+      assert(a.offset + a.total_len == b.offset)
+    }
+    // every response body is the exact page bytes; status/mime parse
+    recs.filter(_.warc_type == "response").zipWithIndex.foreach { case (r, i) =>
+      val http = Warc.parseHttpResponse(r.payload)
+      assert(http.error == null && http.status == 200)
+      assert(java.util.Arrays.equals(http.body, PagesGen.pageOf(i.toLong).html),
+        s"body mismatch at $i")
+      assert(r.target_uri == PagesGen.pageOf(i.toLong).url)
+    }
+  }
+
+  test("broken record is isolated and the scan resyncs") {
+    val recs = Warc.parseRecords("f", Warc.syntheticWarcBytes(40, withBroken = true))
+    val errs = recs.filter(_.parse_error != null)
+    assert(errs.length == 1 && errs.head.parse_error.startsWith("bad Content-Length"))
+    assert(recs.count(_.warc_type == "response") == 40) // none lost
+    // the error row's span covers the garbage exactly (tiling holds)
+    recs.sliding(2).foreach { case Seq(a, b) =>
+      assert(a.offset + a.total_len == b.offset)
+    }
+  }
+
+  test("gzip members: multi-member stream gunzips to identical records") {
+    val plain = Warc.parseRecords("f", Warc.syntheticWarcBytes(20))
+    val gz = Warc.syntheticWarcBytes(20, gzipMembers = true)
+    assert((gz(0) & 0xff) == 0x1f && (gz(1) & 0xff) == 0x8b)
+    val viaGz = Warc.parseRecords("f", Warc.gunzip(gz))
+    assert(viaGz.map(r => (r.warc_type, r.target_uri, r.content_length)) ==
+      plain.map(r => (r.warc_type, r.target_uri, r.content_length)))
+  }
+
+  test("header edge cases: obs-fold, case-insensitive names, CR in value") {
+    val payload = "hi".getBytes("ISO-8859-1")
+    val rec = ("WARC/1.1\r\nwarc-type: response\r\nWARC-TARGET-URI: http://e.com/a\r\n" +
+      "X-Long: first\r\n  folded tail\r\nwarc-date: 2024-01-02T03:04:05Z\r\n" +
+      s"content-length: ${payload.length}\r\n\r\nhi\r\n\r\n").getBytes("ISO-8859-1")
+    val rs = Warc.parseRecords("f", rec)
+    assert(rs.length == 1 && rs.head.parse_error == null)
+    assert(rs.head.warc_type == "response")
+    assert(rs.head.target_uri == "http://e.com/a")
+    assert(new String(rs.head.payload, "ISO-8859-1") == "hi")
+  }
+
+  test("http envelope failures are rows, not exceptions") {
+    assert(Warc.parseHttpResponse(Array.emptyByteArray).error == "no status line")
+    assert(Warc.parseHttpResponse("not http\r\n\r\n".getBytes("ISO-8859-1"))
+      .error.startsWith("bad status line"))
+    val ok = Warc.parseHttpResponse(
+      "HTTP/1.1 301 Moved Permanently\r\nLocation: /x\r\n\r\nbody".getBytes("ISO-8859-1"))
+    assert(ok.status == 301 && ok.reason == "Moved Permanently" &&
+      new String(ok.body, "ISO-8859-1") == "body")
+  }
+
+  test("charsetOf") {
+    assert(Warc.charsetOf("text/html; charset=UTF-8") == "utf-8")
+    assert(Warc.charsetOf("text/html; charset=\"ISO-8859-1\"") == "iso-8859-1")
+    assert(Warc.charsetOf("text/html") == null)
+    assert(Warc.charsetOf(null) == null)
+  }
+
+  test("pages(): the projection feeds PageRow exactly (incl. gz path)") {
+    import spark.implicits._
+    val pages = Warc.pages(Warc.syntheticWarcFrame(spark, 30,
+      withBroken = true, gzipMembers = true)).collect().sortBy(_.url)
+    assert(pages.length == 30)
+    val want = (0 until 30).map(i => PagesGen.pageOf(i.toLong)).sortBy(_.url)
+    pages.zip(want).foreach { case (got, w) =>
+      assert(got.url == w.url)
+      assert(got.warc_ts == w.warc_ts)
+      assert(java.util.Arrays.equals(got.html, w.html), got.url)
+    }
+  }
+}
