@@ -454,6 +454,22 @@ object SparkEntry {
         graft.ops.Frontier.frontierPaths(frontier), "host")
       graft.ops.Frontier.robotsFilter(frontier, robots, RobotsAgent)
     }),
+    "q_crawl_plan" -> ((s, _) => {
+      // the composed pre-fetch plan: robots gate -> per-host clamped
+      // crawl-delay -> politeness schedule, over the real extracted
+      // frontier; the oracle composes the q_robots_filter and
+      // q_frontier_schedule derivations end-to-end
+      import s.implicits._
+      val frontier = extractedPersisted(s)
+        .flatMap(p => p.links.map(_.dst_url))
+        .toDF("url").distinct()
+        .withColumn("priority_score",
+          pmod(conv(substring(md5(col("url")), 1, 8), 16, 10).cast("long"),
+            lit(1000L)).cast("int"))
+      val robots = graft.ops.Frontier.syntheticRobots(
+        graft.ops.Frontier.frontierPaths(frontier), "host")
+      graft.ops.Frontier.crawlPlan(frontier, robots, RobotsAgent)
+    }),
     "q_warc_records" -> ((s, _) => {
       // raw Common-Crawl-shaped ingestion: the synthetic WARC archive
       // (one broken record for the resync probe) scanned into records +
@@ -1118,6 +1134,62 @@ object SparkEntry {
          |LEFT JOIN r mr ON mr.host = f.host AND mr.entry_seq = sel.es
          |                AND mr.rule_seq = fm.rs
          |LEFT JOIN e ed ON ed.host = f.host AND ed.entry_seq = sel.es""".stripMargin,
+    "q_crawl_plan" ->
+      // q_robots_filter's allowed/delay derivation composed with
+      // q_frontier_schedule's worker/wave arithmetic, end to end in one
+      // DuckDB statement over the same side tables
+      s"""WITH f AS (SELECT url, match_path, host FROM ${side("side_rb_frontier")}),
+         |h AS (SELECT host, status, parse_failed FROM ${side("side_rb_hosts")}),
+         |e AS (SELECT host, entry_seq, delay_s FROM ${side("side_rb_entries")}),
+         |a AS (SELECT host, entry_seq, agent_lower FROM ${side("side_rb_agents")}),
+         |r AS (SELECT host, entry_seq, rule_seq, prefix, is_allow FROM ${side("side_rb_rules")}),
+         |spec AS (SELECT host, min(entry_seq) AS es FROM a
+         |         WHERE entry_seq >= 0
+         |           AND (agent_lower = '*' OR contains('graftbot', agent_lower))
+         |         GROUP BY host),
+         |dflt AS (SELECT DISTINCT host, -1 AS es FROM e WHERE entry_seq = -1),
+         |sel AS (SELECT h.host, coalesce(s.es, d.es) AS es
+         |        FROM h LEFT JOIN spec s ON h.host = s.host
+         |               LEFT JOIN dflt d ON h.host = d.host),
+         |fm AS (SELECT f.url, min(r.rule_seq) AS rs
+         |       FROM f JOIN sel ON f.host = sel.host
+         |            JOIN r ON r.host = f.host AND r.entry_seq = sel.es
+         |       WHERE r.prefix = '*' OR starts_with(f.match_path, r.prefix)
+         |       GROUP BY f.url),
+         |dec AS (SELECT f.url, f.host,
+         |    CASE WHEN h.host IS NULL THEN TRUE
+         |         WHEN h.parse_failed THEN FALSE
+         |         WHEN h.status IN (401, 403) THEN FALSE
+         |         WHEN h.status >= 400 AND h.status < 500 THEN TRUE
+         |         WHEN h.status >= 500 THEN FALSE
+         |         WHEN sel.es IS NULL THEN TRUE
+         |         WHEN fm.rs IS NOT NULL THEN mr.is_allow
+         |         ELSE TRUE END AS allowed,
+         |    CASE WHEN h.host IS NOT NULL AND NOT h.parse_failed
+         |          AND h.status < 400 AND sel.es IS NOT NULL
+         |         THEN ed.delay_s END AS delay_s
+         |  FROM f
+         |  LEFT JOIN h ON f.host = h.host
+         |  LEFT JOIN sel ON f.host = sel.host
+         |  LEFT JOIN fm ON f.url = fm.url
+         |  LEFT JOIN r mr ON mr.host = f.host AND mr.entry_seq = sel.es
+         |                  AND mr.rule_seq = fm.rs
+         |  LEFT JOIN e ed ON ed.host = f.host AND ed.entry_seq = sel.es),
+         |al AS (SELECT url, host,
+         |    CASE WHEN delay_s IS NULL THEN 3000
+         |         ELSE least(greatest(delay_s * 1000, 500), 5000) END AS delay_ms,
+         |    CAST(CAST('0x' || substr(md5(url), 1, 8) AS BIGINT) % 1000 AS INT)
+         |      AS pr
+         |  FROM dec WHERE allowed),
+         |w AS (SELECT url, host, delay_ms,
+         |    ROW_NUMBER() OVER (PARTITION BY host ORDER BY pr DESC, url)
+         |      AS fetch_seq
+         |  FROM al)
+         |SELECT url, host,
+         |  CAST(CAST('0x' || substr(md5('host:' || host), 1, 8) AS BIGINT) % 5
+         |    AS INT) AS worker,
+         |  fetch_seq, delay_ms, (fetch_seq - 1) * delay_ms AS est_start_ms
+         |FROM w""".stripMargin,
     "q_warc_records" ->
       // DuckDB re-parses the WARC stream from the raw file hex: header
       // block found via the even-aligned-hex regex trick ((?:..)*? keeps

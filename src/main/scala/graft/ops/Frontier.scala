@@ -65,6 +65,52 @@ object Frontier {
         ((col("fetch_seq") - 1).cast("long") * lit(d)).as("est_start_ms"))
   }
 
+  /**
+   * The full pre-fetch crawl plan: robots gate → per-host delay →
+   * politeness schedule, composed (the batch equivalent of everything the
+   * reference's runtime does BETWEEN popping the queue and touching the
+   * network). Disallowed/unfetchable urls are dropped here; each host's
+   * wave spacing honors its robots `Crawl-delay` (seconds), clamped to
+   * DynamicRateLimiter's [500, 5000] ms bounds exactly like every runtime
+   * delay update (core/rate_limiter.py:29-36) — a 3600 s crawl-delay
+   * therefore paces at 5 s, the limiter's ceiling, and hosts without a
+   * delay use `defaultDelayMs`.
+   *
+   * frontier: (urlCol, priorityCol, ...). Returns
+   * (url, host, worker, fetch_seq, delay_ms, est_start_ms).
+   */
+  def crawlPlan(frontier: DataFrame, robots: DataFrame, userAgent: String,
+                numWorkers: Int = 5, defaultDelayMs: Long = 3000L,
+                urlCol: String = "url",
+                priorityCol: String = "priority_score"): DataFrame = {
+    require(numWorkers > 0, s"numWorkers must be positive: $numWorkers")
+    val dflt = math.min(math.max(defaultDelayMs, 500L), 5000L)
+    val allowed = robotsFilter(
+      frontier.select(col(urlCol).as("url")), robots, userAgent)
+      .filter(col("allowed"))
+      .join(frontier.select(col(urlCol).as("url"),
+        col(priorityCol).as("__p")), Seq("url"))
+      .withColumn("delay_ms",
+        // greatest/least SKIP nulls (Postgres semantics in both Spark and
+        // DuckDB), so a coalesce around them would turn "no crawl-delay"
+        // into the 500 ms floor instead of the default — guard explicitly
+        when(col("crawl_delay_s").isNull, lit(dflt))
+          .otherwise(least(greatest(col("crawl_delay_s") * 1000L, lit(500L)),
+            lit(5000L))))
+    val worker = pmod(
+      conv(substring(md5(concat(lit("host:"), col("host"))), 1, 8), 16, 10)
+        .cast("long"),
+      lit(numWorkers.toLong)).cast("int")
+    allowed
+      .withColumn("fetch_seq", row_number().over(
+        Window.partitionBy(col("host"))
+          .orderBy(col("__p").desc, col("url"))))
+      .select(col("url"), col("host"), worker.as("worker"), col("fetch_seq"),
+        col("delay_ms").cast("long").as("delay_ms"),
+        ((col("fetch_seq") - 1).cast("long") * col("delay_ms").cast("long"))
+          .as("est_start_ms"))
+  }
+
   /** One Allow/Disallow prefix of the entry selected for the crawl agent. */
   final case class RobotsRule(prefix: String, allow: Boolean)
 

@@ -81,6 +81,35 @@ class RobotsFilterSpec extends AnyFunSuite {
     assert(!RobotsTxt.canFetch(r0, Agent, s"https://${t0._1}/docs/page13.html"))
   }
 
+  test("crawlPlan: gate + per-host clamped delay + waves compose") {
+    import org.apache.spark.sql.Row
+    val robots = Seq(
+      // crawl-delay 2s -> 2000ms; disallows /docs/no
+      ("a.com", 200, "User-agent: *\nDisallow: /docs/no\nCrawl-delay: 2\n"),
+      // no delay -> default 3000ms
+      ("b.com", 200, "User-agent: *\nDisallow: /x\n"),
+      // delay 3600s -> clamped to the 5000ms limiter ceiling
+      ("c.com", 200, "User-agent: *\nCrawl-delay: 3600\n"),
+      // deny-all host: nothing survives the gate
+      ("d.com", 403, "")).toDF("host", "status", "body")
+    val frontier = Seq(
+      ("https://a.com/docs/ok1", 10), ("https://a.com/docs/ok2", 20),
+      ("https://a.com/docs/no", 99), ("https://b.com/y", 5),
+      ("https://c.com/z", 1), ("https://d.com/never", 7),
+      ("https://nobots.com/q", 3)).toDF("url", "priority_score")
+    val plan = Frontier.crawlPlan(frontier, robots, Agent)
+      .collect().map(r => r.getString(0) ->
+        ((r.getInt(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(!plan.contains("https://a.com/docs/no")) // rule-denied
+    assert(!plan.contains("https://d.com/never")) // disallow_all
+    assert(plan("https://nobots.com/q") == ((1, 3000L, 0L))) // no robots row
+    assert(plan("https://b.com/y") == ((1, 3000L, 0L))) // no delay -> default
+    assert(plan("https://c.com/z") == ((1, 5000L, 0L))) // 3600s -> ceiling
+    // a.com: priority 20 fetched first, 2s robots delay paces wave 2
+    assert(plan("https://a.com/docs/ok2") == ((1, 2000L, 0L)))
+    assert(plan("https://a.com/docs/ok1") == ((2, 2000L, 2000L)))
+  }
+
   test("parsed-structure export is consistent with the policy reduction") {
     val hosts = (0 until 32).map(i => s"host$i.example.com").toDF("host")
     val robots = Frontier.syntheticRobots(hosts, "host").persist()
