@@ -34,6 +34,45 @@ object StreamingExtract {
       .as[PageRow]
   }
 
+  /** File-source stream of raw WARC archives (new `.warc`/`.warc.gz`
+    * files under `inputDir`): the streaming face of [[graft.sources.Warc]]
+    * — `binaryFile` source, one flatMap task per new archive, the same
+    * record scanner and pages() projection as batch (the projection is
+    * source-agnostic, so WARC-vs-table byte identity carries over). */
+  def readWarcPages(spark: SparkSession, inputDir: String,
+                    maxFilesPerTrigger: Int = 4): Dataset[PageRow] = {
+    val files = spark.readStream.format("binaryFile")
+      // the binaryFile source's FIXED schema, required explicitly when
+      // streaming (no inference pass over a possibly-empty dir)
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("path",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("modificationTime",
+          org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("length",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("content",
+          org.apache.spark.sql.types.BinaryType))))
+      .option("pathGlobFilter", "*.warc*")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .load(inputDir)
+    graft.sources.Warc.pages(files)
+  }
+
+  /** Streaming WARC ingestion → docs_clean parquet sink (AvailableNow
+    * drains the backlog of new archives and stops). Returns the query. */
+  def extractWarcStream(spark: SparkSession, inputDir: String, outDir: String,
+                        checkpoint: String, availableNow: Boolean = true) = {
+    import spark.implicits._
+    val docs = Extract.extract(readWarcPages(spark, inputDir)).map(_.doc)
+    val writer = docs.writeStream
+      .format("parquet")
+      .option("path", s"$outDir/docs_clean_stream")
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
+  }
+
   /** Streaming extraction → docs_clean parquet sink (AvailableNow drains the
     * backlog and stops — the scheduled re-scrape analog). Returns the query. */
   def extractStream(spark: SparkSession, inputDir: String, outDir: String,
