@@ -252,6 +252,88 @@ object Warc {
       }
   }
 
+  // ----------------------------------------------------------------- WET
+
+  /** One WET conversion record (the Common-Crawl extracted-text
+    * interchange shape): headers + UTF-8 plain-text payload. Record id is
+    * DETERMINISTIC (md5 of url+ts) so re-runs emit identical bytes —
+    * the engine's no-RNG discipline extends to its sinks. */
+  private def wetRecord(url: String, ts: java.sql.Timestamp,
+                        text: String): Array[Byte] = {
+    val payload = (if (text == null) "" else text).getBytes("UTF-8")
+    val idHex = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest((url + " " + ts.getTime).getBytes("UTF-8"))
+      d.map("%02x".format(_)).mkString
+    }
+    val head = (s"WARC/1.0\r\nWARC-Type: conversion\r\n" +
+      s"WARC-Target-URI: $url\r\n" +
+      s"WARC-Date: ${ts.toInstant.toString}\r\n" +
+      s"WARC-Record-ID: <urn:uuid:${idHex.substring(0, 8)}-${idHex.substring(8, 12)}-${idHex.substring(12, 16)}-${idHex.substring(16, 20)}-${idHex.substring(20, 32)}>\r\n" +
+      s"Content-Type: text/plain\r\n" +
+      s"Content-Length: ${payload.length}\r\n\r\n").getBytes("ISO-8859-1")
+    val r = new Array[Byte](head.length + payload.length + 4)
+    System.arraycopy(head, 0, r, 0, head.length)
+    System.arraycopy(payload, 0, r, head.length, payload.length)
+    r(r.length - 4) = '\r'; r(r.length - 3) = '\n'
+    r(r.length - 2) = '\r'; r(r.length - 1) = '\n'
+    r
+  }
+
+  private def gzipMember(b: Array[Byte]): Array[Byte] = {
+    val bo = new java.io.ByteArrayOutputStream(b.length / 2 + 64)
+    val gz = new java.util.zip.GZIPOutputStream(bo)
+    gz.write(b); gz.close()
+    bo.toByteArray
+  }
+
+  /**
+   * WET sink: write extracted text as per-record-gzipped conversion
+   * records, one `part-NNNNN.warc.wet.gz` per partition under `outDir`
+   * (the CC member layout — seekable per record, splittable per file).
+   * docs: (url, warc_ts, text). Executor-side streaming write — no
+   * driver collect; file count = partition count, so callers size
+   * partitions the way they would any file sink.
+   */
+  def writeWet(docs: DataFrame, outDir: String): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    docs.select(col("url").cast("string"), col("warc_ts").cast("timestamp"),
+      col("text").cast("string"))
+      .as[(String, java.sql.Timestamp, String)]
+      .mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val path = java.nio.file.Paths.get(outDir, f"part-$pid%05d.warc.wet.gz")
+        val out = new java.io.BufferedOutputStream(
+          java.nio.file.Files.newOutputStream(path), 1 << 16)
+        var n = 0L
+        it.foreach { case (u, ts, t) =>
+          out.write(gzipMember(wetRecord(u, ts, t))); n += 1
+        }
+        out.close()
+        if (n == 0) java.nio.file.Files.deleteIfExists(path)
+        Iterator.single(n)
+      }.reduce(_ + _): Unit
+  }
+
+  /** WET source: conversion records of a binaryFile frame back to
+    * (url, warc_ts, text) — `writeWet`'s exact inverse (roundtrip-pinned
+    * in WarcSpec). */
+  def wetPages(files: DataFrame): DataFrame = {
+    val spark = files.sparkSession
+    import spark.implicits._
+    records(files)
+      .filter(r => r.parse_error == null && r.warc_type == "conversion" &&
+        r.target_uri != null)
+      .map { r =>
+        val ts = try {
+          java.sql.Timestamp.from(java.time.Instant.parse(r.warc_date))
+        } catch { case _: Exception => new java.sql.Timestamp(0L) }
+        (r.target_uri, ts, new String(r.payload, "UTF-8"))
+      }.toDF("url", "warc_ts", "text")
+  }
+
   // ------------------------------------------------------------ synthesis
 
   /** Deterministic WARC bytes over PagesGen's page corpus (no external

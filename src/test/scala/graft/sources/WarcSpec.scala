@@ -11,6 +11,11 @@ class WarcSpec extends AnyFunSuite {
 
   private lazy val spark = SparkTestBase.spark
 
+  private def rmrf(p: java.io.File): Unit = {
+    if (p.isDirectory) p.listFiles().foreach(rmrf)
+    p.delete()
+  }
+
   test("synthetic roundtrip: counts, types, payload bytes") {
     val recs = Warc.parseRecords("f", Warc.syntheticWarcBytes(50))
     assert(recs.forall(_.parse_error == null))
@@ -78,6 +83,37 @@ class WarcSpec extends AnyFunSuite {
     assert(Warc.charsetOf("text/html; charset=\"ISO-8859-1\"") == "iso-8859-1")
     assert(Warc.charsetOf("text/html") == null)
     assert(Warc.charsetOf(null) == null)
+  }
+
+  test("WET roundtrip: writeWet -> wetPages is the identity on text") {
+    import spark.implicits._
+    val dir = s"/tmp/graft_wet_${System.nanoTime()}"
+    try {
+      val docs = (0 until 25).map { i =>
+        val p = PagesGen.pageOf(i.toLong)
+        // include a unicode-heavy and an empty text row
+        val t = if (i == 3) "ünïcode — тёкст ≠ ascii" else if (i == 4) ""
+                else graft.pipeline.Extract.extractPage(p, 16).doc.text
+        (p.url, p.warc_ts, t)
+      }
+      Warc.writeWet(docs.toDF("url", "warc_ts", "text").repartition(3), dir)
+      val files = new java.io.File(dir).listFiles().map(_.getName).sorted
+      assert(files.nonEmpty && files.forall(_.matches("part-\\d{5}\\.warc\\.wet\\.gz")))
+      val back = Warc.wetPages(
+        spark.read.format("binaryFile").load(dir))
+        .as[(String, java.sql.Timestamp, String)].collect()
+        .map(r => (r._1, r._2.getTime, r._3)).toSet
+      assert(back == docs.map(d => (d._1, d._2.getTime, d._3)).toSet)
+      // deterministic sink: a second write emits byte-identical files
+      val dir2 = dir + "_2"
+      Warc.writeWet(docs.toDF("url", "warc_ts", "text").repartition(3), dir2)
+      files.foreach { f =>
+        val a = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(dir, f))
+        val b = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(dir2, f))
+        assert(java.util.Arrays.equals(a, b), f)
+      }
+      rmrf(new java.io.File(dir2))
+    } finally rmrf(new java.io.File(dir))
   }
 
   test("pages(): the projection feeds PageRow exactly (incl. gz path)") {
