@@ -23,7 +23,20 @@ object Similarity {
     * side yields NULL (nullif denominator): Spark 4's default ANSI mode
     * throws DIVIDE_BY_ZERO even for doubles, and DuckDB's x/0 is NULL, so
     * NULL is both the crash-free and the oracle-consistent value. */
-  def cosineToQuery(embCol: String, q: Array[Float]): Column = {
+  def cosineToQuery(embCol: String, q: Array[Float]): Column =
+    // native codegen'd expression (graft.functions.CosineToQuery) — one
+    // fused primitive loop inside whole-stage codegen, replacing the
+    // interpreted aggregate(zip_with(...)) HOF composition with pinned
+    // identical semantics (CosineExprSpec differential)
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.CosineToQuery(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(col(embCol)),
+        q.toIndexedSeq.map(_.toDouble)))
+
+  /** The replaced HOF composition, kept as the in-Spark differential
+    * reference for CosineExprSpec (and as documentation of the exact
+    * semantics the native expression pins). */
+  private[graft] def cosineToQueryHof(embCol: String, q: Array[Float]): Column = {
     val qArr = s"array(${q.map(v => s"CAST(${v.toDouble} AS DOUBLE)").mkString(",")})"
     val dot = s"aggregate(zip_with($embCol, $qArr, (x, y) -> CAST(x AS DOUBLE) * y), 0D, (a, v) -> a + v)"
     val na = s"sqrt(aggregate($embCol, 0D, (a, v) -> a + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"

@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.pipeline.SparkTestBase
+
+/** graft.functions.CosineToQuery (native doGenCode expression) must be
+  * BITWISE-identical to the aggregate(zip_with(...)) HOF composition it
+  * replaced, across nulls, length mismatches, zero norms, and empty
+  * arrays — and must actually run inside whole-stage codegen. */
+class CosineExprSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def lcg(seed: Long): Iterator[Long] =
+    Iterator.iterate(seed)(x => x * 6364136223846793005L + 1442695040888963407L).drop(1)
+
+  test("bitwise parity with the HOF composition on adversarial vectors") {
+    val dim = 16
+    val q = lcg(7L).take(dim).map(x => ((x >>> 16) % 1000L) / 250.0f - 2.0f).toArray
+    var st = 42L
+    def nextF(): Float = {
+      st = st * 6364136223846793005L + 1442695040888963407L
+      ((st >>> 16) % 1000L) / 250.0f - 2.0f
+    }
+    def vec(n: Int): Seq[java.lang.Float] =
+      Seq.fill(n)(java.lang.Float.valueOf(nextF()))
+    val rows: Seq[(Int, Seq[java.lang.Float])] =
+      (0 until 200).map(i => (i, vec(dim))) ++ Seq(
+        (1000, vec(dim).updated(3, null.asInstanceOf[java.lang.Float])), // null elem
+        (1001, vec(dim - 1)), // shorter than q
+        (1002, vec(dim + 2)), // longer than q
+        (1003, Seq.fill(dim)(java.lang.Float.valueOf(0.0f))), // zero norm
+        (1004, Seq.empty[java.lang.Float]), // empty
+        (1005, null)) // null array
+    val df = rows.toDF("id", "embedding").persist()
+    val native = df.select($"id", Similarity.cosineToQuery("embedding", q).as("c"))
+      .collect().map(r => r.getInt(0) -> (if (r.isNullAt(1)) null
+        else java.lang.Long.valueOf(java.lang.Double.doubleToRawLongBits(r.getDouble(1))))).toMap
+    val hof = df.select($"id", Similarity.cosineToQueryHof("embedding", q).as("c"))
+      .collect().map(r => r.getInt(0) -> (if (r.isNullAt(1)) null
+        else java.lang.Long.valueOf(java.lang.Double.doubleToRawLongBits(r.getDouble(1))))).toMap
+    assert(native.keySet == hof.keySet)
+    native.foreach { case (id, bits) => assert(bits == hof(id), s"id=$id") }
+    // the adversarial rows are all NULL results in BOTH implementations
+    Seq(1000, 1001, 1002, 1003, 1004, 1005).foreach { id =>
+      assert(native(id) == null, s"id=$id should be null")
+    }
+    assert(native(0) != null)
+    df.unpersist()
+  }
+
+  test("the native expression runs inside WholeStageCodegen") {
+    val q = Array.fill(8)(0.5f)
+    val df = Seq((1, Seq.fill(8)(1.0f))).toDF("id", "embedding")
+      .repartition(1) // LocalTableScan alone evaluates eagerly without codegen
+      .select(Similarity.cosineToQuery("embedding", q).as("c"))
+    // materialize THIS dataframe's own queryExecution first: under AQE the
+    // final (codegen-annotated) plan only exists after execution, and
+    // .as[Double] would build a separate one
+    val out = df.collect()
+    assert(math.abs(out.head.getDouble(0) - 1.0) < 1e-12)
+    val plan = df.queryExecution.executedPlan.toString
+    // "*(n)" is the whole-stage-codegen stage marker in plan strings
+    assert(plan.contains("WholeStageCodegen") || plan.contains("*("), plan)
+  }
+}
