@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import scala.collection.mutable.ArrayBuffer
 import org.apache.spark.util.LongAccumulator
@@ -428,25 +428,34 @@ object Dedup {
   }
 
   /** Exact cosine for a candidate pair set: vectors join back by id
-    * (candidate slice only), cosine is a pure Catalyst expression
-    * (`aggregate`/`zip_with` — codegen'd, sequential double fold, the
-    * exact FP order the DuckDB oracle's list_dot_product uses), rounded
+    * (candidate slice only); the per-pair cosine is the native codegen
+    * expression [[graft.functions.CosinePair]] — one fused loop replacing
+    * three interpreted `aggregate`/`zip_with` folds, bitwise-identical
+    * (sequential double fold, the exact FP order the DuckDB oracle's
+    * list_dot_product uses; CosineExprSpec pair differential), rounded
     * to 6 (the determinism rule for oracle-compared doubles). */
   def verifyCosine(candidates: DataFrame, emb: DataFrame, idCol: String,
                    embCol: String): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
     val vecs = emb.select(col(idCol).cast("long").as("id"), col(embCol).as("v"))
-    def dotE(a: String, b: String) =
-      s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, w) -> acc + w)"
     candidates
       .join(vecs.withColumnRenamed("id", "id_a").withColumnRenamed("v", "v_a"), "id_a")
       .join(vecs.withColumnRenamed("id", "id_b").withColumnRenamed("v", "v_b"), "id_b")
-      .withColumn("cos", round(
-        expr(dotE("v_a", "v_b")) /
-          // nullif: a zero vector yields NULL cosine (ANSI-safe, and
-          // DuckDB's x/0 is NULL — oracle-consistent), never a crash
-          nullif(sqrt(expr(dotE("v_a", "v_a"))) * sqrt(expr(dotE("v_b", "v_b"))),
-            lit(0d)), 6))
+      .withColumn("cos", round(ColumnBridge.column(graft.functions.CosinePair(
+        ColumnBridge.expression(col("v_a")),
+        ColumnBridge.expression(col("v_b")))), 6))
       .select(col("id_a"), col("id_b"), col("cos"))
+  }
+
+  /** The replaced HOF pair-cosine, kept as the in-Spark differential
+    * reference for CosineExprSpec. */
+  private[graft] def verifyCosineHofCol(vA: String, vB: String): Column = {
+    def dotE(a: String, b: String) =
+      s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, w) -> acc + w)"
+    expr(dotE(vA, vB)) /
+      // nullif: a zero vector yields NULL cosine (ANSI-safe, and DuckDB's
+      // x/0 is NULL — oracle-consistent), never a crash
+      nullif(sqrt(expr(dotE(vA, vA))) * sqrt(expr(dotE(vB, vB))), lit(0d))
   }
 
   /** Embedding-cosine near-dup pairs: LSH candidates whose exact cosine

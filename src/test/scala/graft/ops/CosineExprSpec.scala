@@ -51,6 +51,39 @@ class CosineExprSpec extends AnyFunSuite {
     df.unpersist()
   }
 
+  test("pair cosine: bitwise parity with the three-fold HOF composition") {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val dim = 12
+    var st = 7L
+    def nextF(): Float = {
+      st = st * 6364136223846793005L + 1442695040888963407L
+      ((st >>> 16) % 1000L) / 250.0f - 2.0f
+    }
+    def vec(n: Int): Seq[java.lang.Float] =
+      Seq.fill(n)(java.lang.Float.valueOf(nextF()))
+    val rows: Seq[(Int, Seq[java.lang.Float], Seq[java.lang.Float])] =
+      (0 until 150).map(i => (i, vec(dim), vec(dim))) ++ Seq(
+        (1000, vec(dim).updated(2, null.asInstanceOf[java.lang.Float]), vec(dim)),
+        (1001, vec(dim), vec(dim - 2)), // length mismatch
+        (1002, Seq.fill(dim)(java.lang.Float.valueOf(0.0f)), vec(dim)), // zero |a|
+        (1003, vec(dim), null), // null side
+        (1004, Seq.empty[java.lang.Float], Seq.empty[java.lang.Float]))
+    val df = rows.toDF("id", "v_a", "v_b").persist()
+    def bits(r: org.apache.spark.sql.Row) =
+      r.getInt(0) -> (if (r.isNullAt(1)) null
+        else java.lang.Long.valueOf(java.lang.Double.doubleToRawLongBits(r.getDouble(1))))
+    val native = df.select($"id", ColumnBridge.column(graft.functions.CosinePair(
+        ColumnBridge.expression($"v_a"), ColumnBridge.expression($"v_b"))).as("c"))
+      .collect().map(bits).toMap
+    val hof = df.select($"id", Dedup.verifyCosineHofCol("v_a", "v_b").as("c"))
+      .collect().map(bits).toMap
+    assert(native.keySet == hof.keySet)
+    native.foreach { case (id, b) => assert(b == hof(id), s"id=$id") }
+    Seq(1000, 1001, 1002, 1003, 1004).foreach(id => assert(native(id) == null, s"id=$id"))
+    assert(native(0) != null)
+    df.unpersist()
+  }
+
   test("the native expression runs inside WholeStageCodegen") {
     val q = Array.fill(8)(0.5f)
     val df = Seq((1, Seq.fill(8)(1.0f))).toDF("id", "embedding")
