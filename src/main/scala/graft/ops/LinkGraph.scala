@@ -105,10 +105,12 @@ object LinkGraph {
     var ranks = nodes.select(col("url"), lit(1.0 / n).as("rank"))
       .localCheckpoint(true)
     for (_ <- 1 to iterations) {
-      // scalar: total rank sitting on dangling nodes this iteration
+      // total rank sitting on dangling nodes this iteration — kept IN the
+      // plan as a broadcast one-row frame (a driver-side first() here
+      // would cost a second action per iteration; the arithmetic is the
+      // same double division either way)
       val dangling = ranks.join(deg, ranks("url") === deg("src"), "left_anti")
-        .agg(coalesce(sum(col("rank")), lit(0.0)))
-        .first().getDouble(0)
+        .agg(coalesce(sum(col("rank")), lit(0.0)).as("__dang"))
       val contrib = e
         .join(deg, "src")
         .join(ranks, col("src") === ranks("url"))
@@ -116,9 +118,11 @@ object LinkGraph {
       ranks = nodes
         .join(contrib.groupBy(col("url")).agg(sum(col("w")).as("c")),
           Seq("url"), "left_outer")
+        .crossJoin(broadcast(dangling))
         .select(col("url"),
           (lit((1.0 - damping) / n) +
-            lit(damping) * (coalesce(col("c"), lit(0.0)) + lit(dangling / n)))
+            lit(damping) * (coalesce(col("c"), lit(0.0)) +
+              col("__dang") / lit(n)))
             .as("rank"))
         .localCheckpoint(true)
       // the superseded iteration's checkpoint RDD is now unreferenced and

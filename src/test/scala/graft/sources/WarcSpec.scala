@@ -85,6 +85,37 @@ class WarcSpec extends AnyFunSuite {
     assert(Warc.charsetOf(null) == null)
   }
 
+  test("adversarial mutations: the scanner never throws and always tiles") {
+    val base = Warc.syntheticWarcBytes(12)
+    var st = 0xBADC0DEL
+    def next(): Long = { st = st * 6364136223846793005L + 1442695040888963407L; st }
+    (0 until 300).foreach { trial =>
+      val b = base.clone()
+      // 1-4 mutations: flip a byte, zero a byte, or truncate
+      val nMut = 1 + math.floorMod(next(), 4).toInt
+      var len = b.length
+      (0 until nMut).foreach { _ =>
+        val kind = math.floorMod(next(), 3)
+        val pos = math.floorMod(next(), len).toInt
+        kind match {
+          case 0 => b(pos) = (b(pos) ^ (next() & 0xff).toInt).toByte
+          case 1 => b(pos) = 0
+          case _ => len = math.max(1, pos)
+        }
+      }
+      val bytes = java.util.Arrays.copyOf(b, len)
+      val recs = Warc.parseRecords(s"t$trial", bytes) // must not throw
+      // offsets tile the scanned region exactly, errors included
+      var expect = 0L
+      recs.foreach { r =>
+        assert(r.offset == expect, s"trial=$trial rec=${r.rec_idx}")
+        assert(r.total_len >= 0)
+        expect = r.offset + r.total_len
+      }
+      assert(expect <= bytes.length, s"trial=$trial overran")
+    }
+  }
+
   test("WET roundtrip: writeWet -> wetPages is the identity on text") {
     import spark.implicits._
     val dir = s"/tmp/graft_wet_${System.nanoTime()}"
