@@ -62,6 +62,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty && streamed.forall(_ == direct.text))
   }
 
+  test("watermark drops late events in a REAL stream (Append mode)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def page(host: String, epochH: Int): graft.pipeline.PageRow =
+      graft.pipeline.PageRow(s"https://$host/p$epochH",
+        new java.sql.Timestamp(epochH * 3600L * 1000L),
+        "<html><body>x</body></html>".getBytes("UTF-8"), null, null)
+    val in = MemoryStream[graft.pipeline.PageRow]
+    val q = StreamingExtract.hostActivity(in.toDS(), "1 hour", "2 hours")
+      .writeStream.format("memory").queryName("wm_host_activity")
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      // batch 1: events at hours 1 and 10 -> watermark advances to 10-2=8
+      in.addData(page("a.com", 1), page("a.com", 1), page("b.com", 10))
+      q.processAllAvailable()
+      // batch 2: hour-1 event is LATE (< watermark 8h) and must be dropped;
+      // hour 9 is within the watermark and must be kept
+      in.addData(page("a.com", 1), page("a.com", 9))
+      q.processAllAvailable()
+      // batch 3: push the watermark far ahead so all previous windows close
+      in.addData(page("c.com", 30))
+      q.processAllAvailable()
+      val rows = spark.table("wm_host_activity")
+        .select(col("window.start").cast("long").as("ws"), col("host"), col("docs"))
+        .as[(Long, String, Long)].collect().toSet
+      def h(e: Int) = e * 3600L
+      // the late hour-1 re-send never increments a.com's first window
+      assert(rows.contains((h(1), "a.com", 2L)), rows)
+      assert(rows.contains((h(9), "a.com", 1L)), rows)
+      assert(rows.contains((h(10), "b.com", 1L)), rows)
+      assert(!rows.exists { case (ws, host, n) =>
+        ws == h(1) && host == "a.com" && n != 2L }, rows)
+    } finally q.stop()
+  }
+
   test("watermarked host-activity windows aggregate event time (batch check)") {
     // semantics checked on the batch equivalent of the same plan
     val pages = PagesGen.pages(spark, 100L)
