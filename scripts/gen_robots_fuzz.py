@@ -215,17 +215,27 @@ def grammar_docs():
     pool = [
         "User-agent: *", "User-agent: TestBot", "User-agent: FooBot",
         "User-agent: bot", "User-agent:",
+        # %-escapes and unicode in agent values (unquoted at parse time)
+        "User-agent: %54estBot", "User-agent: GRAFT", "User-agent: Бот",
+        "User-agent: Mega Bot",
         "Disallow: /a", "Disallow: /a/b", "Disallow: /a%20b", "Disallow:",
         "Disallow: *", "Disallow: /private/",
-        "Allow: /a/b/c", "Allow: /", "Allow:",
+        "Disallow: //double", "Disallow: ../relative", "Disallow: /a?q=1#f",
+        "Disallow: %2F", "Disallow: /ümlaut/", "Disallow: /p;par",
+        "Allow: /a/b/c", "Allow: /", "Allow:", "Allow: /a%2Fb",
         "Crawl-delay: 3", "Crawl-delay: x", "Crawl-delay: ٥",
-        "Request-rate: 1/5", "Request-rate: 9/x",
-        "Sitemap: http://e.com/s.xml",
+        "Crawl-delay: +5", "Crawl-delay: ٥٥", "Crawl-delay: 5 # c",
+        "Crawl-delay: 07", "Crawl-delay: 5.0",
+        "Request-rate: 1/5", "Request-rate: 9/x", "Request-rate: 1/5/9",
+        "Request-rate: /", "Request-rate: ۱/۲", "Request-rate:  2 / 6 ",
+        "Sitemap: http://e.com/s.xml", "Sitemap: /rel.xml",
         "# comment", "", "no colon line", "  Disallow : /spaced  # c",
+        "DISALLOW: /caps", "dIsAlLoW: /mixed", "Useragent: NotAKey",
+        ":", "#", " ", "Disallow: /nbsp-value",
     ]
     docs = []
-    for _ in range(60):
-        n = rng.randrange(1, 12)
+    for _ in range(160):
+        n = rng.randrange(1, 16)
         docs.append("\n".join(rng.choice(pool) for _ in range(n)) + "\n")
     return docs
 

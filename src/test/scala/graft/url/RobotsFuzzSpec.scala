@@ -6,7 +6,7 @@ import scala.jdk.CollectionConverters._
 
 /**
  * Differential gate for [[RobotsTxt]] against the container's REAL
- * `urllib.robotparser` (CPython 3.11.7): 85 documents (hand-built state
+ * `urllib.robotparser` (CPython 3.11.7): 185 documents (hand-built state
  * machine / normalization / unicode-digit corners + a seeded grammar
  * sweep) × 8 agents × 18 urls of can_fetch, plus crawl_delay,
  * request_rate, site_maps, the `str(RobotFileParser)` structure render,
@@ -63,7 +63,7 @@ class RobotsFuzzSpec extends AnyFunSuite {
       }
     }
     assert(nCrash == 2)
-    assert(nFetch > 10000) // 83 non-crash docs x 8 agents x 18 urls
+    assert(nFetch > 26000) // 183 non-crash docs x 8 agents x 18 urls
   }
 
   test("fromStatus: read()'s HTTP branches incl. the swallowed 5xx") {
