@@ -336,6 +336,17 @@ object SparkEntry {
         graft.ops.TrainingData.nTokens(col("text")).as("n_tokens"),
         length(col("text")).as("n_chars_calc"))
     }),
+    "q_bpe_merges" -> ((s, dir) => {
+      // BPE merge-table training over the documents corpus (3 rounds,
+      // minCount 2): the oracle re-derives word counts, code-point symbol
+      // splitting, weighted pair counts, the (count, lhs, rhs) argmax,
+      // and each merge APPLICATION (recursive leftmost collapse ==
+      // single-pass BPE, the merged token being a fresh symbol) from the
+      // raw documents table alone — no side tables
+      graft.ops.Tokenizer.fitBpeMerges(
+        s.read.parquet(s"$dir/documents.parquet"), "text",
+        nMerges = 3, minCount = 2L)
+    }),
     "q_quality_docs" -> ((s, dir) => {
       // shared ANSI-safe expressions (TrainingData): empty text → NULL
       // ratios, matching DuckDB's x/0 = NULL on the oracle side
@@ -951,6 +962,48 @@ object SparkEntry {
     "q_dedup_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keeper, count(*) AS n
         |FROM documents GROUP BY md5(text)""".stripMargin,
+    "q_bpe_merges" -> {
+      // three BPE rounds UNROLLED: per round, pair counts over the
+      // space-joined symbol strings (lateral unnest of adjacent index
+      // pairs), the argmax with the (pc DESC, a, b) tie-break, and the
+      // merge applied by a RECURSIVE leftmost-occurrence collapse —
+      // equivalent to the single-pass BPE apply because the merged token
+      // is a fresh symbol (no occurrence can form left of the scan)
+      def round(k: Int): String = {
+        val prev = s"words${k - 1}"
+        s"""wl$k AS (SELECT string_split(syms, ' ') AS sl, cnt FROM $prev),
+           |p$k AS (SELECT sl[i] AS a, sl[i + 1] AS b, CAST(sum(cnt) AS BIGINT) AS pc
+           |        FROM wl$k, UNNEST(generate_series(1, len(sl) - 1)) AS u(i)
+           |        GROUP BY 1, 2),
+           |b$k AS (SELECT a, b, pc FROM p$k ORDER BY pc DESC, a, b LIMIT 1),
+           |ap$k AS (SELECT ' ' || syms || ' ' AS s, cnt,
+           |               (SELECT ' ' || a || ' ' || b || ' ' FROM b$k) AS pat,
+           |               (SELECT ' ' || a || b || ' ' FROM b$k) AS rep
+           |        FROM $prev
+           |        UNION ALL
+           |        SELECT substr(s, 1, strpos(s, pat) - 1) || rep ||
+           |               substr(s, strpos(s, pat) + length(pat)), cnt, pat, rep
+           |        FROM ap$k WHERE strpos(s, pat) > 0),
+           |words$k AS (SELECT substr(s, 2, length(s) - 2) AS syms, cnt
+           |            FROM ap$k WHERE strpos(s, pat) = 0)""".stripMargin
+      }
+      s"""WITH RECURSIVE
+         |wraw AS (SELECT unnest(string_split_regex(text, '\\s+')) AS word
+         |         FROM documents),
+         |w0 AS (SELECT word, CAST(count(*) AS BIGINT) AS wc FROM wraw
+         |       WHERE length(word) > 0 GROUP BY word),
+         |words0 AS (SELECT array_to_string(regexp_extract_all(word, '.'), ' ')
+         |             || ' </w>' AS syms,
+         |           CAST(sum(wc) AS BIGINT) AS cnt
+         |           FROM w0 GROUP BY 1),
+         |${round(1)},
+         |${round(2)},
+         |${round(3)}
+         |SELECT CAST(0 AS INT) AS merge_idx, a AS lhs, b AS rhs,
+         |       pc AS pair_count FROM b1
+         |UNION ALL SELECT CAST(1 AS INT), a, b, pc FROM b2
+         |UNION ALL SELECT CAST(2 AS INT), a, b, pc FROM b3""".stripMargin
+    },
     "q_token_counts" ->
       """SELECT doc_id,
         | len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
