@@ -347,6 +347,18 @@ object SparkEntry {
         s.read.parquet(s"$dir/documents.parquet"), "text",
         nMerges = 3, minCount = 2L)
     }),
+    "q_bpe_tokenize" -> ((s, dir) => {
+      // the trained merge table APPLIED back to the corpus: per-doc BPE
+      // token counts; the oracle re-derives training AND application —
+      // distinct words tokenized via the same recursive collapse, then
+      // joined back and summed per doc
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val merges = graft.ops.Tokenizer
+        .fitBpeMerges(docs, "text", nMerges = 3, minCount = 2L)
+        .orderBy("merge_idx")
+        .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      graft.ops.Tokenizer.bpeTokenCounts(docs, "doc_id", "text", merges)
+    }),
     "q_quality_docs" -> ((s, dir) => {
       // shared ANSI-safe expressions (TrainingData): empty text → NULL
       // ratios, matching DuckDB's x/0 = NULL on the oracle side
@@ -876,6 +888,56 @@ object SparkEntry {
   private def side(name: String): String =
     s"read_parquet('$sideDir/$name/*.parquet')"
 
+  /** Shared BPE-oracle CTE chain: word counts -> symbol strings ->
+    * three (pair-count, argmax, recursive-apply) training rounds.
+    * Kept as ONE string so q_bpe_merges and q_bpe_tokenize stay in
+    * lockstep. */
+  private def bpeRoundSql(k: Int): String = {
+    val prev = s"words${k - 1}"
+    s"""wl$k AS (SELECT string_split(syms, ' ') AS sl, cnt FROM $prev),
+       |p$k AS (SELECT sl[i] AS a, sl[i + 1] AS b, CAST(sum(cnt) AS BIGINT) AS pc
+       |        FROM wl$k, UNNEST(generate_series(1, len(sl) - 1)) AS u(i)
+       |        GROUP BY 1, 2),
+       |b$k AS (SELECT a, b, pc FROM p$k ORDER BY pc DESC, a, b LIMIT 1),
+       |ap$k AS (SELECT ' ' || syms || ' ' AS s, cnt,
+       |               (SELECT ' ' || a || ' ' || b || ' ' FROM b$k) AS pat,
+       |               (SELECT ' ' || a || b || ' ' FROM b$k) AS rep
+       |        FROM $prev
+       |        UNION ALL
+       |        SELECT substr(s, 1, strpos(s, pat) - 1) || rep ||
+       |               substr(s, strpos(s, pat) + length(pat)), cnt, pat, rep
+       |        FROM ap$k WHERE strpos(s, pat) > 0),
+       |words$k AS (SELECT substr(s, 2, length(s) - 2) AS syms, cnt
+       |            FROM ap$k WHERE strpos(s, pat) = 0)""".stripMargin
+  }
+
+  private def bpeTrainingCtes: String =
+    s"""wraw AS (SELECT unnest(string_split_regex(text, '\\s+')) AS word
+       |         FROM documents),
+       |w0 AS (SELECT word, CAST(count(*) AS BIGINT) AS wc FROM wraw
+       |       WHERE length(word) > 0 GROUP BY word),
+       |words0 AS (SELECT array_to_string(regexp_extract_all(word, '.'), ' ') ||
+       |             ' </w>' AS syms,
+       |           CAST(sum(wc) AS BIGINT) AS cnt
+       |           FROM w0 GROUP BY 1),
+       |${bpeRoundSql(1)},
+       |${bpeRoundSql(2)},
+       |${bpeRoundSql(3)}""".stripMargin
+
+  /** Apply training round k's winning merge to the distinct-word symbol
+    * table (ws{k-1} -> ws{k}) with the same recursive collapse. */
+  private def bpeApplyCte(k: Int): String =
+    s"""aw$k AS (SELECT word, ' ' || syms || ' ' AS s,
+       |               (SELECT ' ' || a || ' ' || b || ' ' FROM b$k) AS pat,
+       |               (SELECT ' ' || a || b || ' ' FROM b$k) AS rep
+       |        FROM ws${k - 1}
+       |        UNION ALL
+       |        SELECT word, substr(s, 1, strpos(s, pat) - 1) || rep ||
+       |               substr(s, strpos(s, pat) + length(pat)), pat, rep
+       |        FROM aw$k WHERE strpos(s, pat) > 0),
+       |ws$k AS (SELECT word, substr(s, 2, length(s) - 2) AS syms
+       |         FROM aw$k WHERE strpos(s, pat) = 0)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q_agg_pricing" ->
       """SELECT l_returnflag, l_linestatus,
@@ -962,48 +1024,42 @@ object SparkEntry {
     "q_dedup_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keeper, count(*) AS n
         |FROM documents GROUP BY md5(text)""".stripMargin,
-    "q_bpe_merges" -> {
+    "q_bpe_merges" ->
       // three BPE rounds UNROLLED: per round, pair counts over the
       // space-joined symbol strings (lateral unnest of adjacent index
       // pairs), the argmax with the (pc DESC, a, b) tie-break, and the
-      // merge applied by a RECURSIVE leftmost-occurrence collapse —
+      // merge applied by a RECURSIVE leftmost-occurrence collapse --
       // equivalent to the single-pass BPE apply because the merged token
       // is a fresh symbol (no occurrence can form left of the scan)
-      def round(k: Int): String = {
-        val prev = s"words${k - 1}"
-        s"""wl$k AS (SELECT string_split(syms, ' ') AS sl, cnt FROM $prev),
-           |p$k AS (SELECT sl[i] AS a, sl[i + 1] AS b, CAST(sum(cnt) AS BIGINT) AS pc
-           |        FROM wl$k, UNNEST(generate_series(1, len(sl) - 1)) AS u(i)
-           |        GROUP BY 1, 2),
-           |b$k AS (SELECT a, b, pc FROM p$k ORDER BY pc DESC, a, b LIMIT 1),
-           |ap$k AS (SELECT ' ' || syms || ' ' AS s, cnt,
-           |               (SELECT ' ' || a || ' ' || b || ' ' FROM b$k) AS pat,
-           |               (SELECT ' ' || a || b || ' ' FROM b$k) AS rep
-           |        FROM $prev
-           |        UNION ALL
-           |        SELECT substr(s, 1, strpos(s, pat) - 1) || rep ||
-           |               substr(s, strpos(s, pat) + length(pat)), cnt, pat, rep
-           |        FROM ap$k WHERE strpos(s, pat) > 0),
-           |words$k AS (SELECT substr(s, 2, length(s) - 2) AS syms, cnt
-           |            FROM ap$k WHERE strpos(s, pat) = 0)""".stripMargin
-      }
       s"""WITH RECURSIVE
-         |wraw AS (SELECT unnest(string_split_regex(text, '\\s+')) AS word
-         |         FROM documents),
-         |w0 AS (SELECT word, CAST(count(*) AS BIGINT) AS wc FROM wraw
-         |       WHERE length(word) > 0 GROUP BY word),
-         |words0 AS (SELECT array_to_string(regexp_extract_all(word, '.'), ' ')
-         |             || ' </w>' AS syms,
-         |           CAST(sum(wc) AS BIGINT) AS cnt
-         |           FROM w0 GROUP BY 1),
-         |${round(1)},
-         |${round(2)},
-         |${round(3)}
+         |$bpeTrainingCtes
          |SELECT CAST(0 AS INT) AS merge_idx, a AS lhs, b AS rhs,
          |       pc AS pair_count FROM b1
          |UNION ALL SELECT CAST(1 AS INT), a, b, pc FROM b2
-         |UNION ALL SELECT CAST(2 AS INT), a, b, pc FROM b3""".stripMargin
-    },
+         |UNION ALL SELECT CAST(2 AS INT), a, b, pc FROM b3""".stripMargin,
+    "q_bpe_tokenize" ->
+      // training re-derived as in q_bpe_merges, then APPLIED: distinct
+      // words tokenized by the same recursive collapse per round, token
+      // counts joined back onto the per-doc word instances
+      s"""WITH RECURSIVE
+         |$bpeTrainingCtes,
+         |dw AS (SELECT doc_id, word FROM (
+         |         SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS word
+         |         FROM documents)
+         |       WHERE length(word) > 0),
+         |ws0 AS (SELECT DISTINCT word,
+         |          array_to_string(regexp_extract_all(word, '.'), ' ') ||
+         |            ' </w>' AS syms
+         |        FROM dw),
+         |${bpeApplyCte(1)},
+         |${bpeApplyCte(2)},
+         |${bpeApplyCte(3)},
+         |wt AS (SELECT word, CAST(len(string_split(syms, ' ')) AS BIGINT) AS nt
+         |       FROM ws3)
+         |SELECT dw.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |       CAST(sum(wt.nt) AS BIGINT) AS n_bpe_tokens
+         |FROM dw JOIN wt ON dw.word = wt.word
+         |GROUP BY dw.doc_id""".stripMargin,
     "q_token_counts" ->
       """SELECT doc_id,
         | len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,

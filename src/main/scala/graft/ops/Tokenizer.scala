@@ -87,6 +87,43 @@ object Tokenizer {
   final case class Merge(merge_idx: Int, lhs: String, rhs: String,
                          pair_count: Long)
 
+  /** Tokenize one word under an ordered merge list (training's exact
+    * apply semantics, merge by merge). Returns the symbol tokens. */
+  def tokenizeWord(word: String, merges: Seq[(String, String)]): Array[String] = {
+    var s = initialSymbols(word)
+    merges.foreach { case (a, b) => s = applyMerge(s, a, b) }
+    s.split(' ')
+  }
+
+  /**
+   * Apply a trained merge table to a corpus: per-doc BPE token counts.
+   * The merge list is a tiny driver-side broadcastable Seq (vocabulary
+   * work happened at training); the corpus pass is one typed map with a
+   * per-partition word memo — the same word repeats Zipf-style, so the
+   * apply cost is ~distinct-words, not ~tokens.
+   *
+   * Returns (idCol, n_words, n_bpe_tokens).
+   */
+  def bpeTokenCounts(docs: DataFrame, idCol: String, textCol: String,
+                     merges: Seq[(String, String)]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val memo = scala.collection.mutable.HashMap.empty[String, Int]
+        it.map { case (id, text) =>
+          val words = (if (text == null) "" else text)
+            .split("\\s+").filter(_.nonEmpty)
+          var toks = 0L
+          words.foreach { w =>
+            toks += memo.getOrElseUpdate(w, tokenizeWord(w, merges).length)
+          }
+          (id, words.length.toLong, toks)
+        }
+      }.toDF(idCol, "n_words", "n_bpe_tokens")
+  }
+
   /**
    * Fit `nMerges` BPE merges over a document frame. Returns
    * (merge_idx, left, right, pair_count) — fewer rows than `nMerges` if

@@ -98,6 +98,26 @@ class TokenizerSpec extends AnyFunSuite {
     assert(Tokenizer.applyMerge("l o w </w>", "o", "w") == "l ow </w>")
   }
 
+  test("bpeTokenCounts: trained merges applied per doc, memo-consistent") {
+    val texts = Seq("low low lower", "newest lowest low", "low newest")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val merges = Tokenizer.fitBpeMerges(df, nMerges = 4)
+      .orderBy("merge_idx")
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(merges.nonEmpty)
+    val got = Tokenizer.bpeTokenCounts(df, "doc_id", "text", merges)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val words = t.split("\\s+").filter(_.nonEmpty)
+      val want = words.map(w => Tokenizer.tokenizeWord(w, merges).length.toLong).sum
+      assert(got(i.toLong) == ((words.length.toLong, want)), s"doc $i")
+    }
+    // merged symbols really shrink the token count vs raw codepoints+</w>
+    val raw = texts.map(_.split("\\s+").map(_.length + 1).sum).sum
+    assert(got.values.map(_._2).sum < raw)
+  }
+
   test("runs out of pairs below minCount and stops early") {
     val got = Tokenizer.fitBpeMerges(corpusDf(Seq("x y z")), nMerges = 10)
       .collect()
