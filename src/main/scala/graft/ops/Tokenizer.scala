@@ -13,8 +13,9 @@ import org.apache.spark.sql.functions._
  * vocabulary-sized state (10^5–10^8 rows at web scale, vs 10^12 docs) —
  * pair counts are weighted by word frequency, so the corpus is never
  * touched again. Each round is one map-side-combinable aggregation plus
- * one narrow map over the word table; rank state is `localCheckpoint`ed
- * so lineage stays flat across rounds (the PageRank discipline).
+ * one narrow map over the word table; the word-table state is
+ * `localCheckpoint`ed so lineage stays flat across rounds (the PageRank
+ * discipline).
  *
  * Determinism: the winning pair maximizes (count, then LEXICOGRAPHICALLY
  * SMALLEST left, then right) — string order is CODE-POINT order
@@ -126,7 +127,7 @@ object Tokenizer {
 
   /**
    * Fit `nMerges` BPE merges over a document frame. Returns
-   * (merge_idx, left, right, pair_count) — fewer rows than `nMerges` if
+   * (merge_idx, lhs, rhs, pair_count) — fewer rows than `nMerges` if
    * the corpus runs out of repeated pairs (pair_count never < minCount).
    */
   def fitBpeMerges(docs: DataFrame, textCol: String = "text",
