@@ -142,10 +142,15 @@ object Tokenizer {
       // identical initial symbol strings merge (words differing only in
       // surrogate pairing cannot occur; this also bounds the table)
       .groupBy("syms").agg(sum("cnt").as("cnt"))
+      // the vocab probe (count) and the first consumer both need this
+      // frame — without the persist each one re-explodes the corpus
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val vocabSize = words0.count()
     if (vocabSize <= localGate) {
       // -------- local finish: exact same semantics, one driver loop ----
-      var words = words0.as[(String, Long)].collect()
+      val words1 = words0.as[(String, Long)].collect()
+      words0.unpersist()
+      var words = words1
       val out = Vector.newBuilder[Merge]
       var k = 0
       var continue = true
@@ -181,6 +186,7 @@ object Tokenizer {
     } else {
       // -------- distributed rounds over the vocabulary table ----------
       var words = words0.localCheckpoint(true)
+      words0.unpersist()
       val out = Vector.newBuilder[Merge]
       var k = 0
       var continue = true
