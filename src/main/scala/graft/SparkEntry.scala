@@ -1200,7 +1200,8 @@ object SparkEntry {
       // the decision taxonomy, and the crawl-delay projection
       s"""WITH f AS (SELECT url, match_path, host FROM ${side("side_rb_frontier")}),
          |h AS (SELECT host, status, parse_failed FROM ${side("side_rb_hosts")}),
-         |e AS (SELECT host, entry_seq, delay_s FROM ${side("side_rb_entries")}),
+         |e AS (SELECT host, entry_seq, delay_s, rate_req, rate_secs
+         |      FROM ${side("side_rb_entries")}),
          |a AS (SELECT host, entry_seq, agent_lower FROM ${side("side_rb_agents")}),
          |r AS (SELECT host, entry_seq, rule_seq, prefix, is_allow FROM ${side("side_rb_rules")}),
          |spec AS (SELECT host, min(entry_seq) AS es FROM a
@@ -1235,7 +1236,13 @@ object SparkEntry {
          |       ELSE 'entry_default' END AS decision,
          |  CASE WHEN h.host IS NOT NULL AND NOT h.parse_failed
          |        AND h.status < 400 AND sel.es IS NOT NULL
-         |       THEN ed.delay_s END AS crawl_delay_s
+         |       THEN ed.delay_s END AS crawl_delay_s,
+         |  CASE WHEN h.host IS NOT NULL AND NOT h.parse_failed
+         |        AND h.status < 400 AND sel.es IS NOT NULL
+         |       THEN ed.rate_req END AS rate_req,
+         |  CASE WHEN h.host IS NOT NULL AND NOT h.parse_failed
+         |        AND h.status < 400 AND sel.es IS NOT NULL
+         |       THEN ed.rate_secs END AS rate_secs
          |FROM f
          |LEFT JOIN h ON f.host = h.host
          |LEFT JOIN sel ON f.host = sel.host
@@ -1249,7 +1256,8 @@ object SparkEntry {
       // DuckDB statement over the same side tables
       s"""WITH f AS (SELECT url, match_path, host FROM ${side("side_rb_frontier")}),
          |h AS (SELECT host, status, parse_failed FROM ${side("side_rb_hosts")}),
-         |e AS (SELECT host, entry_seq, delay_s FROM ${side("side_rb_entries")}),
+         |e AS (SELECT host, entry_seq, delay_s, rate_req, rate_secs
+         |      FROM ${side("side_rb_entries")}),
          |a AS (SELECT host, entry_seq, agent_lower FROM ${side("side_rb_agents")}),
          |r AS (SELECT host, entry_seq, rule_seq, prefix, is_allow FROM ${side("side_rb_rules")}),
          |spec AS (SELECT host, min(entry_seq) AS es FROM a
@@ -1276,7 +1284,12 @@ object SparkEntry {
          |         ELSE TRUE END AS allowed,
          |    CASE WHEN h.host IS NOT NULL AND NOT h.parse_failed
          |          AND h.status < 400 AND sel.es IS NOT NULL
-         |         THEN ed.delay_s END AS delay_s
+         |         THEN ed.delay_s END AS delay_s,
+         |    CASE WHEN h.host IS NOT NULL AND NOT h.parse_failed
+         |          AND h.status < 400 AND sel.es IS NOT NULL
+         |          AND ed.rate_req > 0
+         |         THEN (ed.rate_secs * 1000 + ed.rate_req - 1) // ed.rate_req
+         |    END AS rate_ms
          |  FROM f
          |  LEFT JOIN h ON f.host = h.host
          |  LEFT JOIN sel ON f.host = sel.host
@@ -1285,8 +1298,9 @@ object SparkEntry {
          |                  AND mr.rule_seq = fm.rs
          |  LEFT JOIN e ed ON ed.host = f.host AND ed.entry_seq = sel.es),
          |al AS (SELECT url, host,
-         |    CASE WHEN delay_s IS NULL THEN 3000
-         |         ELSE least(greatest(delay_s * 1000, 500), 5000) END AS delay_ms,
+         |    CASE WHEN delay_s IS NULL AND rate_ms IS NULL THEN 3000
+         |         ELSE least(greatest(greatest(delay_s * 1000, rate_ms), 500),
+         |                    5000) END AS delay_ms,
          |    CAST(CAST('0x' || substr(md5(url), 1, 8) AS BIGINT) % 1000 AS INT)
          |      AS pr
          |  FROM dec WHERE allowed),

@@ -70,11 +70,14 @@ object Frontier {
    * politeness schedule, composed (the batch equivalent of everything the
    * reference's runtime does BETWEEN popping the queue and touching the
    * network). Disallowed/unfetchable urls are dropped here; each host's
-   * wave spacing honors its robots `Crawl-delay` (seconds), clamped to
+   * wave spacing honors BOTH robots pacing directives — `Crawl-delay`
+   * (seconds) and `Request-rate` r/s (one fetch per ceil(s*1000/r) ms;
+   * a degenerate 0-requests rate is ignored, as robotparser accepts
+   * "0/0") — taking the max of whichever are present, clamped to
    * DynamicRateLimiter's [500, 5000] ms bounds exactly like every runtime
    * delay update (core/rate_limiter.py:29-36) — a 3600 s crawl-delay
-   * therefore paces at 5 s, the limiter's ceiling, and hosts without a
-   * delay use `defaultDelayMs`.
+   * therefore paces at 5 s, the limiter's ceiling, and hosts with
+   * neither directive use `defaultDelayMs`.
    *
    * frontier: (urlCol, priorityCol, ...). Returns
    * (url, host, worker, fetch_seq, delay_ms, est_start_ms).
@@ -90,13 +93,19 @@ object Frontier {
       .filter(col("allowed"))
       .join(frontier.select(col(urlCol).as("url"),
         col(priorityCol).as("__p")), Seq("url"))
+      .withColumn("__rate_ms",
+        // Request-rate r/s paces one fetch per ceil(s*1000/r) ms; guard
+        // r > 0 (robotparser accepts "0/0") — integer `div` both engines
+        when(col("rate_req") > 0L,
+          expr("(rate_secs * 1000 + rate_req - 1) div rate_req")))
+      .withColumn("__raw_ms",
+        // max over the PRESENT pacing constraints: greatest SKIPS nulls
+        // (Postgres semantics in both Spark and DuckDB) — exactly the
+        // combining rule wanted here; all-null -> null -> default
+        greatest(col("crawl_delay_s") * 1000L, col("__rate_ms")))
       .withColumn("delay_ms",
-        // greatest/least SKIP nulls (Postgres semantics in both Spark and
-        // DuckDB), so a coalesce around them would turn "no crawl-delay"
-        // into the 500 ms floor instead of the default — guard explicitly
-        when(col("crawl_delay_s").isNull, lit(dflt))
-          .otherwise(least(greatest(col("crawl_delay_s") * 1000L, lit(500L)),
-            lit(5000L))))
+        when(col("__raw_ms").isNull, lit(dflt))
+          .otherwise(least(greatest(col("__raw_ms"), lit(500L)), lit(5000L))))
     val worker = pmod(
       conv(substring(md5(concat(lit("host:"), col("host"))), 1, 8), 16, 10)
         .cast("long"),
@@ -120,7 +129,8 @@ object Frontier {
   final case class HostPolicy(host: String, disallow_all: Boolean,
                               allow_all: Boolean, parsed: Boolean,
                               parse_failed: Boolean, has_entry: Boolean,
-                              rules: Seq[RobotsRule], crawl_delay_s: Option[Long])
+                              rules: Seq[RobotsRule], crawl_delay_s: Option[Long],
+                              rate_req: Option[Long], rate_secs: Option[Long])
 
   /**
    * Parse a robots corpus (one row per host) into per-host policies for
@@ -145,16 +155,18 @@ object Frontier {
         try {
           val r = RobotsTxt.fromStatus(status, if (body == null) "" else body)
           val sel = RobotsTxt.selectEntry(r, userAgent)
+          val rate = if (r.parsed) sel.flatMap(_.reqRate) else None
           HostPolicy(host, r.disallowAll, r.allowAll, r.parsed,
             parse_failed = false, has_entry = sel.isDefined,
             rules = sel.map(_.rulelines.map(l => RobotsRule(l.path, l.allowance)))
               .getOrElse(Nil),
-            crawl_delay_s = if (r.parsed) sel.flatMap(_.delay) else None)
+            crawl_delay_s = if (r.parsed) sel.flatMap(_.delay) else None,
+            rate_req = rate.map(_._1), rate_secs = rate.map(_._2))
         } catch {
           case _: Exception =>
             HostPolicy(host, disallow_all = false, allow_all = false,
               parsed = false, parse_failed = true, has_entry = false,
-              Nil, None)
+              Nil, None, None, None)
         }
       }.toDF()
   }
@@ -221,8 +233,10 @@ object Frontier {
           r.defaultEntry.map(e => (-1, e))
       } catch { case _: Exception => Nil }
     val entries = src.flatMap { case (h, st, b) =>
-      parsedEntries(h, st, b).map { case (i, e) => (h, i, e.delay) }
-    }.toDF("host", "entry_seq", "delay_s")
+      parsedEntries(h, st, b).map { case (i, e) =>
+        (h, i, e.delay, e.reqRate.map(_._1), e.reqRate.map(_._2))
+      }
+    }.toDF("host", "entry_seq", "delay_s", "rate_req", "rate_secs")
     val agents = src.flatMap { case (h, st, b) =>
       parsedEntries(h, st, b).filter(_._1 >= 0).flatMap { case (i, e) =>
         e.useragents.map(a => (h, i, a.toLowerCase(java.util.Locale.ROOT)))
@@ -266,7 +280,9 @@ object Frontier {
           .otherwise(false))
       .select(col("url"), col("host"), col("match_path"), col("allowed"),
         col("decision"),
-        when(col("has_entry"), col("crawl_delay_s")).as("crawl_delay_s"))
+        when(col("has_entry"), col("crawl_delay_s")).as("crawl_delay_s"),
+        when(col("has_entry"), col("rate_req")).as("rate_req"),
+        when(col("has_entry"), col("rate_secs")).as("rate_secs"))
   }
 
   /**
@@ -290,7 +306,7 @@ object Frontier {
         d match {
           case 0 => (h, 200,
             "User-agent: GraftBot\nAllow: /docs/page12\nDisallow: /docs/page1\n" +
-              "Crawl-delay: 2\n\nUser-agent: *\nDisallow: /\n")
+              "Crawl-delay: 2\nRequest-rate: 2/9\n\nUser-agent: *\nDisallow: /\n")
           case 1 => (h, 200,
             "User-agent: *\nDisallow: /assets/\nDisallow: /docs/page3\n" +
               "Crawl-delay: ٥\nSitemap: https://" + h + "/sitemap.xml\n")
@@ -300,7 +316,7 @@ object Frontier {
           case 5 => (h, 200, "")
           case 6 => (h, 200, "User-agent: *\nCrawl-delay: ²\n")
           case _ => (h, 200,
-            "User-agent: bot\nDisallow: /docs/page2\n\n" +
+            "User-agent: bot\nDisallow: /docs/page2\nRequest-rate: 1/8\n\n" +
               "User-agent: nomatch\nDisallow: /\n")
         }
       }.toDF("host", "status", "body")

@@ -91,11 +91,19 @@ class RobotsFilterSpec extends AnyFunSuite {
       // delay 3600s -> clamped to the 5000ms limiter ceiling
       ("c.com", 200, "User-agent: *\nCrawl-delay: 3600\n"),
       // deny-all host: nothing survives the gate
-      ("d.com", 403, "")).toDF("host", "status", "body")
+      ("d.com", 403, ""),
+      // request-rate only: 1 fetch / 8 s -> 8000 ms -> ceiling 5000
+      ("e.com", 200, "User-agent: *\nRequest-rate: 1/8\n"),
+      // both constraints: max(1000, ceil(10000/3)=3334) = 3334
+      ("f.com", 200, "User-agent: *\nCrawl-delay: 1\nRequest-rate: 3/10\n"),
+      // degenerate 0/0 rate is ignored (guarded division), delay wins
+      ("g.com", 200, "User-agent: *\nCrawl-delay: 2\nRequest-rate: 0/0\n"))
+      .toDF("host", "status", "body")
     val frontier = Seq(
       ("https://a.com/docs/ok1", 10), ("https://a.com/docs/ok2", 20),
       ("https://a.com/docs/no", 99), ("https://b.com/y", 5),
       ("https://c.com/z", 1), ("https://d.com/never", 7),
+      ("https://e.com/r", 1), ("https://f.com/r", 1), ("https://g.com/r", 1),
       ("https://nobots.com/q", 3)).toDF("url", "priority_score")
     val plan = Frontier.crawlPlan(frontier, robots, Agent)
       .collect().map(r => r.getString(0) ->
@@ -105,6 +113,9 @@ class RobotsFilterSpec extends AnyFunSuite {
     assert(plan("https://nobots.com/q") == ((1, 3000L, 0L))) // no robots row
     assert(plan("https://b.com/y") == ((1, 3000L, 0L))) // no delay -> default
     assert(plan("https://c.com/z") == ((1, 5000L, 0L))) // 3600s -> ceiling
+    assert(plan("https://e.com/r") == ((1, 5000L, 0L))) // rate 1/8 -> ceiling
+    assert(plan("https://f.com/r") == ((1, 3334L, 0L))) // max(1000, ceil(10000/3))
+    assert(plan("https://g.com/r") == ((1, 2000L, 0L))) // 0/0 rate ignored
     // a.com: priority 20 fetched first, 2s robots delay paces wave 2
     assert(plan("https://a.com/docs/ok2") == ((1, 2000L, 0L)))
     assert(plan("https://a.com/docs/ok1") == ((2, 2000L, 2000L)))
