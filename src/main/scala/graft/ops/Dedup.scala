@@ -230,10 +230,20 @@ object Dedup {
     pairs
       .join(sigs.withColumnRenamed("id", "id_a").withColumnRenamed("minhash", "mh_a"), "id_a")
       .join(sigs.withColumnRenamed("id", "id_b").withColumnRenamed("minhash", "mh_b"), "id_b")
-      .withColumn("est_jaccard", round(
-        expr("aggregate(zip_with(mh_a, mh_b, (x, y) -> IF(x = y, 1, 0)), 0, (a, v) -> a + v)")
-          .cast("double") / numPerm, 6))
+      .withColumn("est_jaccard", estJaccard(col("mh_a"), col("mh_b"), numPerm))
       .select(col("id_a"), col("id_b"), col("est_jaccard"))
+  }
+
+  /** Estimated Jaccard from signature agreement — the native fused-loop
+    * expression [[graft.functions.SigAgreement]] in place of the
+    * interpreted `aggregate(zip_with(...))` fold (the [[verifyCosine]]
+    * treatment: same semantics, bitwise-pinned by SigAgreementSpec, one
+    * codegen'd primitive loop per candidate pair). */
+  private def estJaccard(mhA: Column, mhB: Column, numPerm: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    round(ColumnBridge.column(graft.functions.SigAgreement(
+      ColumnBridge.expression(mhA),
+      ColumnBridge.expression(mhB))).cast("double") / numPerm, 6)
   }
 
   /** Persist a corpus band index for [[incrementalLshPairs]]: band rows
@@ -271,14 +281,12 @@ object Dedup {
     // per-bucket pair generation over (band_key, id) rows only
     val pairs = bucketPairs(minhashBands(fps, bands), maxBucket, m)
     // signatures join back onto the candidate set (small vs corpus; AQE
-    // broadcasts the pair side); agreement is pure Catalyst (zip_with).
+    // broadcasts the pair side); agreement is one fused codegen'd loop.
     val sigs = fps.select($"id", $"minhash")
     pairs
       .join(sigs.withColumnRenamed("id", "id_a").withColumnRenamed("minhash", "mh_a"), "id_a")
       .join(sigs.withColumnRenamed("id", "id_b").withColumnRenamed("minhash", "mh_b"), "id_b")
-      .withColumn("est_jaccard", round(
-        expr("aggregate(zip_with(mh_a, mh_b, (x, y) -> IF(x = y, 1, 0)), 0, (a, v) -> a + v)")
-          .cast("double") / numPerm, 6))
+      .withColumn("est_jaccard", estJaccard($"mh_a", $"mh_b", numPerm))
       .select($"id_a", $"id_b", $"est_jaccard")
   }
 
