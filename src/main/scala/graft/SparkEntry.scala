@@ -898,10 +898,12 @@ object SparkEntry {
        |p$k AS (SELECT sl[i] AS a, sl[i + 1] AS b, CAST(sum(cnt) AS BIGINT) AS pc
        |        FROM wl$k, UNNEST(generate_series(1, len(sl) - 1)) AS u(i)
        |        GROUP BY 1, 2),
-       |b$k AS (SELECT a, b, pc FROM p$k ORDER BY pc DESC, a, b LIMIT 1),
+       |b$k AS (SELECT a, b, pc FROM p$k WHERE pc >= 2
+       |        ORDER BY pc DESC, a, b LIMIT 1),
        |ap$k AS (SELECT ' ' || syms || ' ' AS s, cnt,
-       |               (SELECT ' ' || a || ' ' || b || ' ' FROM b$k) AS pat,
-       |               (SELECT ' ' || a || b || ' ' FROM b$k) AS rep
+       |               coalesce((SELECT ' ' || a || ' ' || b || ' ' FROM b$k),
+       |                        '  ') AS pat,
+       |               coalesce((SELECT ' ' || a || b || ' ' FROM b$k), '') AS rep
        |        FROM $prev
        |        UNION ALL
        |        SELECT substr(s, 1, strpos(s, pat) - 1) || rep ||
@@ -928,8 +930,9 @@ object SparkEntry {
     * table (ws{k-1} -> ws{k}) with the same recursive collapse. */
   private def bpeApplyCte(k: Int): String =
     s"""aw$k AS (SELECT word, ' ' || syms || ' ' AS s,
-       |               (SELECT ' ' || a || ' ' || b || ' ' FROM b$k) AS pat,
-       |               (SELECT ' ' || a || b || ' ' FROM b$k) AS rep
+       |               coalesce((SELECT ' ' || a || ' ' || b || ' ' FROM b$k),
+       |                        '  ') AS pat,
+       |               coalesce((SELECT ' ' || a || b || ' ' FROM b$k), '') AS rep
        |        FROM ws${k - 1}
        |        UNION ALL
        |        SELECT word, substr(s, 1, strpos(s, pat) - 1) || rep ||
@@ -1288,7 +1291,12 @@ object SparkEntry {
          |    CASE WHEN h.host IS NOT NULL AND NOT h.parse_failed
          |          AND h.status < 400 AND sel.es IS NOT NULL
          |          AND ed.rate_req > 0
-         |         THEN (ed.rate_secs * 1000 + ed.rate_req - 1) // ed.rate_req
+         |         THEN CASE
+         |           WHEN ed.rate_secs // ed.rate_req >= 5 THEN 5000
+         |           WHEN ed.rate_req > 1000000000000000
+         |             THEN ed.rate_secs // (ed.rate_req // 1000)
+         |           ELSE (ed.rate_secs * 1000 + ed.rate_req - 1) // ed.rate_req
+         |         END
          |    END AS rate_ms
          |  FROM f
          |  LEFT JOIN h ON f.host = h.host
@@ -1299,7 +1307,9 @@ object SparkEntry {
          |  LEFT JOIN e ed ON ed.host = f.host AND ed.entry_seq = sel.es),
          |al AS (SELECT url, host,
          |    CASE WHEN delay_s IS NULL AND rate_ms IS NULL THEN 3000
-         |         ELSE least(greatest(greatest(delay_s * 1000, rate_ms), 500),
+         |         ELSE least(greatest(greatest(
+         |                CASE WHEN delay_s IS NULL THEN NULL
+         |                     ELSE least(delay_s, 5) * 1000 END, rate_ms), 500),
          |                    5000) END AS delay_ms,
          |    CAST(CAST('0x' || substr(md5(url), 1, 8) AS BIGINT) % 1000 AS INT)
          |      AS pr

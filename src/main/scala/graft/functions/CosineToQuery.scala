@@ -91,7 +91,8 @@ case class CosineToQuery(child: Expression, q: Seq[Double])
          |    $na += $x * $x;
          |  }
          |}
-         |double $den = java.lang.Math.sqrt($na) * ${nb}D;
+         |double $den = java.lang.Math.sqrt($na) *
+         |  java.lang.Double.longBitsToDouble(${java.lang.Double.doubleToRawLongBits(nb)}L); // raw-bits literal: "InfinityD"/"NaND" would not compile
          |if ($bad || $den == 0.0) {
          |  ${ev.isNull} = true;
          |} else {

@@ -95,14 +95,31 @@ object Frontier {
         col(priorityCol).as("__p")), Seq("url"))
       .withColumn("__rate_ms",
         // Request-rate r/s paces one fetch per ceil(s*1000/r) ms; guard
-        // r > 0 (robotparser accepts "0/0") — integer `div` both engines
-        when(col("rate_req") > 0L,
-          expr("(rate_secs * 1000 + rate_req - 1) div rate_req")))
+        // r > 0 (robotparser accepts "0/0"). Overflow-armored for hostile
+        // robots values under Spark 4 ANSI arithmetic (one parseable
+        // 9.2e15-second directive must not throw ARITHMETIC_OVERFLOW and
+        // kill the whole plan job — the per-host-isolation contract):
+        // s >= 5r already saturates the limiter's 5000 ms ceiling, so
+        // short-circuit before multiplying; the remaining s < 5r branch
+        // multiplies at most 5e18 when r <= 1e15, and beyond that a
+        // pre-scaled divide keeps every operand in range. The oracle
+        // mirrors each branch verbatim, so parity is exact by
+        // construction, not by rounding luck.
+        when(col("rate_req") > 0L, expr(
+          """CASE WHEN rate_secs div rate_req >= 5 THEN 5000
+            |     WHEN rate_req > 1000000000000000 THEN rate_secs div (rate_req div 1000)
+            |     ELSE (rate_secs * 1000 + rate_req - 1) div rate_req END""".stripMargin)))
       .withColumn("__raw_ms",
         // max over the PRESENT pacing constraints: greatest SKIPS nulls
         // (Postgres semantics in both Spark and DuckDB) — exactly the
-        // combining rule wanted here; all-null -> null -> default
-        greatest(col("crawl_delay_s") * 1000L, col("__rate_ms")))
+        // combining rule wanted here; all-null -> null -> default.
+        // Crawl-delay is capped at 5 s BEFORE the *1000 (>=5 s already
+        // saturates the ceiling; least() also skips nulls, hence the
+        // isNotNull guard so an absent delay stays absent).
+        greatest(
+          when(col("crawl_delay_s").isNotNull,
+            least(col("crawl_delay_s"), lit(5L)) * 1000L),
+          col("__rate_ms")))
       .withColumn("delay_ms",
         when(col("__raw_ms").isNull, lit(dflt))
           .otherwise(least(greatest(col("__raw_ms"), lit(500L)), lit(5000L))))
@@ -299,10 +316,13 @@ object Frontier {
     hosts.select(col(hostCol).cast("string")).where(col(hostCol).isNotNull)
       .distinct().as[String]
       .map { h =>
-        val d = java.lang.Long.parseLong(
+        // % on the (non-negative) Long BEFORE narrowing: .toInt % 8 sent
+        // every top-bit-set md5 prefix (~half the hosts) negative and
+        // through the default template, skewing the corpus to family 7
+        val d = (java.lang.Long.parseLong(
           java.security.MessageDigest.getInstance("MD5")
             .digest(("robots:" + h).getBytes("UTF-8"))
-            .take(4).map("%02x".format(_)).mkString, 16).toInt % 8
+            .take(4).map("%02x".format(_)).mkString, 16) % 8).toInt
         d match {
           case 0 => (h, 200,
             "User-agent: GraftBot\nAllow: /docs/page12\nDisallow: /docs/page1\n" +

@@ -43,7 +43,16 @@ object MirrorSink {
               outputDir, docName, version, url,
               graft.url.MirrorPath.mimeForKind(kind)))
             java.nio.file.Files.createDirectories(path.getParent)
-            java.nio.file.Files.write(path, html.getBytes("UTF-8"))
+            // attempt-suffixed temp + atomic rename: retried/speculative
+            // attempts never expose a partial file; same-path collisions
+            // stay overwrite-last-wins (the reference's open(fp, 'w')),
+            // just atomically so
+            val tmp = path.resolveSibling(path.getFileName.toString +
+              s".inprogress-${org.apache.spark.TaskContext.get().taskAttemptId()}")
+            java.nio.file.Files.write(tmp, html.getBytes("UTF-8"))
+            java.nio.file.Files.move(tmp, path,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
             written += 1
           }
         }

@@ -303,16 +303,34 @@ object Warc {
       col("text").cast("string"))
       .as[(String, java.sql.Timestamp, String)]
       .mapPartitions { it =>
-        val pid = org.apache.spark.TaskContext.getPartitionId()
+        // task-commit protocol: stream to an attempt-suffixed temp file,
+        // atomically rename on success — a retried or speculative attempt
+        // can therefore never expose a partially-written member to a
+        // reader or truncate a sibling attempt mid-write (each attempt
+        // owns its temp; the rename is last-writer-wins on the final path)
+        val tc = org.apache.spark.TaskContext.get()
+        val pid = tc.partitionId()
         val path = java.nio.file.Paths.get(outDir, f"part-$pid%05d.warc.wet.gz")
+        val tmp = path.resolveSibling(
+          path.getFileName.toString + s".inprogress-${tc.taskAttemptId()}")
         val out = new java.io.BufferedOutputStream(
-          java.nio.file.Files.newOutputStream(path), 1 << 16)
+          java.nio.file.Files.newOutputStream(tmp), 1 << 16)
         var n = 0L
-        it.foreach { case (u, ts, t) =>
-          out.write(gzipMember(wetRecord(u, ts, t))); n += 1
+        try {
+          it.foreach { case (u, ts, t) =>
+            out.write(gzipMember(wetRecord(u, ts, t))); n += 1
+          }
+          out.close()
+          if (n == 0) java.nio.file.Files.deleteIfExists(tmp)
+          else java.nio.file.Files.move(tmp, path,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        } catch {
+          case e: Throwable =>
+            try { out.close() } catch { case _: Exception => () }
+            java.nio.file.Files.deleteIfExists(tmp)
+            throw e
         }
-        out.close()
-        if (n == 0) java.nio.file.Files.deleteIfExists(path)
         Iterator.single(n)
       }.reduce(_ + _): Unit
   }

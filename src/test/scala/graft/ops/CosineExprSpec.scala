@@ -84,6 +84,26 @@ class CosineExprSpec extends AnyFunSuite {
     df.unpersist()
   }
 
+  test("non-finite query norm generates compilable code and matches interpreted NaN") {
+    // a query vector with an Infinity component makes the precomputed norm
+    // Infinity; the generated literal must round-trip through raw bits
+    // (a plain "InfinityD" source literal fails to compile and silently
+    // drops the expression to interpreted fallback)
+    // (no HOF baseline here: a SQL "Infinity" literal doesn't parse, which
+    // is itself why only the native expression can take this input)
+    val q = Array(Float.PositiveInfinity, 1.0f)
+    val df = Seq((1, Seq(1.0f, 2.0f))).toDF("id", "embedding").repartition(1)
+    val out = df.select(Similarity.cosineToQuery("embedding", q).as("c")).collect()
+    assert(out.head.getDouble(0).isNaN) // Inf/Inf in both eval modes
+    // and the interpreted path agrees
+    val interp = graft.functions.CosineToQuery(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Array(1.0f, 2.0f),
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)),
+      q.map(_.toDouble).toSeq)
+    assert(interp.eval(null).asInstanceOf[Double].isNaN)
+  }
+
   test("the native expression runs inside WholeStageCodegen") {
     val q = Array.fill(8)(0.5f)
     val df = Seq((1, Seq.fill(8)(1.0f))).toDF("id", "embedding")

@@ -121,6 +121,25 @@ class RobotsFilterSpec extends AnyFunSuite {
     assert(plan("https://a.com/docs/ok1") == ((2, 2000L, 2000L)))
   }
 
+  test("crawlPlan: hostile huge pacing directives saturate, never overflow-throw") {
+    // parseable by robotparser (and the port), but crawl_delay_s*1000 /
+    // rate_secs*1000 would ARITHMETIC_OVERFLOW under ANSI — one hostile
+    // robots.txt must never kill the plan job (per-host isolation)
+    val robots = Seq(
+      ("h1.com", 200, "User-agent: *\nCrawl-delay: 10000000000000000\n"),
+      ("h2.com", 200, "User-agent: *\nRequest-rate: 1/10000000000000000\n"),
+      // huge denominator: ~0 ms pacing, floor-clamped to 500
+      ("h3.com", 200, "User-agent: *\nRequest-rate: 9000000000000000000/5\n"))
+      .toDF("host", "status", "body")
+    val frontier = Seq(("https://h1.com/a", 1), ("https://h2.com/a", 1),
+      ("https://h3.com/a", 1)).toDF("url", "priority_score")
+    val plan = Frontier.crawlPlan(frontier, robots, Agent)
+      .collect().map(r => r.getString(1) -> r.getLong(4)).toMap
+    assert(plan("h1.com") == 5000L) // 1e16 s saturates the ceiling
+    assert(plan("h2.com") == 5000L) // 1e16 s per request saturates too
+    assert(plan("h3.com") == 500L)  // ~0.0000006 ms pacing floors at 500
+  }
+
   test("parsed-structure export is consistent with the policy reduction") {
     val hosts = (0 until 32).map(i => s"host$i.example.com").toDF("host")
     val robots = Frontier.syntheticRobots(hosts, "host").persist()
