@@ -498,8 +498,10 @@ object Dedup {
     *    the smallest of them.
     * Each round is two (key, value) long-pair shuffles; edges stay bare
     * id pairs (never text/signatures), `distinct` after each star bounds
-    * the edge set, and `localCheckpoint` cuts the iteration lineage (the
-    * same discipline as [[graft.sources.Sitemap.seedUrls]]). Convergence
+    * the edge set, and [[Checkpoints.truncate]] cuts the iteration
+    * lineage (localCheckpoint locally; reliable `checkpoint` when
+    * `spark.graft.checkpointDir` is set — the same discipline as
+    * [[graft.sources.Sitemap.seedUrls]]). Convergence
     * is detected by an order-insensitive (count, xor-of-hashes) checksum
     * of the canonicalized edge set — one tiny aggregate per round.
     *
@@ -560,14 +562,15 @@ object Dedup {
         .union(mins.select(col("u"), col("m").as("v"))))
     }
 
-    var edges = orient(pairs.select(col("id_a").cast("long").as("u"),
-      col("id_b").cast("long").as("v"))).localCheckpoint()
+    var edges = Checkpoints.truncate(
+      orient(pairs.select(col("id_a").cast("long").as("u"),
+        col("id_b").cast("long").as("v"))))
     var sig = checksum(edges)
     if (sig._1 <= localFinishEdges) return localUnionFind(edges)
     var converged = sig._1 == 0L
     var iter = 0
     while (!converged && iter < maxIter) {
-      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val next = Checkpoints.truncate(smallStar(largeStar(edges)))
       val nextSum = checksum(next)
       converged = nextSum == sig
       edges = next

@@ -56,9 +56,11 @@ object LinkGraph {
    *    alone does not (the cached frame still carries its full lineage
    *    tree, which compounds per iteration: the un-truncated 3-iteration
    *    plan audited at 1031 exchange nodes; the checkpointed one is
-   *    flat). A long-lived production run would swap in a reliable
-   *    `checkpoint` dir — executor loss under localCheckpoint forfeits
-   *    the RDD — but the plan-shape requirement is the truncation;
+   *    flat). Truncation goes through [[Checkpoints.truncate]]: eager
+   *    localCheckpoint by default, a reliable `checkpoint` dir when
+   *    `spark.graft.checkpointDir` is set (executor loss under
+   *    localCheckpoint forfeits the RDD — a long cluster run wants the
+   *    durable mode; the plan-shape requirement is the truncation);
    *  - the dangling-mass redistribution is a scalar aggregate per
    *    iteration (one double to the driver, independent of graph size).
    *
@@ -102,8 +104,8 @@ object LinkGraph {
       .persist(MEMORY_AND_DISK)
     // eager localCheckpoint: materializes AND truncates the plan to the
     // stored RDD, so each iteration's frame is a leaf, not a growing tree
-    var ranks = nodes.select(col("url"), lit(1.0 / n).as("rank"))
-      .localCheckpoint(true)
+    var ranks = Checkpoints.truncate(
+      nodes.select(col("url"), lit(1.0 / n).as("rank")))
     for (_ <- 1 to iterations) {
       // total rank sitting on dangling nodes this iteration — kept IN the
       // plan as a broadcast one-row frame (a driver-side first() here
@@ -115,7 +117,7 @@ object LinkGraph {
         .join(deg, "src")
         .join(ranks, col("src") === ranks("url"))
         .select(col("dst").as("url"), (col("rank") / col("outdeg")).as("w"))
-      ranks = nodes
+      ranks = Checkpoints.truncate(nodes
         .join(contrib.groupBy(col("url")).agg(sum(col("w")).as("c")),
           Seq("url"), "left_outer")
         .crossJoin(broadcast(dangling))
@@ -123,8 +125,7 @@ object LinkGraph {
           (lit((1.0 - damping) / n) +
             lit(damping) * (coalesce(col("c"), lit(0.0)) +
               col("__dang") / lit(n)))
-            .as("rank"))
-        .localCheckpoint(true)
+            .as("rank")))
       // the superseded iteration's checkpoint RDD is now unreferenced and
       // reclaimed by the ContextCleaner
     }

@@ -13,9 +13,10 @@ import org.apache.spark.sql.functions._
  * vocabulary-sized state (10^5–10^8 rows at web scale, vs 10^12 docs) —
  * pair counts are weighted by word frequency, so the corpus is never
  * touched again. Each round is one map-side-combinable aggregation plus
- * one narrow map over the word table; the word-table state is
- * `localCheckpoint`ed so lineage stays flat across rounds (the PageRank
- * discipline).
+ * one narrow map over the word table; the word-table state is truncated
+ * via [[graft.ops.Checkpoints.truncate]] so lineage stays flat across
+ * rounds (the PageRank discipline; reliable-checkpoint capable via
+ * `spark.graft.checkpointDir`).
  *
  * Determinism: the winning pair maximizes (count, then LEXICOGRAPHICALLY
  * SMALLEST left, then right) — string order is CODE-POINT order
@@ -185,7 +186,7 @@ object Tokenizer {
       spark.createDataFrame(out.result()).toDF()
     } else {
       // -------- distributed rounds over the vocabulary table ----------
-      var words = words0.localCheckpoint(true)
+      var words = Checkpoints.truncate(words0)
       words0.unpersist()
       val out = Vector.newBuilder[Merge]
       var k = 0
@@ -209,7 +210,7 @@ object Tokenizer {
           words = words.as[(String, Long)]
             .map { case (s, c) => (applyMerge(s, a, b), c) }
             .toDF("syms", "cnt")
-            .localCheckpoint(true)
+          words = Checkpoints.truncate(words)
           k += 1
         }
       }
