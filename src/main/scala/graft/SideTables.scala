@@ -74,6 +74,11 @@ object SideTables {
     save(diffMeta, "side_diff_meta")
     pairs.unpersist()
 
+    // ---- failure-taxonomy input: urls + payload presence; the oracle
+    // derives each row's expected class from this structure alone ----
+    save(PagesGen.poisonedPages(spark, SparkEntry.PoisonN)
+      .select($"url", $"html".isNotNull.as("has_payload")), "side_poison")
+
     // ---- priority history + sitemap entries (fully relational oracles) ----
     save(PagesGen.pages(spark, SparkEntry.ExtractN)
       .select($"url", $"warc_ts".as("last_updated")), "side_pages")

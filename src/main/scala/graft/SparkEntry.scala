@@ -42,6 +42,9 @@ object SparkEntry {
   /** Pages in the synthetic WARC archive (q_warc_records + side_warc_*). */
   private[graft] val WarcN = 120
 
+  /** Base-page count of the q_failure_classes poisoned corpus. */
+  private[graft] val PoisonN = 60L
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
@@ -402,6 +405,16 @@ object SparkEntry {
 
     // ---- extraction queries (oracled via Verify side tables) ----
     "q_extract_docs" -> ((s, _) => entry(s)),
+    "q_failure_classes" -> ((s, _) => {
+      // the failure-taxonomy rollup (reference error classes,
+      // logging/custom_exceptions.py): the poisoned corpus through the
+      // full extractor, grouped by the class column; the oracle derives
+      // each row's expected class from the INPUT structure alone
+      import s.implicits._
+      Extract.extract(PagesGen.poisonedPages(s, PoisonN)).map(_.doc)
+        .groupBy(col("failure_class"))
+        .agg(count(lit(1)).as("n_docs"))
+    }),
     "q_extract_links" -> ((s, _) => {
       import s.implicits._
       extractedPersisted(s)
@@ -1093,6 +1106,18 @@ object SparkEntry {
       // is the direct typed-map path — the compare pins their equivalence.
       s"""SELECT url, content_sha256, content_kind, url_bucket, text_len, parse_failed
          |FROM ${side("side_docs")}""".stripMargin,
+    "q_failure_classes" ->
+      // expected class re-derived from the INPUT structure alone: a row
+      // with no payload must classify `decode`, a null-url row with HTML
+      // must classify `parse` (the url-join layer), every healthy row
+      // must classify NULL — the Spark side runs the real extractor, so
+      // any misfire (a healthy page failing, a class mislabeled) breaks
+      // the count compare
+      s"""SELECT CASE WHEN NOT has_payload THEN 'decode'
+         |            WHEN url IS NULL THEN 'parse' END AS failure_class,
+         |  CAST(count(*) AS BIGINT) AS n_docs
+         |FROM ${side("side_poison")}
+         |GROUP BY 1""".stripMargin,
     "q_extract_links" ->
       s"""SELECT src_url, dst_url, kind, src_tag, anchor, is_internal
          |FROM ${side("side_links")}""".stripMargin,

@@ -57,29 +57,67 @@ object Extract {
   def extractPage(row: PageRow, numBuckets: Int,
                   pivotYear: Int = graft.meta.PyDateUtil.DefaultPivotYear): ExtractedPage = {
     extractCalls.increment()
-    val bucket = urlBucket(row.url, numBuckets)
+    // null-safe: the bucket is computed OUTSIDE the failure-isolation try
+    // (the catch needs it too), so a null url must not NPE the whole task
+    val bucket = if (row.url == null) 0 else urlBucket(row.url, numBuckets)
     def emptyMeta = DocMetaRow(row.url, row.warc_ts, null, null, null, null,
       Nil, Map.empty, Nil, null, row.lang)
     val size = if (row.html == null) 0L else row.html.length.toLong
     val sha = if (row.html == null) null else hexSha256(row.html)
     try {
-      require(row.html != null, "null html payload")
+      staged("decode") { require(row.html != null, "null html payload") }
       val (kind, text, cleanedHtml, meta, links, anchors) = dispatch(row, pivotYear)
       ExtractedPage(
         DocClean(row.url, row.warc_ts, text, cleanedHtml, sha, size, kind,
-          bucket, parse_failed = false, null),
+          bucket, parse_failed = false, null, null),
         meta.getOrElse(emptyMeta),
         links.map(e => LinkEdge(e.dstUrl, e.kind, e.srcTag, e.anchor,
           isInternal(row.url, e.dstUrl))),
         anchors)
     } catch {
       case e: Throwable => // failure isolation: row-level, never task-level
+        // classification mirrors the reference's exception taxonomy
+        // (logging/custom_exceptions.py + the typed handlers in
+        // core/scraper.py:241-268): the stage tag names the failing layer
+        // so the metrics rollup can tell a decode storm from a parser
+        // regression; the captured reason string is the ORIGINAL
+        // exception's (the tag never rewrites it)
+        val (cls, cause) = e match {
+          case StageFailure(s, c) => (s, c)
+          case c => ("unknown", c)
+        }
         ExtractedPage(
           DocClean(row.url, row.warc_ts, null, null, sha, size, "error",
             bucket, parse_failed = true,
-            s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"),
+            s"${cause.getClass.getSimpleName}: ${String.valueOf(cause.getMessage).take(200)}",
+            cls),
           emptyMeta, Nil, Nil)
     }
+  }
+
+  /** Failure-taxonomy stage tag (SURVEY §2.10 circuit-breaker mapping +
+    * the reference's Timeout/Connection/HTTP/Parsing classes): wraps one
+    * dispatch layer so any throw carries the layer's class —
+    * `decode` (payload absent/undecodable: the batch successor of the
+    * NetworkError family — fetch already happened upstream), `pdf`,
+    * `xml_strict`, `parse` (HTML/plain-text parse+clean+meta), and
+    * `unknown` for anything untagged. Most layers are deliberately
+    * crash-resistant (PdfText returns null on bad streams; the HTML
+    * parser is total), so some classes are only reachable through genuine
+    * defects — exactly what the rollup is for. */
+  private final case class StageFailure(stage: String, cause: Throwable)
+      extends RuntimeException(cause)
+
+  private[pipeline] def staged[T](name: String)(body: => T): T =
+    try body catch {
+      case sf: StageFailure => throw sf // innermost tag wins
+      case e: Throwable => throw StageFailure(name, e)
+    }
+
+  /** The class a captured throwable maps to (spec hook). */
+  private[pipeline] def classify(e: Throwable): String = e match {
+    case StageFailure(s, _) => s
+    case _ => "unknown"
   }
 
   private val hexChars = "0123456789abcdef".toCharArray
@@ -105,19 +143,22 @@ object Extract {
   private def dispatch(row: PageRow, pivotYear: Int): (String, String, String,
       Option[DocMetaRow], Seq[graft.links.Edge], Seq[String]) = {
     if (PdfText.isPdf(row.html)) {
-      ("pdf", PdfText.extract(row.html), null, None, Nil, Nil)
+      ("pdf", staged("pdf") { PdfText.extract(row.html) }, null, None, Nil, Nil)
     } else {
-      val content = HtmlParser.decode(row.html)
+      val content = staged("decode") { HtmlParser.decode(row.html) }
       val head = content.take(256)
       if (head.startsWith("<?xml") && !head.contains("<html")) {
         // application/xml branch (core/scraper.py:512-514): parsed, stored;
         // text = whitespace-normalized character data
-        val doc = HtmlParser.parse(content, xmlMode = true)
-        ("xml", Cleaner.normalizedText(doc),
-          Serializer.serialize(doc, content.length + 64), None, Nil, Nil)
+        staged("xml_strict") {
+          val doc = HtmlParser.parse(content, xmlMode = true)
+          ("xml", Cleaner.normalizedText(doc),
+            Serializer.serialize(doc, content.length + 64), None, Nil, Nil)
+        }
       } else if (!head.contains("<")) {
-        ("text", Cleaner.cleanPlainText(content), null, None, Nil, Nil)
-      } else {
+        ("text", staged("parse") { Cleaner.cleanPlainText(content) },
+          null, None, Nil, Nil)
+      } else staged("parse") {
         // HTML branch — parse ONCE; metadata/links/anchors from the RAW dom
         // (the reference extracts links from raw content,
         // link_extractor.py:17; its post-clean metadata/asset extraction is

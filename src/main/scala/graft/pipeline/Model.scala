@@ -24,7 +24,8 @@ final case class DocClean(
     content_kind: String,
     url_bucket: Int,
     parse_failed: Boolean,
-    failure_reason: String)
+    failure_reason: String,
+    failure_class: String)
 
 /** doc_meta sidecar row (SURVEY §2.3 metadata struct, extracted pre-clean). */
 final case class DocMetaRow(

@@ -161,6 +161,27 @@ object PagesGen {
     }
   }
 
+  /** Adversarial corpus for the failure-taxonomy rollup (q_failure_classes):
+    * the normal corpus plus deterministic rows per organically-reachable
+    * failure class — null payloads (class `decode`: the batch successor of
+    * the reference's NetworkError family — the fetch already failed
+    * upstream) and null urls with real HTML (class `parse`: the url-join
+    * layer throws inside the parse stage). The probe-verified total stages
+    * (pdf/xml/plain-text) contribute their SUCCESS rows, pinning that the
+    * classifier never misfires on healthy content. */
+  def poisonedPages(spark: SparkSession, n: Long,
+                    nullPayloads: Int = 7, nullUrls: Int = 5): Dataset[PageRow] = {
+    import spark.implicits._
+    val bad =
+      (0 until nullPayloads).map(i => PageRow(
+        s"https://pois.example.com/null-payload-$i",
+        new Timestamp(1700000000000L + i), null, null, "en")) ++
+      (0 until nullUrls).map(i => PageRow(null,
+        new Timestamp(1700000100000L + i),
+        htmlOf(2000L + i, mix64(2000L + i)).getBytes("UTF-8"), null, "en"))
+    pages(spark, n).union(spark.createDataset(bad))
+  }
+
   /** Write as the local stand-in for the Iceberg layout: parquet partitioned
     * by url-hash bucket (SURVEY §4.2 explicit partitioning). */
   def writePartitioned(spark: SparkSession, n: Long, path: String,

@@ -236,5 +236,43 @@ class ExtractE2ESpec extends AnyFunSuite {
     val res = Extract.extract(poisoned).collect()
     assert(res.length == 1 && res(0).doc.parse_failed)
     assert(res(0).doc.failure_reason != null)
+    assert(res(0).doc.failure_class == "decode") // no payload: decode class
+  }
+
+  test("failure taxonomy: organically-reachable classes end to end") {
+    val ts = new java.sql.Timestamp(0L)
+    val rows = Seq(
+      PageRow("https://h/p0.html", ts, null, null, "en"),       // -> decode
+      PageRow(null, ts, PagesGen.htmlOf(1L, 7L).getBytes("UTF-8"),
+        null, "en"),                                            // -> parse
+      PageRow("https://h/ok.html", ts,
+        PagesGen.htmlOf(2L, 9L).getBytes("UTF-8"), null, "en")) // -> healthy
+      .toDS()
+    val by = Extract.extract(rows).collect()
+      .map(p => Option(p.doc.url).getOrElse("<null>") -> p.doc).toMap
+    assert(by("https://h/p0.html").failure_class == "decode")
+    assert(by("<null>").failure_class == "parse" && by("<null>").parse_failed)
+    assert(by("https://h/ok.html").failure_class == null &&
+      !by("https://h/ok.html").parse_failed)
+    // the null-url row still lands in a valid bucket (no task-level NPE)
+    assert(by("<null>").url_bucket == 0)
+  }
+
+  test("failure taxonomy: stage tags classify every class; innermost wins") {
+    // pdf/xml_strict/unknown stages are probe-verified TOTAL today (the
+    // parser never throws on garbage), so their tags are exercised at the
+    // mechanism level: any throw inside a staged block must carry that
+    // stage's class, nested tags must keep the innermost, and an untagged
+    // throw must classify unknown — with the ORIGINAL exception preserved
+    def boom(): Int = throw new IllegalStateException("boom")
+    for (cls <- Seq("pdf", "xml_strict", "parse", "decode")) {
+      val e = intercept[RuntimeException](Extract.staged(cls)(boom()))
+      assert(Extract.classify(e) == cls)
+      assert(e.getCause.isInstanceOf[IllegalStateException])
+    }
+    val nested = intercept[RuntimeException](
+      Extract.staged("parse")(Extract.staged("pdf")(boom())))
+    assert(Extract.classify(nested) == "pdf")
+    assert(Extract.classify(new IllegalStateException("raw")) == "unknown")
   }
 }
