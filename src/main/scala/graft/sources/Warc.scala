@@ -232,6 +232,65 @@ object Warc {
       }
   }
 
+  /** Record-offset index rows: everything [[records]] yields except the
+    * payload — (file, rec_idx, offset, total_len, warc_type, target_uri,
+    * parse_error), offsets in the DECOMPRESSED stream. Persisted once per
+    * crawl snapshot, it lets a re-extraction of a subset (one host, one
+    * record type, a failure re-run) prune to record ranges via
+    * [[recordsAt]] instead of re-parsing every archive end to end. */
+  def recordIndex(files: DataFrame): DataFrame =
+    records(files).toDF().select(col("file"), col("rec_idx"), col("offset"),
+      col("total_len"), col("warc_type"), col("target_uri"), col("parse_error"))
+
+  /** Persist [[recordIndex]] (parquet; the Iceberg swap is the usual
+    * config change). One pass over the archives — the payloads are
+    * parsed but never shuffled or stored. */
+  def writeRecordIndex(files: DataFrame, path: String): Unit =
+    recordIndex(files).write.mode("overwrite").parquet(path)
+
+  /** Pruned re-read: parse ONLY the records named by `index` rows
+    * (file, rec_idx, offset, total_len — e.g. a filtered slice of a
+    * persisted [[recordIndex]]). One task per archive, same as the full
+    * scan, but each wanted record is sliced at its recorded
+    * [offset, offset+total_len) and parsed alone — untargeted records
+    * never materialize header maps or payload copies. The gunzip of the
+    * member stream is unavoidable for gzipped archives (offsets are
+    * decompressed-stream positions); for uncompressed archives the slice
+    * is a direct seek. An index row that no longer matches the archive
+    * (out of range) degrades to a per-row error record, never a task
+    * failure. */
+  def recordsAt(files: DataFrame, index: DataFrame): Dataset[WarcRecord] = {
+    val spark = files.sparkSession
+    import spark.implicits._
+    val wanted = index
+      .select(col("file").cast("string").as("__f"), col("rec_idx").cast("int"),
+        col("offset").cast("long"), col("total_len").cast("long"))
+      .groupBy(col("__f"))
+      .agg(collect_list(struct(col("rec_idx"), col("offset"),
+        col("total_len"))).as("__w"))
+    files.select(col("path").cast("string"), col("content"))
+      .join(wanted, col("path") === col("__f"))
+      .select(col("path"), col("content"), col("__w"))
+      .as[(String, Array[Byte], Seq[(Int, Long, Long)])]
+      .flatMap { case (path, content, w) =>
+        val raw = if (isGzip(content)) gunzip(content) else content
+        w.sortBy(_._2).iterator.flatMap { case (ri, off, len) =>
+          if (off < 0 || len <= 0 || off + len > raw.length)
+            Iterator.single(WarcRecord(path, ri, off, len, null, null, null,
+              null, -1L, Array.emptyByteArray, "index out of range"))
+          else {
+            val slice = java.util.Arrays.copyOfRange(
+              raw, off.toInt, (off + len).toInt)
+            // a record slice parses to exactly one record (total_len spans
+            // header..separator); keep the INDEX's rec_idx/offset so the
+            // pruned rows are drop-in identical to the full scan's
+            parseRecords(path, slice).iterator.take(1)
+              .map(r => r.copy(rec_idx = ri, offset = off))
+          }
+        }
+      }
+  }
+
   /** The `pages`-shaped projection: response records only, url from
     * WARC-Target-URI, ts from WARC-Date, html = HTTP body bytes. The
     * HTTP envelope and non-response records are dropped HERE, before

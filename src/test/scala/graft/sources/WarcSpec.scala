@@ -147,6 +147,35 @@ class WarcSpec extends AnyFunSuite {
     } finally rmrf(new java.io.File(dir))
   }
 
+  test("record-offset index: pruned re-read is drop-in identical to the full scan") {
+    import spark.implicits._
+    val files = Warc.syntheticWarcFrame(spark, 24, withBroken = true,
+      gzipMembers = true)
+    val dir = java.nio.file.Files.createTempDirectory("graft-warcidx").toString
+    Warc.writeRecordIndex(files, dir)
+    val index = spark.read.parquet(dir)
+    // prune to response records only — the re-extraction-of-a-subset shape
+    val sub = index.filter($"warc_type" === "response")
+    val pruned = Warc.recordsAt(files, sub).collect()
+      .map(r => (r.rec_idx, r)).toMap
+    val full = Warc.records(files).collect()
+      .filter(_.warc_type == "response").map(r => (r.rec_idx, r)).toMap
+    assert(pruned.keySet == full.keySet && pruned.nonEmpty)
+    full.foreach { case (i, want) =>
+      val got = pruned(i)
+      assert(got.offset == want.offset && got.total_len == want.total_len, i)
+      assert(got.target_uri == want.target_uri && got.warc_date == want.warc_date, i)
+      assert(java.util.Arrays.equals(got.payload, want.payload), i)
+      assert(got.parse_error == null, i)
+    }
+    // a stale index row (archive changed underneath) degrades per-row
+    val stale = Seq(("synthetic.warc.gz", 9999, 999999999L, 64L))
+      .toDF("file", "rec_idx", "offset", "total_len")
+    val err = Warc.recordsAt(files, stale).collect()
+    assert(err.length == 1 && err(0).parse_error == "index out of range")
+    rmrf(new java.io.File(dir))
+  }
+
   test("pages(): the projection feeds PageRow exactly (incl. gz path)") {
     import spark.implicits._
     val pages = Warc.pages(Warc.syntheticWarcFrame(spark, 30,
