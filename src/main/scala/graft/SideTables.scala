@@ -195,6 +195,10 @@ object SideTables {
       .select($"vec_id", $"ivf_cell".isin(ivfProbes: _*).as("in_probe"),
         round(Similarity.cosineToQuery("embedding", q), 6).as("cos")),
       "side_ivf")
+    // SemDeDup centroid table: the ONE exported artifact q_semantic_dedup
+    // needs — assignment, affinity ranking, pairwise cosine, and the drop
+    // rule are all re-derived in DuckDB from it + raw embeddings
+    save(Dedup.centroidFrame(spark, cents), "side_semcents")
 
     // ---- embedding near-dup: per-table RHP-LSH bucket keys (params MUST
     // match q_embedding_neardup; the oracle re-derives the candidate join

@@ -402,6 +402,16 @@ object SparkEntry {
         .withColumn("near_dup", col("cos") >= 0.45)
         .orderBy(desc("cos"), col("id_a"), col("id_b")).limit(50)
     }),
+    "q_semantic_dedup" -> ((s, dir) => {
+      // SemDeDup over the shared deterministic IVF centroids (k=16) —
+      // the oracle re-derives assignment, affinity ranking, every
+      // within-cluster pairwise cosine, and the drop rule from the
+      // exported centroid table (side_semcents) + raw embeddings alone
+      val emb = t(s, dir, "embeddings").filter(col("vec_id") =!= 0)
+      Dedup.semanticDropList(emb, "vec_id", "embedding",
+          minCosine = 0.30, centroids = ivfCentroids(s, dir))
+        .orderBy(col("drop_id"))
+    }),
 
     // ---- extraction queries (oracled via Verify side tables) ----
     "q_extract_docs" -> ((s, _) => entry(s)),
@@ -1960,6 +1970,37 @@ object SparkEntry {
          |  FROM cand c JOIN e ea ON c.id_a = ea.id JOIN e eb ON c.id_b = eb.id)
          |SELECT id_a, id_b, cos, cos >= 0.45 AS near_dup
          |FROM scored ORDER BY cos DESC, id_a, id_b LIMIT 50""".stripMargin,
+    "q_semantic_dedup" ->
+      // the FULL SemDeDup decision re-derived in DuckDB: squared-L2
+      // argmin assignment (ties to the lowest cell), centroid-affinity
+      // ranking, within-cluster pairwise cosine, the upper-triangular
+      // drop rule, and the trigger pick — from the exported centroid
+      // table + the raw embeddings only
+      s"""WITH e AS (SELECT CAST(vec_id AS BIGINT) AS id,
+         |            CAST(embedding AS DOUBLE[]) AS v
+         |          FROM embeddings WHERE vec_id <> 0),
+         |c AS (SELECT cell, c FROM ${side("side_semcents")}),
+         |d AS (SELECT e.id, c.cell, e.v, row_number() OVER (
+         |        PARTITION BY e.id ORDER BY list_distance(e.v, c.c), c.cell) AS rn
+         |      FROM e CROSS JOIN c),
+         |aff AS (SELECT d.id, d.cell, d.v,
+         |          round(list_dot_product(d.v, c.c) /
+         |            (sqrt(list_dot_product(d.v, d.v)) *
+         |             sqrt(list_dot_product(c.c, c.c))), 6) AS cent_cos
+         |        FROM d JOIN c ON d.cell = c.cell WHERE d.rn = 1),
+         |rk AS (SELECT id, cell, v, row_number() OVER (
+         |         PARTITION BY cell ORDER BY cent_cos DESC, id) AS rnk
+         |       FROM aff),
+         |pr AS (SELECT a.id AS id_a, a.rnk AS rnk_a, b.id AS id_b,
+         |         round(list_dot_product(a.v, b.v) /
+         |           (sqrt(list_dot_product(a.v, a.v)) *
+         |            sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+         |       FROM rk a JOIN rk b ON a.cell = b.cell AND a.rnk < b.rnk),
+         |hit AS (SELECT id_a, id_b, cos, row_number() OVER (
+         |          PARTITION BY id_b ORDER BY cos DESC, rnk_a, id_a) AS pick
+         |        FROM pr WHERE cos >= 0.30)
+         |SELECT id_b AS drop_id, id_a AS trigger_id, cos
+         |FROM hit WHERE pick = 1 ORDER BY drop_id""".stripMargin,
     "q_priority_scores" ->
       // the ENTIRE calculate_priority formula re-derived in SQL over the
       // raw (url, last_updated) history side table

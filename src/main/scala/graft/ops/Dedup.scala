@@ -713,4 +713,119 @@ object Dedup {
         (coalesce(col("n_dup_windows"), lit(0L)) * thrDen >
           coalesce(col("n_windows"), lit(0L)) * thrNum).as("span_flagged"))
   }
+
+  // ---------------------------------------------------------------------
+  // Semantic dedup (SemDeDup, Abbas et al. 2023, arXiv:2303.09540): k-means
+  // clusters make embedding-space pairwise comparison tractable — pairwise
+  // cosine is computed ONLY within a cluster, so total pair volume is
+  // k * (n/k)^2 = n^2/k instead of n^2, and a derived k keeps the
+  // per-cluster size (and so the per-task pair count) CONSTANT as the
+  // corpus grows. Unlike the RHP-LSH family above (random projections,
+  // recall is probabilistic per table), SemDeDup's recall loss is exactly
+  // the cluster boundary: a near-dup pair split across two cells is never
+  // compared — the paper's accepted tradeoff.
+  // ---------------------------------------------------------------------
+
+  /** Derived cluster count: k = clamp(ceil(n / targetClusterSize), 2,
+    * maxK). The [[bitsFor]] precedent — a fixed default k would either
+    * make clusters grow linearly with the corpus (pairwise volume n^2/k
+    * explodes) or train more centroids than the bounded driver sample can
+    * support; `maxK` mirrors `trainIvfCentroids`' maxSample bound. */
+  def clustersFor(n: Long, targetClusterSize: Int = 512,
+                  maxK: Int = 4096): Int = {
+    require(targetClusterSize >= 2, "targetClusterSize >= 2")
+    val want = math.ceil(math.max(1L, n).toDouble / targetClusterSize).toLong
+    math.min(maxK.toLong, math.max(2L, want)).toInt
+  }
+
+  /** Cluster assignment + centroid affinity for every vector: (id, cell,
+    * cent_cos). Assignment is [[Similarity.nearestCentroid]] (squared-L2
+    * argmin, ties to the lowest cell — the IVF determinism rule);
+    * cent_cos is the sequential-double-fold cosine to the OWN cell's
+    * centroid, rounded to 6 (the oracle-compared-double convention —
+    * DuckDB re-derives both the argmin and the cosine from the raw
+    * embeddings + the exported centroid table alone). Broadcast-closure
+    * typed map: centroids ride task closures, no shuffle. */
+  def semanticClusters(emb: DataFrame, idCol: String, embCol: String,
+                       centroids: Array[Array[Float]]): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    emb.select(col(idCol).cast("long").as("id"), col(embCol))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) =>
+        val cell = Similarity.nearestCentroid(v, centroids)
+        val c = centroids(cell)
+        var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < v.length) {
+          val x = v(i).toDouble; val y = c(i).toDouble
+          dot += x * y; na += x * x; nb += y * y; i += 1
+        }
+        val den = math.sqrt(na) * math.sqrt(nb)
+        val cos = if (den == 0.0) 0.0 else dot / den
+        (id, cell,
+          BigDecimal(cos).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.toDF("id", "cell", "cent_cos")
+  }
+
+  /** The centroid table as a frame (cell, c) — the ONLY side artifact the
+    * semantic-dedup oracle needs: DuckDB re-derives assignment (argmin
+    * list_distance), affinity, ranking, every within-cluster pairwise
+    * cosine, and the drop rule from it plus the raw embeddings. */
+  def centroidFrame(spark: SparkSession,
+                    centroids: Array[Array[Float]]): DataFrame = {
+    import spark.implicits._
+    centroids.zipWithIndex
+      .map { case (c, i) => (i, c.map(_.toDouble)) }.toSeq
+      .toDF("cell", "c")
+  }
+
+  /** SemDeDup drop list: within each cluster, order members by
+    * (cent_cos DESC, id ASC) — most-representative first — and drop any
+    * member whose cosine to an EARLIER member reaches `minCosine` (the
+    * public SemDeDup implementation's upper-triangular-max rule: the
+    * earlier member need not itself survive; no transitive closure).
+    * Output (drop_id, trigger_id, cos): trigger = the earlier partner
+    * with the highest cosine (ties: lowest rank, then lowest id) — a
+    * provenance column, not necessarily a survivor.
+    *
+    * Scale shape: ranking windows partition by cell (bounded by the
+    * derived targetClusterSize); the pair join carries (cell, id, rank)
+    * only and vectors join back per SIDE, not per pair (2·s rows per
+    * cluster ride the vector shuffle, never s^2); per-pair cosine is the
+    * native codegen [[graft.functions.CosinePair]]. `maxCluster` is the
+    * maxBucket-style degenerate-centroid guard: an over-full cell
+    * contributes no pairs beyond the cap (recall loss, never OOM). */
+  def semanticDropList(emb: DataFrame, idCol: String, embCol: String,
+                       minCosine: Double,
+                       centroids: Array[Array[Float]],
+                       maxCluster: Int = 10000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val ranked = semanticClusters(emb, idCol, embCol, centroids)
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("cell")).orderBy(desc("cent_cos"), col("id"))))
+      .filter(col("rnk") <= maxCluster)
+      .select(col("cell"), col("id"), col("rnk"))
+    val vecs = emb.select(col(idCol).cast("long").as("id"), col(embCol).as("v"))
+    val a = ranked.join(vecs, "id")
+      .select(col("cell"), col("id").as("id_a"), col("rnk").as("rnk_a"),
+        col("v").as("v_a"))
+    val b = ranked.join(vecs, "id")
+      .select(col("cell"), col("id").as("id_b"), col("rnk").as("rnk_b"),
+        col("v").as("v_b"))
+    val scored = a.join(b, "cell")
+      .filter(col("rnk_a") < col("rnk_b"))
+      .withColumn("cos", round(ColumnBridge.column(graft.functions.CosinePair(
+        ColumnBridge.expression(col("v_a")),
+        ColumnBridge.expression(col("v_b")))), 6))
+      .filter(col("cos") >= minCosine)
+      .select(col("id_a"), col("rnk_a"), col("id_b"), col("cos"))
+    scored
+      .withColumn("pick", row_number().over(
+        Window.partitionBy(col("id_b"))
+          .orderBy(desc("cos"), col("rnk_a"), col("id_a"))))
+      .filter(col("pick") === 1)
+      .select(col("id_b").as("drop_id"), col("id_a").as("trigger_id"),
+        col("cos"))
+  }
 }

@@ -420,4 +420,81 @@ class DedupSpec extends AnyFunSuite {
     // unique docs are never dropped
     assert((0L until 40L).forall(!drops.contains(_)))
   }
+
+  // ---- SemDeDup (semantic dedup over embedding clusters) ----
+
+  private val semCentroids = Array(
+    Array(1f, 0f, 0f, 0f), Array(0f, 1f, 0f, 0f))
+  private val semEmb = Seq(
+    (1L, Array(1f, 0f, 0f, 0f)),        // cell 0 representative
+    (2L, Array(0.99f, 0.01f, 0f, 0f)),  // cell 0, ~identical to 1 -> drop
+    (3L, Array(0.7f, 0f, 0.714f, 0f)),  // cell 0, cos to 1 = 0.70 -> keep
+    (4L, Array(0f, 1f, 0f, 0f)),        // cell 1 representative
+    (5L, Array(0.01f, 0.995f, 0f, 0f)), // cell 1, ~identical to 4 -> drop
+    (6L, Array(0f, 0.6f, 0.8f, 0f)),    // cell 1, cos to 4 = 0.60 -> keep
+    (7L, Array(0.72f, 0.69f, 0f, 0f)),  // cell 0 \ near-identical PAIR split
+    (8L, Array(0.69f, 0.72f, 0f, 0f)),  // cell 1 / across the cell boundary
+    (9L, Array(0.992f, 0.008f, 0f, 0f)) // cell 0, nearest to DROPPED 2
+  ).toDF("vec_id", "embedding")
+
+  test("semanticDropList: planted in-cluster dups drop, representatives survive") {
+    val drops = Dedup.semanticDropList(semEmb, "vec_id", "embedding",
+        minCosine = 0.95, centroids = semCentroids)
+      .select($"drop_id", $"trigger_id").as[(Long, Long)].collect().toMap
+    // cell-0 affinity ranking: 1 (1.0) > 9 (0.999967) > 2 (0.999949) > ...
+    // so 9 drops against the representative and 2 against 9 (see next test)
+    assert(drops.contains(9L) && drops(9L) == 1L)
+    assert(drops.contains(2L))
+    assert(drops.contains(5L) && drops(5L) == 4L)
+    // distinct members stay
+    assert(!drops.contains(1L) && !drops.contains(3L) &&
+      !drops.contains(4L) && !drops.contains(6L))
+    // the documented SemDeDup recall boundary: 7 and 8 are near-identical
+    // (cos ~0.9995) but land in DIFFERENT cells, so neither is dropped
+    assert(!drops.contains(7L) && !drops.contains(8L))
+  }
+
+  test("semanticDropList: trigger is the max-cos earlier partner and need not survive") {
+    val rows = Dedup.semanticDropList(semEmb, "vec_id", "embedding",
+        minCosine = 0.95, centroids = semCentroids)
+      .select($"drop_id", $"trigger_id").as[(Long, Long)].collect().toMap
+    // 2's earlier-ranked neighbors are 1 (cos 0.999949) and 9
+    // (cos 0.999998): the trigger is 9 even though 9 is itself dropped —
+    // the upper-triangular rule of the public SemDeDup implementation,
+    // no transitive closure
+    assert(rows(2L) == 9L)
+  }
+
+  test("semanticClusters: squared-L2 argmin assignment, affinity rounded to 6") {
+    val cl = Dedup.semanticClusters(semEmb, "vec_id", "embedding", semCentroids)
+      .as[(Long, Int, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(cl(1L) == ((0, 1.0)))
+    assert(cl(4L) == ((1, 1.0)))
+    assert(cl(7L)._1 == 0 && cl(8L)._1 == 1) // boundary pair splits
+    assert(cl(3L)._1 == 0 && math.abs(cl(3L)._2 - 0.7 / math.sqrt(0.7 * 0.7 + 0.714 * 0.714)) < 1e-6)
+    // rounded to 6 decimals (the oracle-compared-double convention)
+    assert(cl.values.forall { case (_, c) =>
+      c == BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble })
+  }
+
+  test("clustersFor derives a constant target cluster size (bitsFor precedent)") {
+    assert(Dedup.clustersFor(100L) == 2)             // floor
+    assert(Dedup.clustersFor(1024L) == 2)
+    assert(Dedup.clustersFor(100000L) == 196)        // ceil(1e5/512)
+    assert(Dedup.clustersFor(1000000L) == 1954)
+    assert(Dedup.clustersFor(1000000000L) == 4096)   // maxK cap
+    // per-cluster pair volume stays ~targetClusterSize^2 under the cap
+    val n = 100000L
+    assert(n / Dedup.clustersFor(n) <= 512 + 1)
+  }
+
+  test("semanticDropList: maxCluster guard bounds pair generation, never crashes") {
+    val drops = Dedup.semanticDropList(semEmb, "vec_id", "embedding",
+        minCosine = 0.95, centroids = semCentroids, maxCluster = 2)
+      .select($"drop_id").as[Long].collect().toSet
+    // with only the top-2 ranked per cell participating, 9 (rank 2 in cell
+    // 0) and 5 (rank 2 in cell 1) are still caught; 2 (rank 3) is beyond
+    // the cap — recall loss, not an error
+    assert(drops.contains(9L) && drops.contains(5L) && !drops.contains(2L))
+  }
 }
