@@ -79,6 +79,11 @@ object SideTables {
     save(PagesGen.poisonedPages(spark, SparkEntry.PoisonN)
       .select($"url", $"html".isNotNull.as("has_payload")), "side_poison")
 
+    // ---- as-of join inputs: the q_asof_join oracle re-derives the join
+    // itself (inequality join + argmax) from these two relations alone ----
+    save(SparkEntry.asofSnaps(spark), "side_asof_snaps")
+    save(SparkEntry.asofProbes(spark), "side_asof_probes")
+
     // ---- priority history + sitemap entries (fully relational oracles) ----
     save(PagesGen.pages(spark, SparkEntry.ExtractN)
       .select($"url", $"warc_ts".as("last_updated")), "side_pages")

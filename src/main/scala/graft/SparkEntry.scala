@@ -715,7 +715,23 @@ object SparkEntry {
     "q_sitemap_seeds" -> ((s, _) =>
       graft.sources.Sitemap.seedUrls(
         graft.sources.Sitemap.syntheticSitemapPages(s),
-        "https://site.example.com/sitemap.xml"))
+        "https://site.example.com/sitemap.xml")),
+
+    // ---- snapshot time-travel + corpus shaping + corpus QA (r5) ----
+    "q_asof_join" -> ((s, _) =>
+      graft.ops.AsOfJoin.asofJoin(asofProbes(s), asofSnaps(s),
+        keyCol = "url", probeIdCol = "probe_id", probeTsCol = "probe_ts",
+        snapTsCol = "snap_ts", tieCol = "snap_id",
+        payloadCols = Seq("sha"))),
+    "q_temperature_sample" -> ((s, dir) =>
+      graft.ops.TrainingData.temperatureSample(
+        t(s, dir, "documents"), "source", "doc_id",
+        alpha = 0.5, targetFrac = 0.5, salt = "temp")),
+    "q_token_quantiles" -> ((s, dir) =>
+      graft.ops.Stats.exactIntQuantiles(
+        t(s, dir, "documents").select(
+          graft.ops.TrainingData.nTokens(col("text")).as("n_tokens")),
+        "n_tokens", Seq(0.25, 0.5, 0.75, 0.9, 0.99)))
   )
 
   /** Deterministic PII-bearing corpus derived from the documents table —
@@ -905,6 +921,41 @@ object SparkEntry {
     val (f, h) = graft.ops.TrainingData.weightParts(w)
     s"('$s0', $f, '$h')"
   }.mkString(", ")
+
+  /** Snapshot history for q_asof_join: every fetch of every url from the
+    * deterministic pages generator as (url, snap_ts, sha, snap_id) —
+    * timestamps as integral unix seconds so the inclusive `<=` boundary
+    * is exactly representable in both engines; `snap_id` is the
+    * deterministic tie-break identity for duplicate (url, ts) fetches.
+    * Shared by q_asof_join and SideTables (side_asof_snaps). */
+  private[graft] def asofSnaps(s: SparkSession): DataFrame = {
+    import s.implicits._
+    PagesGen.pages(s, ExtractN)
+      .select($"url", unix_timestamp($"warc_ts").as("snap_ts"),
+        md5($"html").as("sha"))
+      .withColumn("snap_id", md5(concat($"url", lit("@"),
+        $"snap_ts".cast("string"), lit(":"), coalesce($"sha", lit("")))))
+  }
+
+  /** Probe instants for q_asof_join, four per url straddling its history:
+    * strictly before the first snapshot (pins the no-match null row),
+    * exactly AT the first (pins `<=` inclusivity), the integral midpoint,
+    * and an hour past the last (pins latest-wins). Shared by q_asof_join
+    * and SideTables (side_asof_probes). */
+  private[graft] def asofProbes(s: SparkSession): DataFrame = {
+    import s.implicits._
+    asofSnaps(s).groupBy($"url")
+      .agg(min($"snap_ts").as("lo"), max($"snap_ts").as("hi"))
+      .select($"url", explode(array(
+        struct(lit("before").as("k"), ($"lo" - 1).as("probe_ts")),
+        struct(lit("first").as("k"), $"lo".as("probe_ts")),
+        struct(lit("mid").as("k"),
+          (($"lo" + $"hi") / 2).cast("long").as("probe_ts")),
+        struct(lit("after").as("k"), ($"hi" + 3600L).as("probe_ts"))
+      )).as("p"))
+      .select(concat($"url", lit("#"), $"p.k").as("probe_id"),
+        $"url", $"p.probe_ts".as("probe_ts"))
+  }
 
   // ---------- oracles ----------
 
@@ -2050,6 +2101,64 @@ object SparkEntry {
          |  WHERE sm.url = reach.u AND sm.kind = 'sitemapindex')
          |SELECT DISTINCT sm.loc AS seed_url
          |FROM ${side("side_sitemap")} sm JOIN reach ON sm.url = reach.u
-         |WHERE sm.kind = 'urlset'""".stripMargin
+         |WHERE sm.kind = 'urlset'""".stripMargin,
+    "q_asof_join" ->
+      // INDEPENDENT derivation: inequality join + per-probe argmax (the
+      // textbook as-of formulation, quadratic per key — fine at oracle
+      // scale) vs Spark's union + running-window form; LEFT JOIN keeps
+      // the no-snapshot probes as null rows, argmax tie-break mirrors
+      // the operator's (snap_ts, snap_id) latest-wins rule
+      s"""SELECT probe_id, url, probe_ts, snap_ts, sha FROM (
+         |  SELECT p.probe_id, p.url, p.probe_ts, s.snap_ts, s.sha,
+         |    row_number() OVER (PARTITION BY p.probe_id
+         |      ORDER BY s.snap_ts DESC, s.snap_id DESC) AS rn
+         |  FROM ${side("side_asof_probes")} p
+         |  LEFT JOIN ${side("side_asof_snaps")} s
+         |    ON p.url = s.url AND s.snap_ts <= p.probe_ts)
+         |WHERE rn = 1""".stripMargin,
+    "q_temperature_sample" ->
+      // the whole rate pipeline re-derived: integer-quantized sqrt
+      // weights (BIGINT sums are order-independent, so Σw is exact in
+      // any engine), the pinned left-associative double expression, the
+      // 48-bit hex threshold, and the md5-prefix keep rule
+      """WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+        |w AS (SELECT source, n,
+        |        CAST(floor(sqrt(CAST(n AS DOUBLE)) * CAST(1000000 AS DOUBLE))
+        |          AS BIGINT) AS w
+        |      FROM c),
+        |tt AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+        |         CAST(sum(w) AS BIGINT) AS sw FROM w),
+        |r AS (SELECT source,
+        |        least(CAST(1 AS DOUBLE),
+        |          CAST(0.5 AS DOUBLE) * CAST(nn AS DOUBLE) * CAST(w AS DOUBLE)
+        |            / (CAST(n AS DOUBLE) * CAST(sw AS DOUBLE))) AS rate
+        |      FROM w, tt),
+        |h AS (SELECT source, rate,
+        |        lpad(lower(hex(CAST(floor(rate * CAST(281474976710656 AS DOUBLE))
+        |          AS BIGINT))), 12, '0') AS thr
+        |      FROM r)
+        |SELECT d.doc_id, d.source
+        |FROM documents d JOIN h ON d.source = h.source
+        |WHERE h.rate >= CAST(1 AS DOUBLE)
+        |   OR substr(md5('temp:' || d.doc_id), 1, 12) < h.thr""".stripMargin,
+    "q_token_quantiles" ->
+      // the type-1 discrete quantile re-derived from the same histogram
+      // definition: value-ordered running count, ceil(q·N) target rank,
+      // smallest value reaching it
+      """WITH h AS (SELECT len(regexp_split_to_array(trim(text), '\s+')) AS v,
+        |             count(*) AS c
+        |           FROM documents WHERE text IS NOT NULL GROUP BY 1),
+        |cum AS (SELECT v, CAST(sum(c) OVER (ORDER BY v) AS BIGINT) AS cum,
+        |               CAST(sum(c) OVER () AS BIGINT) AS total FROM h),
+        |qs AS (SELECT unnest([CAST(0.25 AS DOUBLE), CAST(0.5 AS DOUBLE),
+        |         CAST(0.75 AS DOUBLE), CAST(0.9 AS DOUBLE),
+        |         CAST(0.99 AS DOUBLE)]) AS q),
+        |pick AS (SELECT q, v, cum,
+        |           row_number() OVER (PARTITION BY q ORDER BY v) AS rn
+        |         FROM qs JOIN cum
+        |           ON cum >= greatest(CAST(1 AS BIGINT),
+        |                CAST(ceil(q * CAST(total AS DOUBLE)) AS BIGINT)))
+        |SELECT q, CAST(v AS BIGINT) AS value, cum AS n_le
+        |FROM pick WHERE rn = 1""".stripMargin
   )
 }

@@ -1,0 +1,63 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Exact distribution statistics over integer-valued columns — the corpus
+ * QA primitive behind "what is the p99 document length / token count?"
+ * reports a training-data pipeline publishes per snapshot. Spark's
+ * built-in `percentile_approx` trades exactness for a sketch; for an
+ * INTEGER domain (token counts, char lengths, link counts) exactness is
+ * cheap at any scale without a global row sort:
+ *
+ *   - histogram: groupBy(value).count — map-side combinable, the shuffle
+ *     carries one row per DISTINCT value per mapper, never per input row,
+ *   - running total over the value-ordered histogram — the ONLY ordered
+ *     step, and it orders |distinct values| rows, not |rows|: token
+ *     counts at the 100 TB design point span ~10^6 distinct values
+ *     (docs cap out at millions of tokens), so the single ordered
+ *     partition holds ~10^6 tiny rows where a row sort would hold 10^12,
+ *   - quantile pick: q ↦ the smallest value whose running count reaches
+ *     ceil(q·N) — the classic discrete (type-1) quantile, exactly the
+ *     definition the DuckDB oracle re-derives.
+ *
+ * Deterministic and engine-exact: counts are BIGINTs, ceil(q·N) is one
+ * correctly-rounded double multiply of exactly-representable inputs, and
+ * the pick is an integer comparison — no float accumulation anywhere.
+ */
+object Stats {
+
+  /** @param qs quantile levels in (0, 1]; emits one row per level:
+    *           (q, value, n_le) where `value` is the type-1 discrete
+    *           quantile and `n_le` the running count at that value.
+    *           Empty input → empty result. */
+  def exactIntQuantiles(df: DataFrame, valueCol: String,
+                        qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      s"quantile levels in (0,1]: $qs")
+    val spark = df.sparkSession
+    import spark.implicits._
+    // null values are excluded, not ranked: engines disagree on NULL sort
+    // placement (Spark NULLS FIRST asc, DuckDB NULLS LAST), and a quantile
+    // of "no value" is meaningless anyway
+    val hist = df.select(col(valueCol).cast("long").as("v"))
+      .filter(col("v").isNotNull)
+      .groupBy(col("v")).agg(count(lit(1)).as("c"))
+    // the one ordered step: |distinct|-sized, documented above
+    val byValue = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist
+      .withColumn("cum", sum(col("c")).over(byValue))
+      .crossJoin(broadcast(hist.agg(sum(col("c")).as("total"))))
+    val levels = broadcast(qs.toDF("q"))
+    levels.join(cum,
+        col("cum") >= greatest(lit(1L),
+          ceil(col("q") * col("total").cast("double")).cast("long")))
+      .groupBy(col("q"))
+      .agg(min_by(struct(col("v"), col("cum")), col("v")).as("__pick"))
+      .select(col("q"), col("__pick.v").as("value"),
+        col("__pick.cum").as("n_le"))
+  }
+}

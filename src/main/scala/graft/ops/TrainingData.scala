@@ -345,6 +345,67 @@ object TrainingData {
       .withColumn("seq_id", floor(col("start_tok") / lit(seqLen)))
   }
 
+  /** Temperature-based source resampling — the multilingual/multi-source
+    * rebalancing primitive (the mBERT/XLM-R exponent-smoothing scheme:
+    * sample source i with probability ∝ n_i^α, α<1 flattening the
+    * Zipfian source distribution so head sources stop drowning the tail).
+    * Deterministic and engine-exact, RNG-free:
+    *
+    *   - per-source counts n_i (one map-side-combinable agg; the counts
+    *     frame is #sources-sized, and its cross-source totals reduce to a
+    *     single broadcast row),
+    *   - integer-quantized weight w_i = floor(n_i^α · 10^6) — quantizing
+    *     BEFORE the cross-source sum makes Σw a BIGINT sum, which is
+    *     order-independent and therefore identical in any engine (a
+    *     float Σ over an unspecified aggregation order is not),
+    *   - keep-rate r_i = min(1, (targetFrac · N · w_i) / (n_i · Σw)) —
+    *     every factor is an exactly-representable double, every op is a
+    *     correctly-rounded IEEE op in a pinned left-associative order, so
+    *     Spark and the DuckDB oracle compute bit-identical rates
+    *     (α = 0.5, the common temperature, routes through `sqrt`, which
+    *     IEEE 754 requires correctly rounded; general α uses `pow`,
+    *     whose ≤1-ulp libm slack only matters if a doc's 48-bit hash
+    *     prefix lands exactly on the disputed quantization unit —
+    *     probability 2^-48 per flip),
+    *   - per-doc keep: first 12 hex chars of md5(salt:id) below the
+    *     rate's 48-bit hex threshold (the [[deterministicSample]]
+    *     digest-threshold discipline; E[kept_i] = r_i·n_i, so
+    *     E[total] = targetFrac·N when no rate clamps at 1).
+    *
+    * The rates frame broadcasts back; the per-doc pass is a pure filter —
+    * no row-sized shuffle anywhere. Emits kept (id, source) rows. */
+  def temperatureSample(docs: DataFrame, srcCol: String = "source",
+                        idCol: String = "doc_id", alpha: Double = 0.5,
+                        targetFrac: Double = 0.5,
+                        salt: String = "temp"): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha in (0,1]: $alpha")
+    require(targetFrac > 0.0 && targetFrac <= 1.0,
+      s"targetFrac in (0,1]: $targetFrac")
+    val nD = col("__n").cast("double")
+    val wRaw = if (alpha == 0.5) sqrt(nD) else pow(nD, lit(alpha))
+    val counts = docs.groupBy(col(srcCol)).agg(count(lit(1)).as("__n"))
+      .withColumn("__w", floor(wRaw * lit(1000000.0)).cast("long"))
+    // cross-source totals as a broadcast 1-row frame (no single-partition
+    // window over the counts frame; BIGINT sums are order-independent)
+    val totals = counts.agg(sum(col("__n")).as("__nn"),
+      sum(col("__w")).as("__sw"))
+    val rates = counts.crossJoin(broadcast(totals))
+      .withColumn("__rate", least(lit(1.0),
+        (lit(targetFrac) * col("__nn").cast("double")
+          * col("__w").cast("double"))
+          / (nD * col("__sw").cast("double"))))
+      .withColumn("__thr",
+        lpad(lower(hex(floor(col("__rate") * lit(281474976710656.0))
+          .cast("long"))), 12, "0"))
+      .select(col(srcCol), col("__rate"), col("__thr"))
+    docs.select(col(idCol), col(srcCol))
+      .join(broadcast(rates), Seq(srcCol))
+      .filter(col("__rate") >= 1.0 ||
+        substring(md5(concat(lit(salt), lit(":"), col(idCol).cast("string"))),
+          1, 12) < col("__thr"))
+      .select(col(idCol), col(srcCol))
+  }
+
   /** Sentinel for [[packSequences]]: derive `subStreams` from data size. */
   val AutoStreams: Int = 0
 

@@ -287,4 +287,50 @@ class TrainingDataSpec extends AnyFunSuite {
     // — its child is the per-doc map output, never the raw text relation
     assert("Generate explode".r.findAllIn(plan).length == 1, plan.take(2000))
   }
+
+  test("temperature sample: tail source clamps to keep-all, head thins to " +
+    "the exact quantized rate, deterministic") {
+    // head 90 rows vs tail 10 rows, α=0.5, targetFrac=0.5:
+    //   w_head = floor(sqrt(90)·1e6)  = 9_486_832
+    //   w_tail = floor(sqrt(10)·1e6)  = 3_162_277
+    //   rate_tail = 0.5·100·w_tail/(10·Σw) = 1.25 → clamps to 1 (keep ALL)
+    //   rate_head = 0.5·100·w_head/(90·Σw) ≈ 0.4167
+    val docs = ((0L until 90L).map(i => (i, "head")) ++
+      (90L until 100L).map(i => (i, "tail"))).toDF("doc_id", "source")
+    val kept = TrainingData.temperatureSample(docs, "source", "doc_id",
+        alpha = 0.5, targetFrac = 0.5, salt = "temp")
+      .as[(Long, String)].collect().toSet
+    assert((90L until 100L).forall(i => kept.contains((i, "tail"))))
+    // head survivors are EXACTLY the md5-prefix-below-threshold rows
+    val sw = 9486832L + 3162277L
+    val rate = math.min(1.0, 0.5 * 100.0 * 9486832.0 / (90.0 * sw.toDouble))
+    val thr = f"${math.floor(rate * 281474976710656.0).toLong}%012x"
+    val expectHead = (0L until 90L).filter { i =>
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"temp:$i".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      d.substring(0, 12) < thr
+    }.toSet
+    assert(kept.filter(_._2 == "head").map(_._1) == expectHead)
+    assert(expectHead.nonEmpty && expectHead.size < 90) // non-degenerate
+    // deterministic: a second evaluation selects the identical rows
+    val again = TrainingData.temperatureSample(docs, "source", "doc_id",
+      alpha = 0.5, targetFrac = 0.5, salt = "temp")
+      .as[(Long, String)].collect().toSet
+    assert(again == kept)
+  }
+
+  test("temperature sample: α=1 keeps every source at the flat target rate") {
+    // α=1 ⇒ w_i ∝ n_i ⇒ rate_i = targetFrac for every source (up to the
+    // 1e-6 weight quantization) — temperature OFF degenerates to uniform
+    val docs = ((0L until 400L).map(i => (i, "big")) ++
+      (400L until 440L).map(i => (i, "small"))).toDF("doc_id", "source")
+    val kept = TrainingData.temperatureSample(docs, "source", "doc_id",
+        alpha = 1.0, targetFrac = 0.5, salt = "t2")
+      .as[(Long, String)].collect()
+    val bysrc = kept.groupBy(_._2).map { case (k, v) => k -> v.length }
+    // ~50% of each, binomial-loose bounds
+    assert(bysrc("big") > 140 && bysrc("big") < 260, bysrc)
+    assert(bysrc("small") > 8 && bysrc("small") < 32, bysrc)
+  }
 }
