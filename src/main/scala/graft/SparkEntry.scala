@@ -362,6 +362,19 @@ object SparkEntry {
         .collect().map(r => (r.getString(1), r.getString(2))).toSeq
       graft.ops.Tokenizer.bpeTokenCounts(docs, "doc_id", "text", merges)
     }),
+    "q_bpe_encode" -> ((s, dir) => {
+      // the full tokenize-to-ids stage: train merges, induce the vocab
+      // numbering, encode every doc; the md5 column pins each doc's
+      // ENTIRE id sequence and the oracle re-derives training, vocab,
+      // AND per-position encoding
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val merges = graft.ops.Tokenizer
+        .fitBpeMerges(docs, "text", nMerges = 3, minCount = 2L)
+        .orderBy("merge_idx")
+        .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      graft.ops.Tokenizer.encodeBpeIds(docs, "doc_id", "text", merges,
+        graft.ops.Tokenizer.bpeVocab(docs, "text", merges))
+    }),
     "q_quality_docs" -> ((s, dir) => {
       // shared ANSI-safe expressions (TrainingData): empty text → NULL
       // ratios, matching DuckDB's x/0 = NULL on the oracle side
@@ -1137,6 +1150,54 @@ object SparkEntry {
          |       CAST(sum(wt.nt) AS BIGINT) AS n_bpe_tokens
          |FROM dw JOIN wt ON dw.word = wt.word
          |GROUP BY dw.doc_id""".stripMargin,
+    "q_bpe_encode" ->
+      // training (q_bpe_merges CTEs) + application (q_bpe_tokenize CTEs)
+      // + the vocab numbering (base symbols by binary varchar order ==
+      // Spark's code-point order; merge k at base-count + k; min-id per
+      // token) + the full per-position id sequence, fingerprinted with
+      // the same md5-of-space-joined-decimals the Spark column carries
+      s"""WITH RECURSIVE
+         |$bpeTrainingCtes,
+         |dw AS (SELECT doc_id, word FROM (
+         |         SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS word
+         |         FROM documents)
+         |       WHERE length(word) > 0),
+         |ws0 AS (SELECT DISTINCT word,
+         |          array_to_string(regexp_extract_all(word, '.'), ' ') ||
+         |            ' </w>' AS syms
+         |        FROM dw),
+         |${bpeApplyCte(1)},
+         |${bpeApplyCte(2)},
+         |${bpeApplyCte(3)},
+         |bsy AS (SELECT DISTINCT unnest(string_split(syms, ' ')) AS token
+         |        FROM ws0),
+         |base AS (SELECT token,
+         |           CAST(row_number() OVER (ORDER BY token) - 1 AS BIGINT) AS id
+         |         FROM bsy),
+         |nb AS (SELECT CAST(count(*) AS BIGINT) AS bc FROM base),
+         |ms AS (SELECT a || b AS token, 0 + (SELECT bc FROM nb) AS id FROM b1
+         |       UNION ALL
+         |       SELECT a || b, 1 + (SELECT bc FROM nb) FROM b2
+         |       UNION ALL
+         |       SELECT a || b, 2 + (SELECT bc FROM nb) FROM b3),
+         |vocab AS (SELECT token, CAST(min(id) AS BIGINT) AS id
+         |          FROM (SELECT * FROM base UNION ALL SELECT * FROM ms)
+         |          GROUP BY token),
+         |dd AS (SELECT doc_id, string_split_regex(text, '\\s+') AS wl
+         |       FROM documents),
+         |dwi AS (SELECT doc_id, wl[i] AS word, i AS wi
+         |        FROM dd, UNNEST(generate_series(1, len(wl))) AS u(i)
+         |        WHERE length(wl[i]) > 0),
+         |wtl AS (SELECT word, string_split(syms, ' ') AS tl FROM ws3),
+         |dwt AS (SELECT dwi.doc_id, dwi.wi, wtl.tl
+         |        FROM dwi JOIN wtl ON dwi.word = wtl.word),
+         |tok0 AS (SELECT doc_id, wi, v.j AS tj, tl[v.j] AS token
+         |         FROM dwt, UNNEST(generate_series(1, len(tl))) AS v(j)),
+         |tok AS (SELECT t.doc_id, t.wi, t.tj, vc.id AS tid
+         |        FROM tok0 t JOIN vocab vc ON t.token = vc.token)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bpe_tokens,
+         |       md5(string_agg(tid::VARCHAR, ' ' ORDER BY wi, tj)) AS ids_md5
+         |FROM tok GROUP BY doc_id""".stripMargin,
     "q_token_counts" ->
       """SELECT doc_id,
         | len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,

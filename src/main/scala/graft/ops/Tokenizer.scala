@@ -126,6 +126,70 @@ object Tokenizer {
       }.toDF(idCol, "n_words", "n_bpe_tokens")
   }
 
+  /** BPE vocabulary induced by (corpus, merges) — the id table a trainer
+    * ships with its merge list: base symbols (every distinct code-point
+    * symbol occurring in any word, plus the `</w>` sentinel) take ids
+    * 0..B-1 in CODE-POINT order (Spark UTF8String binary order == DuckDB
+    * varchar order, so the oracle re-derives the numbering with a plain
+    * ORDER BY), and merge k's fused symbol takes id B+k — the classical
+    * BPE numbering. A pathological merge chain can fuse a string equal
+    * to an existing token (e.g. rebuilding the sentinel from its own
+    * characters); ids stay unique by keeping the SMALLEST id per token.
+    * Driver-sized by construction: |base| is bounded by the code points
+    * in use (≤ Unicode), |merges| is the vocab budget. */
+  def bpeVocab(docs: DataFrame, textCol: String,
+               merges: Seq[(String, String)]): Seq[(String, Int)] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val base = wordCounts(docs, textCol).select(col("word")).as[String]
+      .flatMap(w => initialSymbols(w).split(' ').toSeq)
+      .distinct().collect()
+      .sortWith(cpCompare(_, _) < 0)
+    val all = base.zipWithIndex.toSeq ++
+      merges.zipWithIndex.map { case ((a, b), k) => (a + b, base.length + k) }
+    all.groupBy(_._1).map { case (t, xs) => (t, xs.map(_._2).min) }
+      .toSeq.sortBy(_._2)
+  }
+
+  /** Per-doc BPE id ENCODING — the last tokenizer stage a training
+    * pipeline runs: every word tokenized under the merge list
+    * ([[tokenizeWord]], per-partition word memo — Zipf makes the cost
+    * ~distinct-words), tokens mapped through the vocab. Emits
+    * (idCol, n_bpe_tokens, ids_md5) where `ids_md5` fingerprints the
+    * ENTIRE space-joined decimal id sequence — the whole sequence is
+    * pinned (any id, any position) without shipping 10^4 ints per row
+    * through the compare. Tokens outside the vocab (impossible when the
+    * vocab came from this corpus) encode as -1. */
+  def encodeBpeIds(docs: DataFrame, idCol: String, textCol: String,
+                   merges: Seq[(String, String)],
+                   vocab: Seq[(String, Int)]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val vmap = vocab.toMap
+    docs.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val memo = scala.collection.mutable.HashMap.empty[String, Array[Int]]
+        it.map { case (id, text) =>
+          val words = (if (text == null) "" else text)
+            .split("\\s+").filter(_.nonEmpty)
+          val sb = new java.lang.StringBuilder
+          var n = 0L
+          words.foreach { w =>
+            val ids = memo.getOrElseUpdate(w,
+              tokenizeWord(w, merges).map(t => vmap.getOrElse(t, -1)))
+            ids.foreach { tid =>
+              if (sb.length > 0) sb.append(' ')
+              sb.append(tid)
+              n += 1
+            }
+          }
+          (id, n, sb.toString)
+        }
+      }.toDF(idCol, "n_bpe_tokens", "__ids")
+      .select(col(idCol), col("n_bpe_tokens"), md5(col("__ids")).as("ids_md5"))
+  }
+
   /**
    * Fit `nMerges` BPE merges over a document frame. Returns
    * (merge_idx, lhs, rhs, pair_count) — fewer rows than `nMerges` if

@@ -123,4 +123,38 @@ class TokenizerSpec extends AnyFunSuite {
       .collect()
     assert(got.isEmpty) // every pair occurs once < minCount=2
   }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("bpeVocab + encodeBpeIds: hand-derived numbering and id sequences") {
+    val docs = Seq((1L, "ab ab ac"), (2L, "ab")).toDF("doc_id", "text")
+    val merges = Tokenizer.fitBpeMerges(docs, "text", nMerges = 2, minCount = 2L)
+      .orderBy("merge_idx")
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    // word counts ab:3 ac:1 → round 1: (a,b)=3 ties (b,</w>)=3, lex lhs
+    // a<b picks (a,b); round 2: (ab,</w>)=3
+    assert(merges == Seq(("a", "b"), ("ab", "</w>")))
+    // base symbols code-point-sorted: '<'(0x3C) < 'a' → </w>,a,b,c = 0..3;
+    // merge symbols follow: ab=4, ab</w>=5
+    val vocab = Tokenizer.bpeVocab(docs, "text", merges)
+    assert(vocab.toMap == Map("</w>" -> 0, "a" -> 1, "b" -> 2, "c" -> 3,
+      "ab" -> 4, "ab</w>" -> 5))
+    // ab → [ab</w>]=[5]; ac → [a,c,</w>]=[1,3,0]
+    val out = Tokenizer.encodeBpeIds(docs, "doc_id", "text", merges, vocab)
+      .as[(Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) == ((5L, md5hex("5 5 1 3 0"))))
+    assert(out(2L) == ((1L, md5hex("5"))))
+  }
+
+  test("encodeBpeIds: tokens outside the vocab encode as -1") {
+    val docs = Seq((3L, "ac")).toDF("doc_id", "text")
+    // a vocab missing 'c' (e.g. trained on an older corpus snapshot)
+    val vocab = Seq(("</w>", 0), ("a", 1))
+    val out = Tokenizer.encodeBpeIds(docs, "doc_id", "text", Nil, vocab)
+      .as[(Long, Long, String)].collect()
+    assert(out.toSeq == Seq((3L, 3L, md5hex("1 -1 0"))))
+  }
 }
