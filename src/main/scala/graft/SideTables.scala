@@ -145,6 +145,9 @@ object SideTables {
     // PII / paragraph corpora: the INPUT rows for q_pii_mask and
     // q_paragraph_dedup — DuckDB re-derives both operators from these
     save(SparkEntry.piiCorpus(spark, sfDir), "side_pii_docs")
+    // anchor-bearing link rows: the INPUT for q_anchor_stats — DuckDB
+    // re-derives the whole per-target anchor rollup from these
+    save(SparkEntry.anchorCorpus(spark, sfDir), "side_anchor_links")
     save(SparkEntry.paraCorpus(spark, sfDir), "side_paradocs")
     // near-dup pair rows: the INPUT for q_dedup_components — DuckDB
     // re-derives the transitive closure with WITH RECURSIVE

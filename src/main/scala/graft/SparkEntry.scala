@@ -240,6 +240,13 @@ object SparkEntry {
         .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
         .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 4).as("sum_value"))
     }),
+    "q_sessionize" -> ((s, dir) => {
+      // 30-min inactivity-gap sessionization (ops.Sessions scaladoc);
+      // the oracle re-derives the gap flags, running session counter,
+      // and per-session rollup with DuckDB's own windows
+      graft.ops.Sessions.sessionize(t(s, dir, "events"),
+        "user_id", "ts", "event_id", "event_type", gapSeconds = 1800L)
+    }),
 
     // ---- dedup-to-latest / windows (SURVEY §2.5/2.6) ----
     "q_latest_per_key" -> ((s, dir) => {
@@ -744,7 +751,12 @@ object SparkEntry {
       graft.ops.Stats.exactIntQuantiles(
         t(s, dir, "documents").select(
           graft.ops.TrainingData.nTokens(col("text")).as("n_tokens")),
-        "n_tokens", Seq(0.25, 0.5, 0.75, 0.9, 0.99)))
+        "n_tokens", Seq(0.25, 0.5, 0.75, 0.9, 0.99))),
+    "q_anchor_stats" -> ((s, dir) =>
+      // per-target anchor-text rollup over the planted corpus
+      // (side_anchor_links); the oracle re-derives counts, the
+      // (cnt DESC, anchor ASC) ranking, and both rollup joins
+      graft.ops.LinkGraph.anchorStats(anchorCorpus(s, dir), k = 5, salt = 8))
   )
 
   /** Deterministic PII-bearing corpus derived from the documents table —
@@ -752,6 +764,38 @@ object SparkEntry {
     * doc_id, with ~1/7 of docs email-free, ~1/3 carrying a second email,
     * and ~1/4 IP-free so the mask/count columns are non-degenerate.
     * Shared by q_pii_mask and SideTables (side_pii_docs). */
+  /** Deterministic anchor-bearing link corpus derived from the documents
+    * table — no external data: every doc emits three links (one to a HOT
+    * hub target so the salted top-k path is exercised, two to a ~25-way
+    * spread of site targets), anchor phrases picked from an 8-word vocab
+    * by an md5 index (engine-portable: conv(hex) in Spark == '0x' cast in
+    * DuckDB), with ~1/7 NULL and ~1/5 empty anchors so the text filter is
+    * non-degenerate. Shared by q_anchor_stats and SideTables
+    * (side_anchor_links). */
+  private[graft] def anchorCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val id = col("doc_id")
+    val vocab = array(Seq("click here", "read more", "docs", "home",
+      "details", "next page", "download", "reference").map(lit): _*)
+    def pick(saltTag: String) = element_at(vocab,
+      (pmod(conv(substring(md5(concat(id.cast("string"), lit(saltTag))),
+        1, 8), 16, 10).cast("long"), lit(8)) + lit(1)).cast("int"))
+    val src = concat(lit("https://src"), id.cast("string"),
+      lit(".example.com/page"))
+    val hub = d.select(src.as("src_url"),
+      lit("https://hub.example.com/").as("dst_url"),
+      pick("a").as("anchor"))
+    val site = concat(lit("https://site"), pmod(id, lit(25)).cast("string"),
+      lit(".example.com/doc"))
+    val l2 = d.select(src.as("src_url"), site.as("dst_url"),
+      when(pmod(id, lit(7)) === 0, lit(null).cast("string"))
+        .otherwise(pick("b")).as("anchor"))
+    val l3 = d.select(src.as("src_url"), site.as("dst_url"),
+      when(pmod(id, lit(5)) === 0, lit(""))
+        .otherwise(pick("c")).as("anchor"))
+    hub.unionAll(l2).unionAll(l3)
+  }
+
   private[graft] def piiCorpus(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
     val id = col("doc_id")
@@ -1052,6 +1096,32 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS hour, event_type,
         | count(*) AS cnt, round(sum(value), 4) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_sessionize" ->
+      // lag over the first row is NULL → CASE falls to 0, so session 0
+      // starts every user, matching the Spark otherwise(0) branch;
+      // timestamps compare as exact microsecond BIGINTs in both engines
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |             epoch_us(ts) AS us FROM events),
+        |g AS (SELECT *, CASE WHEN us - lag(us) OVER w > 1800000000
+        |                     THEN 1 ELSE 0 END AS newflag
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |sq AS (SELECT *, CAST(sum(newflag) OVER (PARTITION BY user_id
+        |          ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |          AS session_seq FROM g),
+        |fl AS (SELECT *,
+        |  first_value(event_id) OVER w2 AS first_event_id,
+        |  last_value(event_id) OVER
+        |    (PARTITION BY user_id, session_seq ORDER BY us, event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |    AS last_event_id
+        |  FROM sq WINDOW w2 AS (PARTITION BY user_id, session_seq
+        |                        ORDER BY us, event_id))
+        |SELECT user_id, session_seq, min(us) AS start_us, max(us) AS end_us,
+        |       count(*) AS n_events,
+        |       count(DISTINCT event_type) AS n_types,
+        |       min(first_event_id) AS first_event_id,
+        |       min(last_event_id) AS last_event_id
+        |FROM fl GROUP BY user_id, session_seq""".stripMargin,
     "q_latest_per_key" ->
       """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice FROM (
         | SELECT *, row_number() OVER (PARTITION BY o_custkey
@@ -2220,6 +2290,26 @@ object SparkEntry {
         |           ON cum >= greatest(CAST(1 AS BIGINT),
         |                CAST(ceil(q * CAST(total AS DOUBLE)) AS BIGINT)))
         |SELECT q, CAST(v AS BIGINT) AS value, cum AS n_le
-        |FROM pick WHERE rn = 1""".stripMargin
+        |FROM pick WHERE rn = 1""".stripMargin,
+    "q_anchor_stats" ->
+      // the whole operator re-derived from the exported corpus: text
+      // filter, (dst, anchor) counts, (cnt DESC, anchor ASC) ranking,
+      // the k=5 slice, and both per-target rollups
+      s"""WITH l AS (SELECT dst_url, anchor
+         |           FROM ${side("side_anchor_links")}
+         |           WHERE anchor IS NOT NULL AND anchor <> ''),
+         |c AS (SELECT dst_url, anchor, count(*) AS cnt FROM l GROUP BY 1, 2),
+         |t AS (SELECT dst_url, CAST(sum(cnt) AS BIGINT) AS n_refs,
+         |             count(*) AS n_distinct_anchors
+         |      FROM c GROUP BY 1),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY dst_url
+         |        ORDER BY cnt DESC, anchor ASC) AS rnk FROM c),
+         |k AS (SELECT dst_url,
+         |        min(CASE WHEN rnk = 1 THEN anchor END) AS top_anchor,
+         |        string_agg(anchor, '|' ORDER BY rnk) AS top_anchors
+         |      FROM r WHERE rnk <= 5 GROUP BY dst_url)
+         |SELECT t.dst_url, t.n_refs, t.n_distinct_anchors,
+         |       k.top_anchor, k.top_anchors
+         |FROM t JOIN k ON t.dst_url = k.dst_url""".stripMargin
   )
 }

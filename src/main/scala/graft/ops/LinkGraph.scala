@@ -162,4 +162,46 @@ object LinkGraph {
         sum(when(col("has_anchor") && col("target_exists") && !col("anchor_exists"), 1L)
           .otherwise(0L)).as("missing_anchors"))
   }
+
+  /** Anchor-text aggregation per link TARGET — the web-corpus signal
+    * behind anchor-text document augmentation (anchor phrases describe
+    * the target page better than the target's own boilerplate; used by
+    * search engines since PageRank and by LLM corpora as title/query
+    * surrogates). The reference extracts anchors per page
+    * (processing/link_extractor shape); this is the corpus-wide rollup.
+    *
+    * Scale shape: hot targets (a homepage linked by 10^7 pages) make
+    * per-target anchor lists unbounded, so nothing here collects raw
+    * anchors per key:
+    *   - (dst, anchor) counts are a map-side-combinable agg — the
+    *     shuffle carries one row per distinct (target, phrase) per
+    *     mapper,
+    *   - the top-k phrases per target run through the exact salted
+    *     two-stage top-k ([[Skew.saltedTopKPerKey]]) — a hot target's
+    *     distinct phrases spread over S reducers, never one task,
+    *   - the final per-target row aggregates exactly k bounded structs.
+    *
+    * Emits (dst_url, n_refs, n_distinct_anchors, top_anchor,
+    * top_anchors) with top_anchors the '|'-joined top-k phrases in
+    * (count DESC, anchor ASC) rank order. Empty/NULL anchors are
+    * uncounted (they carry no text signal). */
+  def anchorStats(links: DataFrame, k: Int = 5, salt: Int = 8): DataFrame = {
+    val withText = links
+      .filter(col("anchor").isNotNull && col("anchor") =!= lit(""))
+      .select(col("dst_url"), col("anchor"))
+    val counts = withText.groupBy(col("dst_url"), col("anchor"))
+      .agg(count(lit(1)).as("cnt"))
+    val totals = counts.groupBy(col("dst_url"))
+      .agg(sum(col("cnt")).as("n_refs"),
+        count(lit(1)).as("n_distinct_anchors"))
+    val top = Skew.saltedTopKPerKey(counts, "dst_url", "cnt", "anchor",
+        k = k, S = salt)
+      .groupBy(col("dst_url"))
+      .agg(
+        min_by(col("anchor"), col("rnk")).as("top_anchor"),
+        array_join(transform(array_sort(
+            collect_list(struct(col("rnk"), col("anchor")))),
+          s => s("anchor")), "|").as("top_anchors"))
+    totals.join(top, Seq("dst_url"))
+  }
 }

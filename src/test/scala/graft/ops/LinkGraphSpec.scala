@@ -52,4 +52,43 @@ class LinkGraphSpec extends AnyFunSuite {
     assert(e.getAs[Long]("pagination") == 1)
     assert(e.getAs[Long]("missing_anchors") == 1)
   }
+
+  test("anchorStats: counts, rank order, tie-breaks, text filter") {
+    val links = Seq(
+      ("s1", "https://t.com/", "docs"),
+      ("s2", "https://t.com/", "docs"),
+      ("s3", "https://t.com/", "home"),   // cnt tie with "api" → anchor asc
+      ("s4", "https://t.com/", "api"),
+      ("s5", "https://t.com/", null),     // uncounted
+      ("s6", "https://t.com/", ""),       // uncounted
+      ("s7", "https://u.com/", "only")
+    ).toDF("src_url", "dst_url", "anchor")
+    val out = LinkGraph.anchorStats(links, k = 2, salt = 4).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val tRow = out("https://t.com/")
+    assert(tRow.getAs[Long]("n_refs") == 4)
+    assert(tRow.getAs[Long]("n_distinct_anchors") == 3)
+    assert(tRow.getAs[String]("top_anchor") == "docs")
+    // k=2: docs(2) then the cnt-1 tie api<home → "docs|api"
+    assert(tRow.getAs[String]("top_anchors") == "docs|api")
+    val uRow = out("https://u.com/")
+    assert(uRow.getAs[Long]("n_refs") == 1)
+    assert(uRow.getAs[String]("top_anchors") == "only")
+  }
+
+  test("anchorStats: hot target exact under salting (vs direct window)") {
+    import org.apache.spark.sql.functions._
+    // one hot target with 40 distinct anchors at varied counts
+    val rows = (0 until 120).map { i =>
+      (s"s$i", "https://hot.com/", s"a${i % 40}")
+    }
+    val links = rows.toDF("src_url", "dst_url", "anchor")
+    val got = LinkGraph.anchorStats(links, k = 5, salt = 8)
+      .filter(col("dst_url") === "https://hot.com/").collect()(0)
+    // every anchor occurs exactly 3 times → pure anchor-asc tie-break:
+    // a0 < a1 < a10 < a11 < a12 (string order)
+    assert(got.getAs[Long]("n_refs") == 120)
+    assert(got.getAs[Long]("n_distinct_anchors") == 40)
+    assert(got.getAs[String]("top_anchors") == "a0|a1|a10|a11|a12")
+  }
 }
