@@ -148,6 +148,9 @@ object SideTables {
     // anchor-bearing link rows: the INPUT for q_anchor_stats — DuckDB
     // re-derives the whole per-target anchor rollup from these
     save(SparkEntry.anchorCorpus(spark, sfDir), "side_anchor_links")
+    // encoding-damage rows: the INPUT for q_encoding_quality — DuckDB
+    // re-runs the identical damage regexes + flag cross-multiply
+    save(SparkEntry.mojiCorpus(spark, sfDir), "side_mojidocs")
     save(SparkEntry.paraCorpus(spark, sfDir), "side_paradocs")
     // near-dup pair rows: the INPUT for q_dedup_components — DuckDB
     // re-derives the transitive closure with WITH RECURSIVE

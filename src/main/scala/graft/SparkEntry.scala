@@ -756,8 +756,29 @@ object SparkEntry {
       // per-target anchor-text rollup over the planted corpus
       // (side_anchor_links); the oracle re-derives counts, the
       // (cnt DESC, anchor ASC) ranking, and both rollup joins
-      graft.ops.LinkGraph.anchorStats(anchorCorpus(s, dir), k = 5, salt = 8))
+      graft.ops.LinkGraph.anchorStats(anchorCorpus(s, dir), k = 5, salt = 8)),
+    "q_encoding_quality" -> ((s, dir) =>
+      // encoding-damage signals over the planted corpus (side_mojidocs);
+      // the oracle runs the IDENTICAL RE2∩Java pattern strings in DuckDB
+      graft.textstats.Encoding.encodingQuality(
+        mojiCorpus(s, dir), "doc_id", "text")),
+    "q_bm25_topk" -> ((s, dir) =>
+      // rational-IDF BM25 top-10 per query (ops.Retrieval scaladoc — the
+      // log-free engine-exact variant, per-term contributions quantized
+      // to order-independent BIGINTs); the oracle recomputes the whole
+      // index + scoring node-for-node in DuckDB
+      graft.ops.Retrieval.bm25TopK(t(s, dir, "documents"),
+        "doc_id", "text", retrievalQueries, k = 10, salt = 8))
   )
+
+  /** Query set for q_bm25_topk — terms from the synthetic documents
+    * vocabulary; shared by the Spark query and the oracle's VALUES. */
+  private[graft] val retrievalQueries: Seq[(String, Seq[String])] = Seq(
+    "q01" -> Seq("spark", "join"),
+    "q02" -> Seq("window", "sort", "table"),
+    "q03" -> Seq("vector", "stream"),
+    "q04" -> Seq("customer", "query", "filter"),
+    "q05" -> Seq("hash", "merge", "batch"))
 
   /** Deterministic PII-bearing corpus derived from the documents table —
     * no external data: per-doc email/IPv4 literals are arithmetic in
@@ -794,6 +815,29 @@ object SparkEntry {
       when(pmod(id, lit(5)) === 0, lit(""))
         .otherwise(pick("c")).as("anchor"))
     hub.unionAll(l2).unionAll(l3)
+  }
+
+  /** Deterministic encoding-damage corpus: by doc_id, 1/31 of docs get a
+    * HEAVY mojibake tail (trips the 0.5% flag on ordinary lengths), the
+    * rest rotate through replacement-char / 2-byte mojibake / 3-byte
+    * mojibake / C1-control / clean tails (codepoints constructed
+    * programmatically — no raw controls in source). Shared by
+    * q_encoding_quality and SideTables (side_mojidocs). */
+  private[graft] def mojiCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val id = col("doc_id")
+    def cp(c: Int) = new String(Character.toChars(c))
+    val rep = cp(0xFFFD)
+    val moji2 = cp(0xC3) + cp(0xAF)            // Ã-lead 2-byte signature
+    val moji3 = cp(0xE2) + cp(0x80) + cp(0x99) // â-lead 3-byte, C1 tails
+    val heavy = (moji3 + "s " + moji2 + "x ") * 10
+    val inj = when(pmod(id, lit(31)) === 0, lit(" " + heavy))
+      .when(pmod(id, lit(5)) === 0, lit(" caf" + rep + " broken"))
+      .when(pmod(id, lit(5)) === 1, lit(" na" + moji2 + "ve plan"))
+      .when(pmod(id, lit(5)) === 2, lit(" it" + moji3 + "s quote"))
+      .when(pmod(id, lit(5)) === 3, lit(" bad" + cp(0x85) + "line"))
+      .otherwise(lit(" clean tail"))
+    d.select(id, concat(substring(col("text"), 1, 150), inj).as("text"))
   }
 
   private[graft] def piiCorpus(s: SparkSession, dir: String): DataFrame = {
@@ -2310,6 +2354,69 @@ object SparkEntry {
          |      FROM r WHERE rnk <= 5 GROUP BY dst_url)
          |SELECT t.dst_url, t.n_refs, t.n_distinct_anchors,
          |       k.top_anchor, k.top_anchors
-         |FROM t JOIN k ON t.dst_url = k.dst_url""".stripMargin
+         |FROM t JOIN k ON t.dst_url = k.dst_url""".stripMargin,
+    "q_encoding_quality" ->
+      // the identical pattern strings (RE2∩Java subset; disjoint-lead
+      // alternation, so leftmost-first vs leftmost-longest cannot
+      // diverge); flag is the exact damage*200 > len cross-multiply
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '\\x{FFFD}')) AS BIGINT)
+         |    AS n_replacement,
+         |  CAST(len(regexp_extract_all(text, '[\\x{0080}-\\x{009F}]'))
+         |    AS BIGINT) AS n_c1,
+         |  CAST(len(regexp_extract_all(text,
+         |    '[\\x{00C2}\\x{00C3}][\\x{0080}-\\x{00BF}]|\\x{00E2}[\\x{0080}-\\x{00BF}]{2}'))
+         |    AS BIGINT) AS n_moji,
+         |  (CAST(len(regexp_extract_all(text, '\\x{FFFD}')) AS BIGINT)
+         |   + CAST(len(regexp_extract_all(text, '[\\x{0080}-\\x{009F}]')) AS BIGINT)
+         |   + CAST(len(regexp_extract_all(text,
+         |       '[\\x{00C2}\\x{00C3}][\\x{0080}-\\x{00BF}]|\\x{00E2}[\\x{0080}-\\x{00BF}]{2}'))
+         |       AS BIGINT)) * 200 > CAST(len(text) AS BIGINT) AS enc_suspect
+         |FROM ${side("side_mojidocs")}""".stripMargin,
+    "q_bm25_topk" ->
+      // the whole retrieval pipeline re-derived: tokenization, tf/df/dl,
+      // the global (N, total-tokens) scalar, the rational-IDF BM25 tree
+      // with every float literal CAST to DOUBLE and the EXACT same
+      // parenthesization as the Spark expressions (all nodes are
+      // correctly-rounded IEEE +,-,*,/ so the doubles are bit-identical),
+      // per-term quantization, integer score sums, and the
+      // (score DESC, doc_id ASC) top-10
+      s"""WITH tok0 AS (SELECT doc_id,
+         |    unnest(string_split_regex(lower(text), '\\s+')) AS term
+         |  FROM documents),
+         |tok AS (SELECT doc_id, term FROM tok0 WHERE length(term) > 0),
+         |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+         |       FROM tok GROUP BY 1, 2),
+         |tfdl AS (SELECT doc_id, term, tf,
+         |           CAST(sum(tf) OVER (PARTITION BY doc_id) AS BIGINT) AS dl
+         |         FROM tf),
+         |dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+         |        FROM tf GROUP BY 1),
+         |g AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n,
+         |             CAST(count(*) AS BIGINT) AS tt FROM tok),
+         |qt AS (SELECT * FROM (VALUES ${retrievalQueries.flatMap {
+            case (q, ts) => ts.map(tm => s"('$q','$tm')")
+          }.mkString(", ")}) AS v(query_id, term)),
+         |sc AS (SELECT qt.query_id, d.doc_id, CAST(floor(
+         |    ((((CAST(g.n AS DOUBLE) - CAST(f.df AS DOUBLE))
+         |        + CAST(0.5 AS DOUBLE))
+         |      / (CAST(f.df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+         |     * ((CAST(d.tf AS DOUBLE)
+         |         * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+         |        / (CAST(d.tf AS DOUBLE) + CAST(1.2 AS DOUBLE)
+         |           * ((CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE))
+         |              + (CAST(0.75 AS DOUBLE) * CAST(d.dl AS DOUBLE))
+         |                / (CAST(g.tt AS DOUBLE) / CAST(g.n AS DOUBLE))))))
+         |    * CAST(1048576.0 AS DOUBLE)) AS BIGINT) AS contrib
+         |  FROM qt JOIN dfq f ON qt.term = f.term
+         |       JOIN tfdl d ON qt.term = d.term
+         |       CROSS JOIN g),
+         |s2 AS (SELECT query_id, doc_id, CAST(sum(contrib) AS BIGINT)
+         |         AS score
+         |       FROM sc GROUP BY 1, 2)
+         |SELECT query_id, doc_id, score, rnk FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY score DESC, doc_id ASC) AS rnk FROM s2)
+         |WHERE rnk <= 10""".stripMargin
   )
 }
