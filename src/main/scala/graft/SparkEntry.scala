@@ -768,7 +768,14 @@ object SparkEntry {
       // to order-independent BIGINTs); the oracle recomputes the whole
       // index + scoring node-for-node in DuckDB
       graft.ops.Retrieval.bm25TopK(t(s, dir, "documents"),
-        "doc_id", "text", retrievalQueries, k = 10, salt = 8))
+        "doc_id", "text", retrievalQueries, k = 10, salt = 8)),
+    "q_embedding_drift" -> ((s, dir) =>
+      // per-label exact quantized centroids + the 10 lowest-affinity
+      // vectors per label (ops.Drift); the oracle re-derives the
+      // quantization, integer sums, centroid divisions, cosine, and
+      // ascending rank in DuckDB from the raw embeddings alone
+      graft.ops.Drift.centroidOutliers(t(s, dir, "embeddings"),
+        "vec_id", "embedding", "label", k = 10, salt = 8))
   )
 
   /** Query set for q_bm25_topk — terms from the synthetic documents
@@ -2417,6 +2424,33 @@ object SparkEntry {
          |SELECT query_id, doc_id, score, rnk FROM (
          |  SELECT *, row_number() OVER (PARTITION BY query_id
          |    ORDER BY score DESC, doc_id ASC) AS rnk FROM s2)
-         |WHERE rnk <= 10""".stripMargin
+         |WHERE rnk <= 10""".stripMargin,
+    "q_embedding_drift" ->
+      // quantized-integer centroid means (order-independent BIGINT sums;
+      // the two divisions back to double are correctly-rounded IEEE ops),
+      // cosine via DuckDB's list engine rounded to 6 (the repo's
+      // cross-engine float convention), ascending-affinity rank
+      """WITH e AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, label,
+        |            CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |comp AS (SELECT label, u.i AS pos,
+        |           CAST(floor(v[u.i] * CAST(1048576.0 AS DOUBLE)) AS BIGINT)
+        |             AS q
+        |         FROM e, UNNEST(generate_series(1, len(v))) AS u(i)),
+        |sums AS (SELECT label, pos, CAST(sum(q) AS BIGINT) AS sq,
+        |                count(*) AS cnt
+        |         FROM comp GROUP BY 1, 2),
+        |cents AS (SELECT label, list(c ORDER BY pos) AS cv FROM (
+        |            SELECT label, pos,
+        |              (CAST(sq AS DOUBLE) / CAST(1048576.0 AS DOUBLE))
+        |                / CAST(cnt AS DOUBLE) AS c
+        |            FROM sums) GROUP BY label),
+        |cs AS (SELECT e.vec_id, e.label,
+        |         round(list_dot_product(e.v, c.cv) /
+        |           (sqrt(list_dot_product(e.v, e.v)) *
+        |            sqrt(list_dot_product(c.cv, c.cv))), 6) AS cent_cos
+        |       FROM e JOIN cents c ON e.label = c.label),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY label
+        |        ORDER BY cent_cos ASC, vec_id) AS rnk FROM cs)
+        |SELECT label, vec_id, cent_cos, rnk FROM r WHERE rnk <= 10""".stripMargin
   )
 }
