@@ -775,7 +775,13 @@ object SparkEntry {
       // quantization, integer sums, centroid divisions, cosine, and
       // ascending rank in DuckDB from the raw embeddings alone
       graft.ops.Drift.centroidOutliers(t(s, dir, "embeddings"),
-        "vec_id", "embedding", "label", k = 10, salt = 8))
+        "vec_id", "embedding", "label", k = 10, salt = 8)),
+    "q_split_context" -> ((s, dir) =>
+      // 16-token chunks with 4-token overlap (TrainingData.splitForContext
+      // — non-redundant trailing-start rule); the oracle re-derives every
+      // start index, slice, and canonical re-spaced chunk text
+      graft.ops.TrainingData.splitForContext(t(s, dir, "documents"),
+        "doc_id", "text", maxTokens = 16, overlap = 4))
   )
 
   /** Query set for q_bm25_topk — terms from the synthetic documents
@@ -2451,6 +2457,27 @@ object SparkEntry {
         |       FROM e JOIN cents c ON e.label = c.label),
         |r AS (SELECT *, row_number() OVER (PARTITION BY label
         |        ORDER BY cent_cos ASC, vec_id) AS rnk FROM cs)
-        |SELECT label, vec_id, cent_cos, rnk FROM r WHERE rnk <= 10""".stripMargin
+        |SELECT label, vec_id, cent_cos, rnk FROM r WHERE rnk <= 10""".stripMargin,
+    "q_split_context" ->
+      // maxTokens=16, overlap=4, step=12; last start = the largest
+      // k·step with k·step + overlap < n (negatives clamp to 0, so the
+      // // floor-vs-truncate difference is immaterial); 1-based inclusive
+      // list slice == Spark's slice(toks, start+1, maxTokens)
+      """WITH d AS (SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'),
+        |                t -> length(t) > 0) AS toks
+        |  FROM documents),
+        |nn AS (SELECT doc_id, toks, len(toks) AS n
+        |       FROM d WHERE len(toks) > 0),
+        |st AS (SELECT doc_id, toks, u.s AS start_tok
+        |       FROM nn, UNNEST(generate_series(0,
+        |         greatest(0, (n - 4 - 1) // 12) * 12, 12)) AS u(s)),
+        |ck AS (SELECT doc_id, start_tok,
+        |         toks[start_tok + 1 : start_tok + 16] AS chunk FROM st)
+        |SELECT doc_id, CAST(start_tok // 12 AS BIGINT) AS chunk_idx,
+        |       CAST(start_tok AS BIGINT) AS start_tok,
+        |       CAST(len(chunk) AS BIGINT) AS n_chunk_tokens,
+        |       array_to_string(chunk, ' ') AS chunk_text
+        |FROM ck""".stripMargin
   )
 }

@@ -422,4 +422,44 @@ object TrainingData {
       / targetRowsPerStream.toDouble).toLong
     math.min(4096L, math.max(1L, want)).toInt
   }
+
+  /** Context-window chunking with overlap — the splitter feeding an
+    * embedding index or a fixed-window trainer: a doc's whitespace tokens
+    * become chunks of `maxTokens` starting every `maxTokens - overlap`
+    * positions, the last chunk allowed shorter but NEVER redundant (a
+    * start is emitted only while it contributes at least one token the
+    * previous chunk did not — start + overlap < n, so an n ≤ maxTokens
+    * doc is exactly one chunk). Pure per-row Catalyst
+    * (split → sequence → explode → slice): no shuffle anywhere, the
+    * operator scales as a map. Emits (idCol, chunk_idx, start_tok,
+    * n_chunk_tokens, chunk_text) with chunk_text the single-space join
+    * (the tokenizer-facing canonical form, NOT the original spacing —
+    * stated because the byte-identity contract elsewhere in this repo
+    * makes silent re-spacing a bug; here it is the defined output). */
+  def splitForContext(docs: DataFrame, idCol: String, textCol: String,
+                      maxTokens: Int, overlap: Int): DataFrame = {
+    require(maxTokens > 0, s"maxTokens must be positive: $maxTokens")
+    require(overlap >= 0 && overlap < maxTokens,
+      s"overlap must be in [0, maxTokens): $overlap")
+    val step = maxTokens - overlap
+    val toks = filter(split(coalesce(col(textCol), lit("")), "\\s+"),
+      t => length(t) > 0)
+    docs.select(col(idCol), toks.as("__toks"))
+      .withColumn("__n", size(col("__toks")))
+      .filter(col("__n") > 0)
+      // last start index: the largest k·step with k·step + overlap < n;
+      // truncation vs floor is immaterial — negatives clamp to 0
+      .withColumn("__last", greatest(lit(0),
+        ((col("__n") - lit(overlap) - lit(1)) / lit(step)).cast("int"))
+        * lit(step))
+      .withColumn("start_tok",
+        explode(sequence(lit(0), col("__last"), lit(step))))
+      .withColumn("__chunk",
+        slice(col("__toks"), col("start_tok") + lit(1), lit(maxTokens)))
+      .select(col(idCol),
+        (col("start_tok") / lit(step)).cast("long").as("chunk_idx"),
+        col("start_tok").cast("long").as("start_tok"),
+        size(col("__chunk")).cast("long").as("n_chunk_tokens"),
+        array_join(col("__chunk"), " ").as("chunk_text"))
+  }
 }

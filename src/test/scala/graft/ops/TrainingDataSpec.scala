@@ -333,4 +333,52 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(bysrc("big") > 140 && bysrc("big") < 260, bysrc)
     assert(bysrc("small") > 8 && bysrc("small") < 32, bysrc)
   }
+
+  private def chunksOf(text: String, maxTokens: Int, overlap: Int) =
+    TrainingData.splitForContext(Seq((1L, text)).toDF("doc_id", "text"),
+        "doc_id", "text", maxTokens, overlap)
+      .as[(Long, Long, Long, Long, String)].collect()
+      .sortBy(_._2).map(r => (r._2, r._3, r._4, r._5)).toSeq
+
+  test("splitForContext: hand-derived chunks with overlap") {
+    val text = (0 until 10).map(i => s"t$i").mkString(" ")
+    // maxTokens 8, overlap 2 → step 6: starts 0 and 6
+    assert(chunksOf(text, 8, 2) == Seq(
+      (0L, 0L, 8L, (0 until 8).map(i => s"t$i").mkString(" ")),
+      (1L, 6L, 4L, (6 until 10).map(i => s"t$i").mkString(" "))))
+  }
+
+  test("splitForContext: a doc within maxTokens is exactly one chunk, " +
+    "and a would-be-redundant trailing start is never emitted") {
+    val t8 = (0 until 8).map(i => s"t$i").mkString(" ")
+    assert(chunksOf(t8, 8, 2).map(_._1) == Seq(0L))
+    // n = 12, maxTokens 8, overlap 4 → step 4: start 8 adds tokens 8..11
+    // (new), but n = 8 + overlap would not — check both sides of the rule
+    val t12 = (0 until 12).map(i => s"t$i").mkString(" ")
+    assert(chunksOf(t12, 8, 4).map(_._2) == Seq(0L, 4L))
+    val t9 = (0 until 9).map(i => s"t$i").mkString(" ")
+    assert(chunksOf(t9, 8, 4).map(_._2) == Seq(0L, 4L))
+  }
+
+  test("splitForContext: every token covered, consecutive overlap exact") {
+    val n = 47
+    val text = (0 until n).map(i => s"w$i").mkString("  ") // double spaces
+    val out = chunksOf(text, 16, 4)
+    val covered = out.flatMap { case (_, s, len, _) => s until (s + len) }
+    assert(covered.toSet == (0 until n).toSet)
+    out.sliding(2).foreach {
+      case Seq((_, s1, l1, _), (_, s2, _, _)) =>
+        assert(s1 + l1 - s2 == 4L) // full chunks overlap by exactly 4
+      case _ =>
+    }
+  }
+
+  test("splitForContext: null and empty text produce no chunks") {
+    val rows = Seq((1L, null.asInstanceOf[String]), (2L, "   "), (3L, "one"))
+    val out = TrainingData.splitForContext(rows.toDF("doc_id", "text"),
+        "doc_id", "text", 8, 2)
+      .as[(Long, Long, Long, Long, String)].collect()
+    assert(out.map(_._1).toSeq == Seq(3L))
+    assert(out.head._5 == "one")
+  }
 }
