@@ -781,7 +781,13 @@ object SparkEntry {
       // — non-redundant trailing-start rule); the oracle re-derives every
       // start index, slice, and canonical re-spaced chunk text
       graft.ops.TrainingData.splitForContext(t(s, dir, "documents"),
-        "doc_id", "text", maxTokens = 16, overlap = 4))
+        "doc_id", "text", maxTokens = 16, overlap = 4)),
+    "q_doc_keywords" -> ((s, dir) =>
+      // top-3 TF-IDF keywords per doc on the bm25 grid (Retrieval
+      // scaladoc); the oracle re-derives tf/df, the quantized scores,
+      // and the (score DESC, term ASC) ranking in DuckDB
+      graft.ops.Retrieval.tfidfKeywords(t(s, dir, "documents"),
+        "doc_id", "text", m = 3))
   )
 
   /** Query set for q_bm25_topk — terms from the synthetic documents
@@ -2478,6 +2484,32 @@ object SparkEntry {
         |       CAST(start_tok AS BIGINT) AS start_tok,
         |       CAST(len(chunk) AS BIGINT) AS n_chunk_tokens,
         |       array_to_string(chunk, ' ') AS chunk_text
-        |FROM ck""".stripMargin
+        |FROM ck""".stripMargin,
+    "q_doc_keywords" ->
+      // same index CTEs as q_bm25_topk, per-DOC ranking instead of
+      // per-query; the score tree mirrors Spark's parenthesization
+      """WITH tok0 AS (SELECT doc_id,
+        |    unnest(string_split_regex(lower(text), '\s+')) AS term
+        |  FROM documents),
+        |tok AS (SELECT doc_id, term FROM tok0 WHERE length(term) > 0),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |       FROM tok GROUP BY 1, 2),
+        |dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+        |        FROM tf GROUP BY 1),
+        |g AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n
+        |      FROM tok),
+        |sc AS (SELECT tf.doc_id, tf.term, CAST(floor(
+        |    (CAST(tf.tf AS DOUBLE)
+        |     * (((CAST(g.n AS DOUBLE) - CAST(f.df AS DOUBLE))
+        |         + CAST(0.5 AS DOUBLE))
+        |        / (CAST(f.df AS DOUBLE) + CAST(0.5 AS DOUBLE))))
+        |    * CAST(1048576.0 AS DOUBLE)) AS BIGINT) AS q
+        |  FROM tf JOIN dfq f ON tf.term = f.term CROSS JOIN g),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY q DESC, term ASC) AS rnk FROM sc)
+        |SELECT doc_id, string_agg(term, '|' ORDER BY rnk) AS keywords,
+        |       CAST(max(CASE WHEN rnk = 1 THEN q END) AS BIGINT)
+        |         AS top_score
+        |FROM r WHERE rnk <= 3 GROUP BY doc_id""".stripMargin
   )
 }

@@ -42,11 +42,10 @@ object Retrieval {
     * Emits (query_id, doc_id, score, rnk) — top `k` docs per query by
     * (score DESC, doc_id ASC). Scores are the quantized-integer BM25
     * described above. */
-  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
-               queries: Seq[(String, Seq[String])], k: Int = 10,
-               salt: Int = 8): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
+  /** Shared index statistics: (term frequencies + per-doc lengths,
+    * document frequencies, the global (N, total-tokens) scalar). */
+  private def termStats(docs: DataFrame, idCol: String, textCol: String)
+      : (DataFrame, DataFrame, DataFrame) = {
     val toks = docs.select(col(idCol).as("doc_id"),
         explode(split(lower(coalesce(col(textCol), lit(""))), "\\s+"))
           .as("term"))
@@ -58,6 +57,20 @@ object Retrieval {
     val dfq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val g = toks.agg(countDistinct(col("doc_id")).as("n"),
       count(lit(1)).as("tt"))
+    (tfdl, dfq, g)
+  }
+
+  /** The rational IDF shared by both scorers (scaladoc above). */
+  private def rationalIdf(nD: org.apache.spark.sql.Column,
+                          dfD: org.apache.spark.sql.Column) =
+    ((nD - dfD) + lit(0.5)) / (dfD + lit(0.5))
+
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               queries: Seq[(String, Seq[String])], k: Int = 10,
+               salt: Int = 8): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val (tfdl, dfq, g) = termStats(docs, idCol, textCol)
     val qdf = queries.flatMap { case (q, ts) => ts.map(t => (q, t)) }
       .toDF("query_id", "term")
     val qd = broadcast(broadcast(qdf).join(dfq, Seq("term")))
@@ -69,7 +82,7 @@ object Retrieval {
     val tfD = col("tf").cast("double")
     val dlD = col("dl").cast("double")
     val avgdl = col("tt").cast("double") / nD
-    val idf = ((nD - dfD) + lit(0.5)) / (dfD + lit(0.5))
+    val idf = rationalIdf(nD, dfD)
     val tfs = (tfD * (lit(1.2) + lit(1.0))) /
       (tfD + lit(1.2) * ((lit(1.0) - lit(0.75)) + (lit(0.75) * dlD) / avgdl))
     val contrib = floor((idf * tfs) * lit(1048576.0)).cast("long")
@@ -81,5 +94,41 @@ object Retrieval {
     Skew.saltedTopKPerKey(scored, "query_id", "score", "doc_id",
         k = k, S = salt)
       .select(col("query_id"), col("doc_id"), col("score"), col("rnk"))
+  }
+
+  /** Per-doc TF-IDF keyword extraction — the tagging/topical-audit twin
+    * of [[bm25TopK]]: every doc's `m` highest-scoring terms under
+    * tf · rational-IDF, quantized to BIGINT with the same 2^20 grid so
+    * the ranking is integer-exact and the oracle re-derives it. The
+    * per-doc ranking window is SAFE without salting: its partition is
+    * one document's distinct terms — bounded by doc length, not corpus
+    * size (unlike a per-query ranking, where one key can match half the
+    * corpus). Emits (idCol, keywords, top_score) with keywords the
+    * '|'-joined top-m terms in (score DESC, term ASC) order. */
+  def tfidfKeywords(docs: DataFrame, idCol: String, textCol: String,
+                    m: Int = 3): DataFrame = {
+    val (tfdl, dfq, g) = termStats(docs, idCol, textCol)
+    val nD = col("n").cast("double")
+    val dfD = col("df").cast("double")
+    val tfD = col("tf").cast("double")
+    val q = floor((tfD * rationalIdf(nD, dfD)) * lit(1048576.0)).cast("long")
+    // df is needed for EVERY term here (not a query slice), so the
+    // term-keyed join is a real shuffle join — both sides are already
+    // (term)-keyed aggregates of the same scan; only the scalar broadcasts
+    val ranked = tfdl
+      .join(dfq, Seq("term"))
+      .crossJoin(broadcast(g))
+      .select(col("doc_id"), col("term"), q.as("q"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("q").desc, col("term").asc)))
+      .filter(col("rnk") <= m)
+    ranked.groupBy(col("doc_id"))
+      .agg(
+        array_join(transform(array_sort(
+            collect_list(struct(col("rnk"), col("term")))),
+          s => s("term")), "|").as("keywords"),
+        max(when(col("rnk") === 1, col("q"))).as("top_score"))
+      .select(col("doc_id").as(idCol), col("keywords"), col("top_score"))
   }
 }

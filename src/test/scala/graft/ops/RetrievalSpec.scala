@@ -78,4 +78,34 @@ class RetrievalSpec extends AnyFunSuite {
     val out = sparkBm25(Seq("durian"), 10).map(_._1)
     assert(out.contains(3L) && out.contains(4L))
   }
+
+  /** Independent local TF-IDF keywords (same rational IDF + grid). */
+  private def localKeywords(docs: Seq[(Long, String)],
+                            m: Int): Map[Long, (String, Long)] = {
+    val tokenized = docs
+      .map { case (id, t) =>
+        id -> t.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq }
+      .filter(_._2.nonEmpty)
+    val n = tokenized.size.toDouble
+    val dfm = tokenized.flatMap { case (id, ts) => ts.distinct.map(_ -> id) }
+      .groupBy(_._1).map { case (t, xs) => t -> xs.size.toDouble }
+    tokenized.map { case (id, ts) =>
+      val scored = ts.groupBy(identity).toSeq.map { case (t, xs) =>
+        val idf = ((n - dfm(t)) + 0.5) / (dfm(t) + 0.5)
+        t -> math.floor((xs.size.toDouble * idf) * 1048576.0).toLong
+      }
+      val top = scored.sortBy { case (t, q) => (-q, t) }.take(m)
+      id -> ((top.map(_._1).mkString("|"), top.head._2))
+    }.toMap
+  }
+
+  test("tfidfKeywords: differential vs the independent local implementation") {
+    for (m <- Seq(1, 2, 4)) {
+      val got = Retrieval.tfidfKeywords(corpus.toDF("doc_id", "text"),
+          "doc_id", "text", m = m)
+        .as[(Long, String, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(got == localKeywords(corpus, m), s"m=$m")
+    }
+  }
 }
