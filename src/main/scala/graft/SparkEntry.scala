@@ -787,7 +787,15 @@ object SparkEntry {
       // scaladoc); the oracle re-derives tf/df, the quantized scores,
       // and the (score DESC, term ASC) ranking in DuckDB
       graft.ops.Retrieval.tfidfKeywords(t(s, dir, "documents"),
-        "doc_id", "text", m = 3))
+        "doc_id", "text", m = 3)),
+    "q_source_quantiles" -> ((s, dir) =>
+      // per-source exact token-count quantiles (the grouped flavor of
+      // q_token_quantiles; the ordered step is a per-group window, no
+      // global single partition anywhere)
+      graft.ops.Stats.exactIntQuantilesByGroup(
+        t(s, dir, "documents").select(col("source"),
+          graft.ops.TrainingData.nTokens(col("text")).as("n_tokens")),
+        "source", "n_tokens", Seq(0.5, 0.9, 0.99)))
   )
 
   /** Query set for q_bm25_topk — terms from the synthetic documents
@@ -2510,6 +2518,27 @@ object SparkEntry {
         |SELECT doc_id, string_agg(term, '|' ORDER BY rnk) AS keywords,
         |       CAST(max(CASE WHEN rnk = 1 THEN q END) AS BIGINT)
         |         AS top_score
-        |FROM r WHERE rnk <= 3 GROUP BY doc_id""".stripMargin
+        |FROM r WHERE rnk <= 3 GROUP BY doc_id""".stripMargin,
+    "q_source_quantiles" ->
+      // q_token_quantiles partitioned by source: same histogram, same
+      // type-1 pick, per-group windows
+      """WITH h AS (SELECT source,
+        |             len(regexp_split_to_array(trim(text), '\s+')) AS v,
+        |             count(*) AS c
+        |           FROM documents WHERE text IS NOT NULL GROUP BY 1, 2),
+        |cum AS (SELECT source, v,
+        |          CAST(sum(c) OVER (PARTITION BY source ORDER BY v)
+        |            AS BIGINT) AS cum,
+        |          CAST(sum(c) OVER (PARTITION BY source) AS BIGINT) AS total
+        |        FROM h),
+        |qs AS (SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE),
+        |         CAST(0.99 AS DOUBLE)]) AS q),
+        |pick AS (SELECT source, q, v, cum, row_number() OVER (
+        |           PARTITION BY source, q ORDER BY v) AS rn
+        |         FROM qs JOIN cum
+        |           ON cum >= greatest(CAST(1 AS BIGINT),
+        |                CAST(ceil(q * CAST(total AS DOUBLE)) AS BIGINT)))
+        |SELECT source, q, CAST(v AS BIGINT) AS value, cum AS n_le
+        |FROM pick WHERE rn = 1""".stripMargin
   )
 }

@@ -60,4 +60,38 @@ object Stats {
       .select(col("q"), col("__pick.v").as("value"),
         col("__pick.cum").as("n_le"))
   }
+
+  /** Per-GROUP exact quantiles — the per-source flavor of the corpus QA
+    * report ("p99 token count per source", the table a governance
+    * dashboard keys on). Same histogram construction, with the ordered
+    * step a WINDOW partitioned by group: each partition holds one
+    * group's distinct values — the global single-ordered-partition of
+    * [[exactIntQuantiles]] disappears entirely, so this one scales
+    * further than its global sibling. Emits one row per (group, q). */
+  def exactIntQuantilesByGroup(df: DataFrame, groupCol: String,
+                               valueCol: String,
+                               qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      s"quantile levels in (0,1]: $qs")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val hist = df.select(col(groupCol).as("grp"),
+        col(valueCol).cast("long").as("v"))
+      .filter(col("v").isNotNull)
+      .groupBy(col("grp"), col("v")).agg(count(lit(1)).as("c"))
+    val byValue = Window.partitionBy(col("grp")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.partitionBy(col("grp"))
+    val cum = hist
+      .withColumn("cum", sum(col("c")).over(byValue))
+      .withColumn("total", sum(col("c")).over(whole))
+    val levels = broadcast(qs.toDF("q"))
+    levels.join(cum,
+        col("cum") >= greatest(lit(1L),
+          ceil(col("q") * col("total").cast("double")).cast("long")))
+      .groupBy(col("grp"), col("q"))
+      .agg(min_by(struct(col("v"), col("cum")), col("v")).as("__pick"))
+      .select(col("grp").as(groupCol), col("q"),
+        col("__pick.v").as("value"), col("__pick.cum").as("n_le"))
+  }
 }

@@ -36,6 +36,25 @@ class StatsSpec extends AnyFunSuite {
     assert(out(0.001) == ((7L, 1L)))
   }
 
+  test("grouped quantiles: per-group independence and the same type-1 pick") {
+    val rows = (1L to 100L).map(v => ("a", v)) ++
+      Seq(("b", 1L), ("b", 1L), ("b", 1L), ("b", 5L))
+    val out = Stats.exactIntQuantilesByGroup(
+        rows.toDF("src", "v"), "src", "v", Seq(0.5, 0.9))
+      .as[(String, Double, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(out(("a", 0.5)) == ((50L, 50L)))
+    assert(out(("a", 0.9)) == ((90L, 90L)))
+    assert(out(("b", 0.5)) == ((1L, 3L)))
+    assert(out(("b", 0.9)) == ((5L, 4L)))
+    // grouped result for a single group == the global operator
+    val globalB = Stats.exactIntQuantiles(
+        Seq(1L, 1L, 1L, 5L).toDF("v"), "v", Seq(0.5, 0.9))
+      .as[(Double, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(globalB(0.5) == out(("b", 0.5)) && globalB(0.9) == out(("b", 0.9)))
+  }
+
   test("exact quantiles: empty input → empty result") {
     assert(Stats.exactIntQuantiles(
       Seq.empty[Long].toDF("v"), "v", Seq(0.5)).count() == 0L)
