@@ -795,7 +795,16 @@ object SparkEntry {
       graft.ops.Stats.exactIntQuantilesByGroup(
         t(s, dir, "documents").select(col("source"),
           graft.ops.TrainingData.nTokens(col("text")).as("n_tokens")),
-        "source", "n_tokens", Seq(0.5, 0.9, 0.99)))
+        "source", "n_tokens", Seq(0.5, 0.9, 0.99))),
+    "q_degree_histogram" -> ((s, _) => {
+      import s.implicits._
+      // in-degree power-law audit over the extracted link graph; the
+      // oracle recomputes degrees + exact log2 buckets over side_links
+      val ex = extractedPersisted(s)
+      val links = ex.flatMap(p => p.links.map(l => ("x", l.dst_url)))
+        .toDF("src_url", "dst_url")
+      graft.ops.LinkGraph.degreeHistogram(links, "dst_url")
+    })
   )
 
   /** Query set for q_bm25_topk — terms from the synthetic documents
@@ -2539,6 +2548,16 @@ object SparkEntry {
         |           ON cum >= greatest(CAST(1 AS BIGINT),
         |                CAST(ceil(q * CAST(total AS DOUBLE)) AS BIGINT)))
         |SELECT source, q, CAST(v AS BIGINT) AS value, cum AS n_le
-        |FROM pick WHERE rn = 1""".stripMargin
+        |FROM pick WHERE rn = 1""".stripMargin,
+    "q_degree_histogram" ->
+      // exact log2 bucket = length(bin(deg)) - 1 in both engines (no
+      // leading zeros, no float log)
+      s"""WITH d AS (SELECT dst_url, CAST(count(*) AS BIGINT) AS deg
+         |           FROM ${side("side_links")} GROUP BY 1)
+         |SELECT CAST(length(bin(deg)) - 1 AS INT) AS bucket,
+         |       count(*) AS n_targets,
+         |       min(deg) AS min_deg, max(deg) AS max_deg,
+         |       CAST(sum(deg) AS BIGINT) AS total_edges
+         |FROM d GROUP BY 1""".stripMargin
   )
 }

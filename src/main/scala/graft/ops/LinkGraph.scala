@@ -204,4 +204,23 @@ object LinkGraph {
           s => s("anchor")), "|").as("top_anchors"))
     totals.join(top, Seq("dst_url"))
   }
+
+  /** In-degree distribution in log2 buckets — the power-law audit for a
+    * crawl's link graph (a healthy web graph is Zipfian; a flat or
+    * truncated histogram means the frontier is stuck in one site, a
+    * heavy top bucket means hub pages that need the skew-handling
+    * paths). bucket = floor(log2(degree)) computed EXACTLY as
+    * length-of-binary-string − 1 (both engines render bin(x) without
+    * leading zeros — no float log anywhere). Two map-side-combinable
+    * aggregates; the first shuffles one row per distinct target per
+    * mapper, the second one row per bucket. */
+  def degreeHistogram(links: DataFrame, dstCol: String): DataFrame = {
+    val deg = links.groupBy(col(dstCol)).agg(count(lit(1)).as("deg"))
+    deg.withColumn("bucket", (length(bin(col("deg"))) - lit(1)).cast("int"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_targets"),
+        min(col("deg")).as("min_deg"),
+        max(col("deg")).as("max_deg"),
+        sum(col("deg")).as("total_edges"))
+  }
 }

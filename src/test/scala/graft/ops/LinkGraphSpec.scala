@@ -76,6 +76,19 @@ class LinkGraphSpec extends AnyFunSuite {
     assert(uRow.getAs[String]("top_anchors") == "only")
   }
 
+  test("degreeHistogram: log2 buckets, hand-derived") {
+    // degrees: a→1, b→2, c→3, d→8 ⇒ buckets 0, 1, 1, 3
+    val links = (Seq("a") ++ Seq.fill(2)("b") ++ Seq.fill(3)("c") ++
+      Seq.fill(8)("d")).map(d => ("s", d)).toDF("src_url", "dst_url")
+    val out = LinkGraph.degreeHistogram(links, "dst_url").collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    assert(out == Map(
+      0 -> ((1L, 1L, 1L, 1L)),
+      1 -> ((2L, 2L, 3L, 5L)),
+      3 -> ((1L, 8L, 8L, 8L))))
+  }
+
   test("anchorStats: hot target exact under salting (vs direct window)") {
     import org.apache.spark.sql.functions._
     // one hot target with 40 distinct anchors at varied counts
