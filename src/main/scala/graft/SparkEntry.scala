@@ -804,6 +804,28 @@ object SparkEntry {
       val links = ex.flatMap(p => p.links.map(l => ("x", l.dst_url)))
         .toDF("src_url", "dst_url")
       graft.ops.LinkGraph.degreeHistogram(links, "dst_url")
+    }),
+    "q_url_patterns" -> ((s, _) => {
+      import s.implicits._
+      // crawl-trap families over the DISTINCT extracted link targets;
+      // the oracle re-runs the template collapse (same regexes, 'g')
+      // and host extraction over side_links
+      val ex = extractedPersisted(s)
+      val urls = ex.flatMap(p => p.links.map(_.dst_url)).toDF("url")
+        .distinct()
+      graft.ops.Frontier.urlPatternFamilies(urls, "url",
+        trapThreshold = 20L)
+    }),
+    "q_link_spam" -> ((s, _) => {
+      import s.implicits._
+      // per-page link-spam signals; oracle = side_docs LEFT JOIN the
+      // side_links rollup with the same cross-multiplied flags
+      val ex = extractedPersisted(s)
+      val docs = ex.map(p => (p.doc.url, p.doc.text)).toDF("url", "__text")
+        .select(col("url"), length(col("__text")).as("text_len"))
+      val links = ex.flatMap(p => p.links.map(l =>
+        (p.doc.url, l.is_internal))).toDF("src_url", "is_internal")
+      graft.ops.LinkGraph.linkSpamScores(docs, links)
     })
   )
 
@@ -2558,6 +2580,32 @@ object SparkEntry {
          |       count(*) AS n_targets,
          |       min(deg) AS min_deg, max(deg) AS max_deg,
          |       CAST(sum(deg) AS BIGINT) AS total_edges
-         |FROM d GROUP BY 1""".stripMargin
+         |FROM d GROUP BY 1""".stripMargin,
+    "q_url_patterns" ->
+      // same template collapse: hex→H, digits→N, query values→V, fixed
+      // order, 'g' flag (Spark replaces all by default); host via the
+      // established lexical authority extraction
+      s"""WITH u AS (SELECT DISTINCT dst_url AS u FROM ${side("side_links")}),
+         |p AS (SELECT u,
+         |  lower(NULLIF(regexp_extract(u,
+         |    '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?(\\[[^\\]/?#]*\\]|[^/?#:]*)',
+         |    1), '')) AS host,
+         |  regexp_replace(regexp_replace(regexp_replace(lower(u),
+         |    '[0-9a-f]{8,}', 'H', 'g'), '[0-9]+', 'N', 'g'),
+         |    '=[^&#]*', '=V', 'g') AS pattern
+         |  FROM u)
+         |SELECT host, pattern, count(*) AS n_urls, min(u) AS sample_url,
+         |       count(*) > 20 AS is_trap
+         |FROM p GROUP BY 1, 2""".stripMargin,
+    "q_link_spam" ->
+      s"""WITH l AS (SELECT src_url, CAST(count(*) AS BIGINT) AS nl,
+         |    CAST(sum(CASE WHEN NOT is_internal THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS ne
+         |  FROM ${side("side_links")} GROUP BY 1)
+         |SELECT d.url, coalesce(l.nl, 0) AS n_links,
+         |       coalesce(l.ne, 0) AS n_external, d.text_len,
+         |       coalesce(l.nl, 0) * 50 > d.text_len AS link_heavy,
+         |       coalesce(l.ne, 0) * 2 > coalesce(l.nl, 0) AS ext_heavy
+         |FROM ${side("side_docs")} d LEFT JOIN l ON d.url = l.src_url""".stripMargin
   )
 }

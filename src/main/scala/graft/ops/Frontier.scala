@@ -341,4 +341,36 @@ object Frontier {
         }
       }.toDF("host", "status", "body")
   }
+
+  /** Crawl-trap detection by URL-pattern family — the frontier hygiene
+    * pass every crawler needs (calendar pages, faceted search, session
+    * ids: parametric URL families that are infinite to a BFS but one
+    * template to a human). URLs collapse to a template: lowercase, long
+    * hex runs → `H` (session ids / digests), digit runs → `N`
+    * (pages/dates/ids), query VALUES → `V` (facets) — fixed order, all
+    * three regexes in the RE2∩Java subset (character classes + bounded
+    * repetition only; the oracle runs DuckDB's regexp_replace with the
+    * 'g' flag, which matches Spark's replace-all default). A family
+    * bigger than `trapThreshold` flags as a trap; downstream the flag
+    * anti-joins the frontier exactly like the blocklist.
+    *
+    * Scale: one codegen'd per-row projection, then a
+    * map-side-combinable (host, pattern) count — no distinct-URL state
+    * anywhere. Emits (host, pattern, n_urls, sample_url, is_trap). */
+  def urlPatternFamilies(urls: DataFrame, urlCol: String = "url",
+                         trapThreshold: Long = 1000L): DataFrame = {
+    require(trapThreshold > 0, s"trapThreshold must be positive")
+    val u = lower(col("__u"))
+    val pattern = regexp_replace(regexp_replace(regexp_replace(u,
+      lit("[0-9a-f]{8,}"), lit("H")),
+      lit("[0-9]+"), lit("N")),
+      lit("=[^&#]*"), lit("=V"))
+    urls.select(col(urlCol).as("__u"))
+      .select(col("__u"),
+        lower(expr("try_parse_url(__u, 'HOST')")).as("host"),
+        pattern.as("pattern"))
+      .groupBy(col("host"), col("pattern"))
+      .agg(count(lit(1)).as("n_urls"), min(col("__u")).as("sample_url"))
+      .withColumn("is_trap", col("n_urls") > lit(trapThreshold))
+  }
 }

@@ -214,6 +214,32 @@ object LinkGraph {
     * leading zeros — no float log anywhere). Two map-side-combinable
     * aggregates; the first shuffles one row per distinct target per
     * mapper, the second one row per bucket. */
+  /** Per-page link-spam signals — the webspam gate (link farms, SEO
+    * doorway pages, directory spam are mostly links and little text;
+    * published corpus pipelines drop them before dedup so farm pages
+    * cannot become cluster keepers). Inputs: docs (url, text_len) and
+    * links (src_url, is_internal). Flags are exact integer
+    * cross-multiplications (the repetition/encoding convention):
+    *   - link_heavy: links·50 > text chars — a link per ≤50 chars is
+    *     navigation, not content,
+    *   - ext_heavy: external·2 > links — majority-external pages on a
+    *     link-heavy site are the farm signature (false at 0 links).
+    * One map-side-combinable count per source page and one left join
+    * back to the docs projection — text never moves. */
+  def linkSpamScores(docs: DataFrame, links: DataFrame): DataFrame = {
+    val perSrc = links.groupBy(col("src_url"))
+      .agg(count(lit(1)).as("__nl"),
+        sum(when(!col("is_internal"), 1L).otherwise(0L)).as("__ne"))
+    docs.select(col("url"), col("text_len"))
+      .join(perSrc, col("url") === col("src_url"), "left_outer")
+      .select(col("url"),
+        coalesce(col("__nl"), lit(0L)).as("n_links"),
+        coalesce(col("__ne"), lit(0L)).as("n_external"),
+        col("text_len"))
+      .withColumn("link_heavy", col("n_links") * lit(50L) > col("text_len"))
+      .withColumn("ext_heavy", col("n_external") * lit(2L) > col("n_links"))
+  }
+
   def degreeHistogram(links: DataFrame, dstCol: String): DataFrame = {
     val deg = links.groupBy(col(dstCol)).agg(count(lit(1)).as("deg"))
     deg.withColumn("bucket", (length(bin(col("deg"))) - lit(1)).cast("int"))

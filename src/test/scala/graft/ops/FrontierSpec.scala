@@ -70,4 +70,26 @@ class FrontierSpec extends AnyFunSuite {
     assert(bad.length == 1)
     assert(bad.head._2.isEmpty && bad.head._3.isEmpty && bad.head._4 == 1)
   }
+
+  test("urlPatternFamilies: templates collapse, traps flag, fixed regex order") {
+    val urls = (1 to 30).map(i => s"https://a.com/page$i.html") ++
+      Seq("https://a.com/post?date=2024-01-02&tag=x",
+          "https://a.com/post?date=2024-03-09&tag=y",
+          // 8+ hex chars → H BEFORE the digit pass (would otherwise split)
+          "https://b.com/s/deadbeef1234/view",
+          "https://b.com/s/cafebabe5678/view",
+          "https://b.com/about")
+    val out = Frontier.urlPatternFamilies(
+        urls.toDF("url"), "url", trapThreshold = 20L)
+      .as[(String, String, Long, String, Boolean)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    val page = out(("a.com", "https://a.com/pageN.html"))
+    assert(page == ((30L, "https://a.com/page1.html", true)))
+    // query VALUES collapse to =V (after the digit pass, so dates → N
+    // first, then the whole value → V)
+    assert(out(("a.com", "https://a.com/post?date=V&tag=V"))._1 == 2L)
+    assert(out(("b.com", "https://b.com/s/H/view")) ==
+      ((2L, "https://b.com/s/cafebabe5678/view", false)))
+    assert(out(("b.com", "https://b.com/about"))._1 == 1L)
+  }
 }

@@ -76,6 +76,26 @@ class LinkGraphSpec extends AnyFunSuite {
     assert(uRow.getAs[String]("top_anchors") == "only")
   }
 
+  test("linkSpamScores: flags via exact cross-multiplies, zero-link pages kept") {
+    val docs = Seq(
+      ("https://e.com/farm", 100L),   // 3 links·50=150 > 100 → link_heavy
+      ("https://e.com/article", 900L),// 2·50=100 < 900 → clean
+      ("https://e.com/orphan", 40L)   // no links at all
+    ).toDF("url", "text_len")
+    val links = Seq(
+      ("https://e.com/farm", false), ("https://e.com/farm", false),
+      ("https://e.com/farm", true),
+      ("https://e.com/article", true), ("https://e.com/article", false)
+    ).toDF("src_url", "is_internal")
+    val out = LinkGraph.linkSpamScores(docs, links).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getBoolean(4), r.getBoolean(5)))).toMap
+    assert(out("https://e.com/farm") == ((3L, 2L, true, true)))
+    // exactly half external: 1·2 == 2 links → NOT ext_heavy (strict >)
+    assert(out("https://e.com/article") == ((2L, 1L, false, false)))
+    assert(out("https://e.com/orphan") == ((0L, 0L, false, false)))
+  }
+
   test("degreeHistogram: log2 buckets, hand-derived") {
     // degrees: a→1, b→2, c→3, d→8 ⇒ buckets 0, 1, 1, 3
     val links = (Seq("a") ++ Seq.fill(2)("b") ++ Seq.fill(3)("c") ++
