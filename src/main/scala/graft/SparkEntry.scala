@@ -826,7 +826,15 @@ object SparkEntry {
       val links = ex.flatMap(p => p.links.map(l =>
         (p.doc.url, l.is_internal))).toDF("src_url", "is_internal")
       graft.ops.LinkGraph.linkSpamScores(docs, links)
-    })
+    }),
+    "q_media_decode" -> ((s, _) =>
+      // REAL PNG pixel decode + area-average resize over the closed-form
+      // two-tone corpus; the oracle computes every decoded and resized
+      // channel sum by PURE ARITHMETIC from the id — no decoder in
+      // DuckDB, so any pixel-level decode error hash-fails
+      graft.ops.Multimodal.withDecodedSummary(
+        graft.ops.Multimodal.syntheticRealPngs(s, 200),
+        "media_id", "payload", targetW = 16, targetH = 8))
   )
 
   /** Query set for q_bm25_topk — terms from the synthetic documents
@@ -2606,6 +2614,30 @@ object SparkEntry {
          |       coalesce(l.ne, 0) AS n_external, d.text_len,
          |       coalesce(l.nl, 0) * 50 > d.text_len AS link_heavy,
          |       coalesce(l.ne, 0) * 2 > coalesce(l.nl, 0) AS ext_heavy
-         |FROM ${side("side_docs")} d LEFT JOIN l ON d.url = l.src_url""".stripMargin
+         |FROM ${side("side_docs")} d LEFT JOIN l ON d.url = l.src_url""".stripMargin,
+    "q_media_decode" ->
+      // the 64×32 two-tone raster (left 32 cols color A(id), right 32
+      // color B(id)) and its 16×8 box resize (4×4 boxes never straddle
+      // the split, box average of a constant is exact), all channel
+      // sums as closed-form integer arithmetic in the id
+      """WITH ids AS (SELECT unnest(generate_series(0, 199)) AS i),
+        |c AS (SELECT CAST(i AS BIGINT) AS media_id,
+        |        CAST(i % 256 AS BIGINT) AS ar,
+        |        CAST((i * 7) % 256 AS BIGINT) AS ag,
+        |        CAST((i * 13) % 256 AS BIGINT) AS ab,
+        |        CAST((i * 3) % 256 AS BIGINT) AS br,
+        |        CAST((i * 5) % 256 AS BIGINT) AS bg,
+        |        CAST((i * 11) % 256 AS BIGINT) AS bb
+        |      FROM ids)
+        |SELECT media_id,
+        |       CAST(64 AS INT) AS width, CAST(32 AS INT) AS height,
+        |       32 * (32 * ar + 32 * br) AS sum_r,
+        |       32 * (32 * ag + 32 * bg) AS sum_g,
+        |       32 * (32 * ab + 32 * bb) AS sum_b,
+        |       CAST(16 AS INT) AS r_width, CAST(8 AS INT) AS r_height,
+        |       8 * (8 * ar + 8 * br) AS r_sum_r,
+        |       8 * (8 * ag + 8 * bg) AS r_sum_g,
+        |       8 * (8 * ab + 8 * bb) AS r_sum_b
+        |FROM c""".stripMargin
   )
 }

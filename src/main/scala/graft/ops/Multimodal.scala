@@ -6,12 +6,16 @@ import org.apache.spark.sql.types._
 
 /**
  * Multimodal-column operators: image/audio/video payloads ride as opaque
- * `binary` columns with typed metadata structs. The DECODE step is a
- * deterministic stub (image/audio codecs are not available in this
- * container — FIXTURES/driver contract); everything Spark-side — schema,
- * batch shape, partitioning, the mapPartitions plumbing a Pandas-UDF/
- * `mapInPandas` stage would occupy — is real and tested. Swapping the stub
- * for a real decoder changes ONE function.
+ * `binary` columns with typed metadata structs. PNG pixel decode and
+ * area-average resize are REAL (JDK javax.imageio — lossless, therefore
+ * bit-deterministic; see decodeImage/resizeDecoded below, oracle-pinned
+ * by q_media_decode's closed-form corpus). JPEG/audio/video decode stays
+ * a deterministic stub (their codecs are lossy/implementation-defined or
+ * absent from this container); everything Spark-side — schema, batch
+ * shape, partitioning, the mapPartitions plumbing a Pandas-UDF/
+ * `mapInPandas` stage would occupy — is real and tested. Swapping a stub
+ * for a real decoder changes ONE function (the PNG path IS that swap,
+ * executed).
  */
 object Multimodal {
 
@@ -131,6 +135,133 @@ object Multimodal {
     var d = 0
     while (d < dim) { out(d) /= n; d += 1 }
     out
+  }
+
+  // ---------- REAL pixel decode (PNG via the JDK's javax.imageio —
+  // no external library; PNG decode is lossless and therefore
+  // bit-deterministic, unlike JPEG whose IDCT is implementation-defined,
+  // which stays on the header-parse/stub path) ----------
+
+  /** Decoded-raster summary: dims + per-channel pixel-value SUMS as exact
+    * BIGINTs (sums, not float means — order-independent, oracle-exact). */
+  final case class DecodedImage(width: Int, height: Int,
+                                sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /** Real image decode. None on null/truncated/non-image payloads —
+    * per-row failure isolation, the Extract error-column discipline.
+    * Cost note for 100 TB: decode is CPU-per-byte with no shuffle; the
+    * mapPartitions shape below is exactly where a cluster deployment
+    * swaps in a vectorized/JNI codec without touching the plan. */
+  def decodeImage(bytes: Array[Byte]): Option[DecodedImage] = {
+    if (bytes == null || bytes.length == 0) return None
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      if (img == null) return None
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          val p = img.getRGB(x, y)
+          sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+          x += 1
+        }
+        y += 1
+      }
+      Some(DecodedImage(img.getWidth, img.getHeight, sr, sg, sb))
+    } catch { case _: Throwable => None }
+  }
+
+  /** Real area-average resize on the decoded raster: output pixel (x, y)
+    * averages its source box [x·w/w2, (x+1)·w/w2) × [y·h/h2, (y+1)·h/h2)
+    * with integer floor division — pure integer arithmetic, no float
+    * filter kernels, deterministic on any JVM. Returns the RESIZED
+    * raster's summary (the bytes themselves stay an encode-detail; pixel
+    * content is the contract). */
+  def resizeDecoded(bytes: Array[Byte], w2: Int, h2: Int): Option[DecodedImage] = {
+    require(w2 > 0 && h2 > 0, s"target dims must be positive: ${w2}x$h2")
+    if (bytes == null || bytes.length == 0) return None
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      if (img == null || img.getWidth < w2 || img.getHeight < h2) return None
+      val (w, h) = (img.getWidth, img.getHeight)
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      var y2 = 0
+      while (y2 < h2) {
+        val y0 = y2 * h / h2; val y1 = (y2 + 1) * h / h2
+        var x2 = 0
+        while (x2 < w2) {
+          val x0 = x2 * w / w2; val x1 = (x2 + 1) * w / w2
+          var (br, bg, bb) = (0L, 0L, 0L)
+          var y = y0
+          while (y < y1) {
+            var x = x0
+            while (x < x1) {
+              val p = img.getRGB(x, y)
+              br += (p >> 16) & 0xff; bg += (p >> 8) & 0xff; bb += p & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          val cnt = (y1 - y0).toLong * (x1 - x0).toLong
+          sr += br / cnt; sg += bg / cnt; sb += bb / cnt
+          x2 += 1
+        }
+        y2 += 1
+      }
+      Some(DecodedImage(w2, h2, sr, sg, sb))
+    } catch { case _: Throwable => None }
+  }
+
+  /** Real decode + resize over a binary column: per media row, the
+    * original raster summary and the `targetW`×`targetH` area-average
+    * summary (the mapPartitions shape a cluster codec slots into). */
+  def withDecodedSummary(df: DataFrame, idCol: String, binCol: String,
+                         targetW: Int, targetH: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("media_id"), col(binCol).as("__b"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val d = decodeImage(bytes)
+          val r = resizeDecoded(bytes, targetW, targetH)
+          (id,
+            d.map(_.width), d.map(_.height),
+            d.map(_.sum_r), d.map(_.sum_g), d.map(_.sum_b),
+            r.map(_.width), r.map(_.height),
+            r.map(_.sum_r), r.map(_.sum_g), r.map(_.sum_b))
+        }
+      }
+      .toDF("media_id", "width", "height", "sum_r", "sum_g", "sum_b",
+        "r_width", "r_height", "r_sum_r", "r_sum_g", "r_sum_b")
+  }
+
+  /** Deterministic REAL-PNG corpus with a closed-form raster: 64×32
+    * TYPE_INT_RGB, left 32 columns one solid color, right 32 another,
+    * both pure arithmetic in the id — so an oracle can compute the exact
+    * decoded (and box-aligned resized) channel sums WITHOUT any decoder,
+    * pinning the real decode path against independent arithmetic. */
+  def syntheticRealPngs(spark: org.apache.spark.sql.SparkSession,
+                        n: Int): DataFrame = {
+    import spark.implicits._
+    (0 until n).map { i =>
+      val img = new java.awt.image.BufferedImage(64, 32,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val a = ((i % 256) << 16) | (((i * 7) % 256) << 8) | ((i * 13) % 256)
+      val b = (((i * 3) % 256) << 16) | (((i * 5) % 256) << 8) | ((i * 11) % 256)
+      var y = 0
+      while (y < 32) {
+        var x = 0
+        while (x < 64) { img.setRGB(x, y, if (x < 32) a else b); x += 1 }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      (i.toLong, bos.toByteArray)
+    }.toDF("media_id", "payload")
   }
 
   val mediaMetaSchema: StructType = StructType(Seq(

@@ -147,4 +147,60 @@ class MultimodalSpec extends AnyFunSuite {
       .select($"media_id").as[Long].collect()
     assert(top.head == 0L) // self is most similar
   }
+
+  private def pngOf(pixels: Array[Array[Int]]): Array[Byte] = {
+    val h = pixels.length; val w = pixels(0).length
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, pixels(y)(x))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("decodeImage: REAL decode, hand-known pixels") {
+    // 2×1: pure red then pure blue
+    val png = pngOf(Array(Array(0xff0000, 0x0000ff)))
+    assert(Multimodal.decodeImage(png).contains(
+      Multimodal.DecodedImage(2, 1, 255L, 0L, 255L)))
+    assert(Multimodal.decodeImage(null).isEmpty)
+    assert(Multimodal.decodeImage("not a png".getBytes).isEmpty)
+    // a truncated PNG must isolate, not throw
+    assert(Multimodal.decodeImage(png.take(20)).isEmpty)
+  }
+
+  test("resizeDecoded: integer box averages, floor division") {
+    // 2×2 → 1×1: box holds (255,0,0),(0,0,255),(100,100,100),(3,5,7)
+    // floor sums: r=(255+0+100+3)/4=89, g=(0+0+100+5)/4=26,
+    // b=(0+255+100+7)/4=90
+    val png = pngOf(Array(Array(0xff0000, 0x0000ff),
+      Array(0x646464, 0x030507)))
+    assert(Multimodal.resizeDecoded(png, 1, 1).contains(
+      Multimodal.DecodedImage(1, 1, 89L, 26L, 90L)))
+    // upscale request → None (op is a downsampler)
+    assert(Multimodal.resizeDecoded(png, 4, 4).isEmpty)
+  }
+
+  test("withDecodedSummary over the closed-form corpus matches arithmetic") {
+    val out = Multimodal.withDecodedSummary(
+        Multimodal.syntheticRealPngs(spark, 12), "media_id", "payload", 16, 8)
+      .as[(Long, Option[Int], Option[Int], Option[Long], Option[Long],
+        Option[Long], Option[Int], Option[Int], Option[Long], Option[Long],
+        Option[Long])].collect()
+    assert(out.length == 12)
+    out.foreach { r =>
+      val i = r._1
+      val (ar, ag, ab) = (i % 256, (i * 7) % 256, (i * 13) % 256)
+      val (br, bg, bb) = ((i * 3) % 256, (i * 5) % 256, (i * 11) % 256)
+      assert(r._2.contains(64) && r._3.contains(32))
+      assert(r._4.contains(32L * (32L * ar + 32L * br)), s"id=$i")
+      assert(r._5.contains(32L * (32L * ag + 32L * bg)))
+      assert(r._6.contains(32L * (32L * ab + 32L * bb)))
+      // 16×8 boxes are 4×4 and never straddle the column-32 split
+      assert(r._7.contains(16) && r._8.contains(8))
+      assert(r._9.contains(8L * (8L * ar + 8L * br)))
+      assert(r._10.contains(8L * (8L * ag + 8L * bg)))
+      assert(r._11.contains(8L * (8L * ab + 8L * bb)))
+    }
+  }
 }
