@@ -834,7 +834,12 @@ object SparkEntry {
       // DuckDB, so any pixel-level decode error hash-fails
       graft.ops.Multimodal.withDecodedSummary(
         graft.ops.Multimodal.syntheticRealPngs(s, 200),
-        "media_id", "payload", targetW = 16, targetH = 8))
+        "media_id", "payload", targetW = 16, targetH = 8)),
+    "q_audio_decode" -> ((s, _) =>
+      // REAL 16-bit PCM decode; closed-form samples, arithmetic oracle
+      graft.ops.Multimodal.withDecodedAudio(
+        graft.ops.Multimodal.syntheticRealWavs(s, 200, samples = 256),
+        "media_id", "payload"))
   )
 
   /** Query set for q_bm25_topk — terms from the synthetic documents
@@ -2638,6 +2643,18 @@ object SparkEntry {
         |       8 * (8 * ar + 8 * br) AS r_sum_r,
         |       8 * (8 * ag + 8 * bg) AS r_sum_g,
         |       8 * (8 * ab + 8 * bb) AS r_sum_b
-        |FROM c""".stripMargin
+        |FROM c""".stripMargin,
+    "q_audio_decode" ->
+      // sample i of clip id = ((id·31 + i·7) mod 2001) − 1000; sums,
+      // absolute sums, and peaks re-derived per clip by generate_series
+      """WITH ids AS (SELECT unnest(generate_series(0, 199)) AS id),
+        |s AS (SELECT CAST(id AS BIGINT) AS media_id,
+        |        CAST((id * 31 + u.i * 7) % 2001 - 1000 AS BIGINT) AS v
+        |      FROM ids, UNNEST(generate_series(0, 255)) AS u(i))
+        |SELECT media_id, count(*) AS n_samples,
+        |       CAST(sum(v) AS BIGINT) AS sum_samples,
+        |       CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
+        |       max(abs(v)) AS peak_abs
+        |FROM s GROUP BY media_id""".stripMargin
   )
 }

@@ -119,6 +119,89 @@ object Multimodal {
     }
   }
 
+  /** Decoded PCM summary: exact BIGINT sample statistics. */
+  final case class DecodedAudio(n_samples: Long, sum_samples: Long,
+                                sum_abs: Long, peak_abs: Long)
+
+  /** REAL audio decode for 16-bit PCM WAV — raw samples need no codec,
+    * just the RIFF chunk walk (shared shape with [[wavFormat]]) and
+    * little-endian signed reads. Non-PCM/compressed/garbage payloads →
+    * None (per-row isolation). Exact integers throughout: sample sum,
+    * absolute sum (loudness proxy), peak (clipping check) — the audio
+    * QA columns a speech-corpus pipeline filters on. */
+  def decodeWavPcm16(bytes: Array[Byte]): Option[DecodedAudio] = {
+    if (bytes == null || bytes.length < 44) return None
+    def b(i: Int): Int = bytes(i) & 0xff
+    def le16(o: Int): Int = b(o) | (b(o + 1) << 8)
+    def le32(o: Int): Long =
+      (b(o) | (b(o + 1) << 8) | (b(o + 2) << 16)).toLong | (b(o + 3).toLong << 24)
+    if (!(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+          b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E')) return None
+    var p = 12L
+    var bits = -1
+    var fmtCode = -1
+    var dataOff = -1L
+    var dataLen = -1L
+    while (p + 8 <= bytes.length && (bits < 0 || dataOff < 0)) {
+      val o = p.toInt
+      val id = new String(bytes, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val size = le32(o + 4)
+      if (id == "fmt " && o + 24 <= bytes.length) {
+        fmtCode = le16(o + 8); bits = le16(o + 22)
+      } else if (id == "data") { dataOff = o + 8L; dataLen = size }
+      p += 8L + size + (size & 1L)
+    }
+    if (fmtCode != 1 || bits != 16 || dataOff < 0) return None
+    val end = math.min(bytes.length.toLong, dataOff + dataLen).toInt
+    var (n, s, sa, pk) = (0L, 0L, 0L, 0L)
+    var o = dataOff.toInt
+    while (o + 1 < end) {
+      val v = le16(o).toShort.toLong // sign-extend
+      n += 1; s += v
+      val a = math.abs(v)
+      sa += a; if (a > pk) pk = a
+      o += 2
+    }
+    Some(DecodedAudio(n, s, sa, pk))
+  }
+
+  /** Real PCM decode over a binary column (same mapPartitions shape as
+    * [[withDecodedSummary]]). */
+  def withDecodedAudio(df: DataFrame, idCol: String,
+                       binCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("media_id"), col(binCol).as("__b"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val d = decodeWavPcm16(bytes)
+        (id, d.map(_.n_samples), d.map(_.sum_samples),
+          d.map(_.sum_abs), d.map(_.peak_abs))
+      })
+      .toDF("media_id", "n_samples", "sum_samples", "sum_abs", "peak_abs")
+  }
+
+  /** Deterministic REAL 16-bit PCM corpus with closed-form samples:
+    * sample i of clip `id` is ((id·31 + i·7) mod 2001) − 1000 — pure
+    * integer arithmetic the oracle reproduces with a generate_series,
+    * pinning the decode against independent math (the
+    * [[syntheticRealPngs]] pattern for audio). */
+  def syntheticRealWavs(spark: org.apache.spark.sql.SparkSession, n: Int,
+                        samples: Int = 256): DataFrame = {
+    import spark.implicits._
+    (0 until n).map { i =>
+      val data = new Array[Byte](samples * 2)
+      var j = 0
+      while (j < samples) {
+        val v = ((i.toLong * 31 + j.toLong * 7) % 2001 - 1000).toInt
+        data(2 * j) = (v & 0xff).toByte
+        data(2 * j + 1) = ((v >> 8) & 0xff).toByte
+        j += 1
+      }
+      (i.toLong, syntheticWav(8000, 1, 16, data))
+    }.toDF("media_id", "payload")
+  }
+
   /** STUBBED decode: a real implementation would hand batches to an image
     * library (mapInPandas / JNI); this deterministic fake derives a fixed-
     * length feature vector from the payload bytes so the downstream plumbing
@@ -424,8 +507,8 @@ object Multimodal {
       body ++ Array[Byte](0x3b)
 
   /** Canonical 44-byte RIFF/WAVE header (PCM fmt) + data chunk. */
-  private def syntheticWav(rate: Int, channels: Int, bits: Int,
-                           data: Array[Byte]): Array[Byte] = {
+  private[ops] def syntheticWav(rate: Int, channels: Int, bits: Int,
+                                data: Array[Byte]): Array[Byte] = {
     val byteRate = rate * channels * bits / 8
     val blockAlign = channels * bits / 8
     def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)

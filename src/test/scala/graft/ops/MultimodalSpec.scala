@@ -181,6 +181,38 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.resizeDecoded(png, 4, 4).isEmpty)
   }
 
+  test("decodeWavPcm16: REAL sample decode, hand-known values") {
+    // samples 1000, -1000, 7 → n=3 sum=7 abs=2007 peak=1000
+    val data = Array[Byte](
+      (1000 & 0xff).toByte, ((1000 >> 8) & 0xff).toByte,
+      ((-1000) & 0xff).toByte, (((-1000) >> 8) & 0xff).toByte,
+      7, 0)
+    val wav = Multimodal.syntheticWav(8000, 1, 16, data)
+    assert(Multimodal.decodeWavPcm16(wav).contains(
+      Multimodal.DecodedAudio(3L, 7L, 2007L, 1000L)))
+    assert(Multimodal.decodeWavPcm16(null).isEmpty)
+    assert(Multimodal.decodeWavPcm16(wav.take(30)).isEmpty)
+    // 8-bit fmt → not the PCM-16 contract → None, never garbage sums
+    val wav8 = Multimodal.syntheticWav(8000, 1, 8, data)
+    assert(Multimodal.decodeWavPcm16(wav8).isEmpty)
+  }
+
+  test("withDecodedAudio over the closed-form corpus matches arithmetic") {
+    val out = Multimodal.withDecodedAudio(
+        Multimodal.syntheticRealWavs(spark, 10, samples = 64),
+        "media_id", "payload")
+      .as[(Long, Option[Long], Option[Long], Option[Long], Option[Long])]
+      .collect()
+    assert(out.length == 10)
+    out.foreach { r =>
+      val vals = (0 until 64).map(j => (r._1 * 31 + j * 7) % 2001 - 1000)
+      assert(r._2.contains(64L))
+      assert(r._3.contains(vals.sum))
+      assert(r._4.contains(vals.map(math.abs).sum))
+      assert(r._5.contains(vals.map(math.abs).max))
+    }
+  }
+
   test("withDecodedSummary over the closed-form corpus matches arithmetic") {
     val out = Multimodal.withDecodedSummary(
         Multimodal.syntheticRealPngs(spark, 12), "media_id", "payload", 16, 8)
