@@ -167,6 +167,15 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decodeImage("not a png".getBytes).isEmpty)
     // a truncated PNG must isolate, not throw
     assert(Multimodal.decodeImage(png.take(20)).isEmpty)
+    // format-agnostic through the same entry point: GIF (lossless LZW +
+    // palette; 2 colors quantize exactly) decodes to the same sums
+    val img = new java.awt.image.BufferedImage(2, 1,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xff0000); img.setRGB(1, 0, 0x0000ff)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "gif", bos)
+    assert(Multimodal.decodeImage(bos.toByteArray).contains(
+      Multimodal.DecodedImage(2, 1, 255L, 0L, 255L)))
   }
 
   test("resizeDecoded: integer box averages, floor division") {
