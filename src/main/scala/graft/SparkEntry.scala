@@ -664,6 +664,23 @@ object SparkEntry {
       graft.ops.TrainingData.deterministicSample(
           t(s, dir, "documents"), "doc_id", "s1", "4")
         .select(col("doc_id"), col("source"))),
+    "q_hll_distinct" -> ((s, dir) =>
+      // engine-portable HyperLogLog over document texts; the oracle
+      // re-derives every register and the fixed-point indicator sum
+      graft.ops.Sketch.hllDistinct(t(s, dir, "documents"), "text", p = 8)),
+    "q_top_ngrams" -> ((s, dir) =>
+      // corpus boilerplate-phrase mining: top-20 3-grams by occurrence
+      graft.ops.TrainingData.topNgrams(
+        t(s, dir, "documents"), "doc_id", "text", n = 3, k = 20)),
+    "q_split_assign" -> ((s, dir) =>
+      // leak-free hold-out: the split key is the SOURCE, so correlated
+      // same-site documents can never straddle the train/val/test fence;
+      // the oracle re-derives bucket + fence from documents alone
+      graft.ops.TrainingData.splitAssign(
+          t(s, dir, "documents").select(col("doc_id"), col("source")),
+          "source", valPermille = 100, testPermille = 100)
+        .select(col("doc_id"), col("source"), col("split_bucket"),
+          col("split"))),
     "q_source_quota" -> ((s, dir) =>
       graft.ops.TrainingData.sourceQuota(
         t(s, dir, "documents").select(col("doc_id"), col("source")),
@@ -804,6 +821,19 @@ object SparkEntry {
       val links = ex.flatMap(p => p.links.map(l => ("x", l.dst_url)))
         .toDF("src_url", "dst_url")
       graft.ops.LinkGraph.degreeHistogram(links, "dst_url")
+    }),
+    "q_crawl_depth" -> ((s, _) => {
+      import s.implicits._
+      // BFS hop distance from the root set (src urls that are never link
+      // targets) over the extracted link graph; the oracle re-derives the
+      // same table as min(depth) over a recursive-CTE expansion
+      val ex = extractedPersisted(s)
+      val links = ex.flatMap(p => p.links.map(l => (p.doc.url, l.dst_url)))
+        .toDF("src_url", "dst_url")
+      val seeds = links.select(col("src_url").as("url")).distinct()
+        .join(links.select(col("dst_url").as("url")).distinct(),
+          Seq("url"), "left_anti")
+      graft.ops.LinkGraph.crawlDepth(links, seeds, maxDepth = 4)
     }),
     "q_url_patterns" -> ((s, _) => {
       import s.implicits._
@@ -2232,6 +2262,63 @@ object SparkEntry {
       // binary string collation in both engines
       """SELECT doc_id, source FROM documents
         |WHERE md5('s1:' || doc_id) < '4'""".stripMargin,
+    "q_hll_distinct" ->
+      // the whole sketch re-derived: same 60-bit md5 hash ('0x' cast ≡
+      // conv(hex)), same bin()-length rho (the degree-histogram trick),
+      // registers as max per bucket, indicator sum in FIXED POINT (BIGINT,
+      // order-independent), and the estimate with the identical
+      // left-associative IEEE op order — doubles match bitwise
+      """WITH h AS (SELECT
+        |    CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS v
+        |  FROM documents),
+        |b AS (SELECT v >> 52 AS bucket,
+        |        v & ((CAST(1 AS BIGINT) << 52) - 1) AS w FROM h),
+        |r AS (SELECT bucket,
+        |        max(CASE WHEN w = 0 THEN 53
+        |                 ELSE 53 - length(bin(w)) END) AS reg
+        |      FROM b GROUP BY 1),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS present,
+        |        CAST(sum(CAST(1 AS BIGINT) << (53 - reg)) AS BIGINT) AS sump
+        |      FROM r),
+        |t AS (SELECT present,
+        |        CAST(sump + (256 - present) * (CAST(1 AS BIGINT) << 53)
+        |          AS BIGINT) AS sum_fp
+        |      FROM s)
+        |SELECT 256 AS m, CAST(256 - present AS INT) AS n_zero_registers,
+        |  sum_fp,
+        |  ((CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE)
+        |      + CAST(1.079 AS DOUBLE) / CAST(256.0 AS DOUBLE)))
+        |    * CAST(65536.0 AS DOUBLE) * CAST(9007199254740992.0 AS DOUBLE))
+        |    / CAST(sum_fp AS DOUBLE) AS estimate
+        |FROM t""".stripMargin,
+    "q_top_ngrams" ->
+      // same normalized 3-grams via zipped unnest + positional self-joins;
+      // deterministic cutoff: count DESC then gram ASC
+      """WITH tk AS (SELECT doc_id,
+        |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok,
+        |    unnest(range(1,
+        |      len(regexp_extract_all(lower(text), '[a-z0-9]+')) + 1)) AS i
+        |  FROM documents),
+        |g AS (SELECT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS gram
+        |      FROM tk a
+        |      JOIN tk b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+        |      JOIN tk c ON c.doc_id = a.doc_id AND c.i = a.i + 2)
+        |SELECT gram, CAST(count(*) AS BIGINT) AS n_occurrences,
+        |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |FROM g GROUP BY 1
+        |ORDER BY n_occurrences DESC, gram LIMIT 20""".stripMargin,
+    "q_split_assign" ->
+      // the whole leak-free split fence re-derived: same md5-permille
+      // bucket ('0x' cast ≡ Spark's conv(hex)), same threshold CASE
+      """WITH b AS (SELECT doc_id, source,
+        |  CAST(CAST('0x' || substr(md5('split:' || source), 1, 8) AS BIGINT)
+        |       % 1000 AS INT) AS split_bucket
+        |  FROM documents)
+        |SELECT doc_id, source, split_bucket,
+        |  CASE WHEN split_bucket < 100 THEN 'test'
+        |       WHEN split_bucket < 200 THEN 'val'
+        |       ELSE 'train' END AS split
+        |FROM b""".stripMargin,
     "q_source_quota" ->
       // the salted two-stage top-k re-derived as a plain window: exactness
       // of the skew-safe form IS the property under test
@@ -2594,6 +2681,24 @@ object SparkEntry {
          |       min(deg) AS min_deg, max(deg) AS max_deg,
          |       CAST(sum(deg) AS BIGINT) AS total_edges
          |FROM d GROUP BY 1""".stripMargin,
+    "q_crawl_depth" ->
+      // BFS distance as min(depth) over a bounded recursive-CTE expansion
+      // of the SAME simple graph (distinct, null-free, self-loop-free)
+      // from the SAME root set (src EXCEPT dst)
+      s"""WITH RECURSIVE
+         |e AS (SELECT DISTINCT src_url AS src, dst_url AS dst
+         |      FROM ${side("side_links")}
+         |      WHERE src_url IS NOT NULL AND dst_url IS NOT NULL
+         |        AND src_url <> dst_url),
+         |seeds AS (SELECT DISTINCT src AS url FROM e
+         |          WHERE src NOT IN (SELECT dst FROM e)),
+         |r(url, depth) AS (
+         |  SELECT url, 0 FROM seeds
+         |  UNION
+         |  SELECT e.dst, r.depth + 1 FROM r JOIN e ON r.url = e.src
+         |  WHERE r.depth < 4)
+         |SELECT url, CAST(min(depth) AS INT) AS depth
+         |FROM r GROUP BY 1""".stripMargin,
     "q_url_patterns" ->
       // same template collapse: hex→H, digits→N, query values→V, fixed
       // order, 'g' flag (Spark replaces all by default); host via the

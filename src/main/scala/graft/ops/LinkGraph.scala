@@ -249,4 +249,58 @@ object LinkGraph {
         max(col("deg")).as("max_deg"),
         sum(col("deg")).as("total_edges"))
   }
+
+  /**
+   * BFS crawl depth from a seed set — the hop-distance signal a frontier
+   * scheduler budgets by ("crawl to depth 3 from the seed list") and the
+   * graph-distance complement to [[pageRank]]'s centrality. Exact
+   * min-hop distances, bounded at `maxDepth`, by frontier BFS:
+   *
+   *  - each wave is ONE equi-join frontier⋈edges (a (url,url) projection
+   *    — payloads never enter the iteration) + a distinct + an anti-join
+   *    against the settled set, all map-side-combinable/key-local;
+   *  - the settled frame is re-materialized per wave through
+   *    [[Checkpoints.truncate]] (the PageRank lineage discipline: eager
+   *    localCheckpoint locally, reliable checkpoint under
+   *    `spark.graft.checkpointDir` on a cluster);
+   *  - wave count is `maxDepth`, not graph size; the anti-join guarantees
+   *    a url settles at its FIRST discovery wave, which for BFS is the
+   *    true minimum distance — so the q_crawl_depth oracle can re-derive
+   *    the same table as `min(depth)` over a recursive-CTE expansion.
+   *
+   * edges: first two columns (src, dst); seeds: first column url.
+   * Returns (url, depth) for every url within `maxDepth` hops.
+   */
+  def crawlDepth(edges: DataFrame, seeds: DataFrame,
+                 maxDepth: Int): DataFrame = {
+    require(maxDepth >= 0, s"maxDepth must be >= 0: $maxDepth")
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e = edges
+      .select(col(edges.columns(0)).as("src"), col(edges.columns(1)).as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+      .distinct()
+      .persist(MEMORY_AND_DISK)
+    var settled = Checkpoints.truncate(
+      seeds.select(col(seeds.columns(0)).as("url")).na.drop().distinct()
+        .select(col("url"), lit(0).cast("int").as("depth")))
+    var frontier = settled
+    var d = 1
+    var grew = true
+    while (d <= maxDepth && grew) {
+      val next = Checkpoints.truncate(
+        frontier.join(e, frontier("url") === e("src"))
+          .select(col("dst").as("url")).distinct()
+          .join(settled, Seq("url"), "left_anti")
+          .select(col("url"), lit(d).cast("int").as("depth")))
+      grew = !next.isEmpty
+      if (grew) {
+        settled = Checkpoints.truncate(settled.union(next))
+        frontier = next
+      }
+      d += 1
+    }
+    e.unpersist()
+    settled
+  }
 }

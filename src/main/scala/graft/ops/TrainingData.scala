@@ -462,4 +462,70 @@ object TrainingData {
         size(col("__chunk")).cast("long").as("n_chunk_tokens"),
         array_join(col("__chunk"), " ").as("chunk_text"))
   }
+
+  /** Corpus-level frequent n-gram mining — the boilerplate-phrase auditor
+    * ("subscribe to our newsletter", cookie banners, nav crumbs) run before
+    * deciding line-level filters: the top-k word `n`-grams by corpus
+    * occurrence count, with the document reach of each. Tokenization is
+    * the repo's normalized-gram definition ([[graft.textstats.TextAnalysis.wordGrams]]:
+    * lowercase, runs of [a-z0-9]) expressed in pure Catalyst
+    * (explode(sequence) + slice, the [[splitForContext]] shape) so the
+    * oracle can re-derive it with DuckDB's regex + zipped unnest.
+    *
+    * Scale shape: the gram explode is the unavoidable n× text volume, but
+    * it feeds a map-side-combinable count (partial aggregation absorbs
+    * the Zipfian gram head inside each task) and the top-k is
+    * orderBy+limit = TakeOrderedAndProject — per-partition heaps, never a
+    * global sort exchange. Ties break by gram ascending, so the emitted
+    * SET is deterministic on every engine and partitioning. */
+  def topNgrams(docs: DataFrame, idCol: String, textCol: String,
+                n: Int, k: Int): DataFrame = {
+    require(n >= 1 && k >= 1, s"n and k must be positive: $n/$k")
+    val toks = filter(split(lower(coalesce(col(textCol), lit(""))),
+      "[^a-z0-9]+"), t => length(t) > 0)
+    docs.select(col(idCol).as("__id"), toks.as("__toks"))
+      .withColumn("__n", size(col("__toks")))
+      .filter(col("__n") >= n)
+      .withColumn("__start", explode(sequence(lit(1), col("__n") - lit(n - 1))))
+      .select(col("__id"),
+        array_join(slice(col("__toks"), col("__start"), lit(n)), " ")
+          .as("gram"))
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        count_distinct(col("__id")).as("n_docs"))
+      .orderBy(col("n_occurrences").desc, col("gram").asc)
+      .limit(k)
+  }
+
+  /** Leak-free train/val/test split assignment — the hold-out primitive a
+    * dedup-aware corpus pipeline needs: assigning splits per-DOCUMENT leaks
+    * near-duplicates (same site, templated pages, mirrored articles) across
+    * the split boundary, inflating eval scores. Assigning at the GROUP
+    * level (host / source / dedup-cluster keeper — whatever `keyCol`
+    * names) puts every correlated document on the same side of the fence.
+    *
+    * Deterministic and engine-exact: bucket = first-8-hex of
+    * md5(salt:key) mod 1000 (the established permille discipline —
+    * `conv(hex)` in Spark ≡ `'0x' cast` in DuckDB), then
+    * bucket < testPermille → "test", < test+val → "val", else "train".
+    * Pure per-row expressions over the existing columns: no shuffle, no
+    * RNG, no driver action — at 10^12 docs this is a free map, and the
+    * same key always lands in the same split on every run, engine, and
+    * cluster size. Changing `salt` redraws independent splits. */
+  def splitAssign(docs: DataFrame, keyCol: String,
+                  valPermille: Int = 10, testPermille: Int = 10,
+                  salt: String = "split"): DataFrame = {
+    require(valPermille >= 0 && testPermille >= 0 &&
+      valPermille + testPermille <= 1000,
+      s"permilles must be non-negative and sum <= 1000: $valPermille/$testPermille")
+    val bucket = pmod(
+      conv(substring(md5(concat(lit(salt), lit(":"),
+        col(keyCol).cast("string"))), 1, 8), 16, 10).cast("long"),
+      lit(1000L))
+    docs.withColumn("split_bucket", bucket.cast("int"))
+      .withColumn("split",
+        when(col("split_bucket") < testPermille, "test")
+          .when(col("split_bucket") < testPermille + valPermille, "val")
+          .otherwise("train"))
+  }
 }

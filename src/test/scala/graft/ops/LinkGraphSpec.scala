@@ -124,4 +124,39 @@ class LinkGraphSpec extends AnyFunSuite {
     assert(got.getAs[Long]("n_distinct_anchors") == 40)
     assert(got.getAs[String]("top_anchors") == "a0|a1|a10|a11|a12")
   }
+
+  test("crawlDepth: min-hop BFS — diamond takes the short side, cycles " +
+      "terminate, depth bound cuts, unreachable nodes absent") {
+    val edges = Seq(
+      // diamond: s -> a -> b -> t and s -> t (t must settle at depth 1)
+      ("s", "a"), ("a", "b"), ("b", "t"), ("s", "t"),
+      // cycle off b
+      ("b", "c"), ("c", "b"),
+      // a long chain s -> d1 -> d2 -> d3 -> d4 -> d5 (d5 beyond maxDepth 4)
+      ("s", "d1"), ("d1", "d2"), ("d2", "d3"), ("d3", "d4"), ("d4", "d5"),
+      // island reachable only from a non-root (x is a dst elsewhere? no:
+      // x -> y with x never a dst -> x IS a root)
+      ("x", "y"),
+      // self-loop and duplicate edges must be ignored
+      ("s", "s"), ("s", "a"))
+      .toDF("src_url", "dst_url")
+    val seeds = Seq("s", "x").toDF("url")
+    val out = LinkGraph.crawlDepth(edges, seeds, maxDepth = 4)
+      .as[(String, Int)].collect().toMap
+    assert(out == Map("s" -> 0, "x" -> 0, "a" -> 1, "t" -> 1, "d1" -> 1,
+      "y" -> 1, "b" -> 2, "c" -> 3, "d2" -> 2, "d3" -> 3, "d4" -> 4))
+    // d5 is 5 hops out: cut by the bound
+    assert(!out.contains("d5"))
+  }
+
+  test("crawlDepth: null edges dropped, empty seeds -> empty result") {
+    val edges = Seq(("a", null.asInstanceOf[String]), (null, "b"), ("a", "b"))
+      .toDF("src_url", "dst_url")
+    val out = LinkGraph.crawlDepth(edges,
+      spark.emptyDataset[String].toDF("url"), maxDepth = 3)
+    assert(out.isEmpty)
+    val out2 = LinkGraph.crawlDepth(edges, Seq("a").toDF("url"), maxDepth = 3)
+      .as[(String, Int)].collect().toMap
+    assert(out2 == Map("a" -> 0, "b" -> 1))
+  }
 }

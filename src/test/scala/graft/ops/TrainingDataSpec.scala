@@ -381,4 +381,68 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(out.map(_._1).toSeq == Seq(3L))
     assert(out.head._5 == "one")
   }
+
+  test("topNgrams: hand-counted grams, doc reach, count-then-gram cutoff") {
+    val docs = Seq(
+      (1L, "Subscribe to our newsletter. Subscribe to our newsletter."),
+      (2L, "subscribe to our newsletter today"),
+      (3L, "to our newsletter, to our house"),
+      (4L, ""), (5L, null.asInstanceOf[String]), (6L, "one two"))
+      .toDF("doc_id", "text")
+    val out = TrainingData.topNgrams(docs, "doc_id", "text", n = 3, k = 3)
+      .as[(String, Long, Long)].collect()
+    // counts: "to our newsletter" x4 (docs 1,1,2,3), "subscribe to our" x3
+    // (1,1,2), "our newsletter subscribe" x1, "newsletter subscribe to" x1,
+    // "our newsletter today" x1, "newsletter to our" x1, "to our house" x1
+    // → top-3 = the two heavy grams + lexicographically first singleton
+    assert(out.toSeq == Seq(
+      ("to our newsletter", 4L, 3L),
+      ("subscribe to our", 3L, 2L),
+      ("newsletter subscribe to", 1L, 1L)))
+  }
+
+  test("splitAssign: leak-free — every doc of a key lands in ONE split, " +
+      "fences match the md5 bucket, fractions track the permilles") {
+    val docs = (0L until 2000L).map(i => (i, s"host${i % 200}"))
+      .toDF("doc_id", "source")
+    val out = TrainingData.splitAssign(docs, "source",
+        valPermille = 100, testPermille = 100)
+      .select($"doc_id", $"source", $"split_bucket", $"split")
+      .as[(Long, String, Int, String)].collect()
+    assert(out.length == 2000)
+    // leak-freedom: one split per source
+    assert(out.groupBy(_._2).forall(_._2.map(_._4).distinct.length == 1))
+    // the fence is exactly the bucket thresholds
+    out.foreach { case (_, _, b, s) =>
+      val want = if (b < 100) "test" else if (b < 200) "val" else "train"
+      assert(s == want, s"bucket $b -> $s")
+    }
+    // bucket is the md5 permille of salt:key, recomputed locally
+    out.take(50).foreach { case (_, src, b, _) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"split:$src".getBytes("UTF-8"))
+      val hex = md.map("%02x".format(_)).mkString.take(8)
+      assert(b == (java.lang.Long.parseLong(hex, 16) % 1000L).toInt)
+    }
+    // ~10%/10%/80% by key (200 keys; wide tolerance, deterministic seed)
+    val byKey = out.groupBy(_._2).map(_._2.head._4).toSeq
+    val frac = byKey.groupBy(identity).view.mapValues(_.size / 200.0).toMap
+    assert(frac.getOrElse("train", 0.0) > 0.6)
+    assert(frac.getOrElse("val", 0.0) > 0.02 && frac("val") < 0.25)
+    assert(frac.getOrElse("test", 0.0) > 0.02 && frac("test") < 0.25)
+  }
+
+  test("splitAssign: permille bounds enforced, salt redraws the fence") {
+    intercept[IllegalArgumentException] {
+      TrainingData.splitAssign(Seq((1L, "a")).toDF("doc_id", "source"),
+        "source", valPermille = 600, testPermille = 500)
+    }
+    val docs = (0L until 100L).map(i => (i, s"h$i")).toDF("doc_id", "source")
+    val a = TrainingData.splitAssign(docs, "source", salt = "sA")
+      .select($"source", $"split_bucket").as[(String, Int)].collect().toMap
+    val b = TrainingData.splitAssign(docs, "source", salt = "sB")
+      .select($"source", $"split_bucket").as[(String, Int)].collect().toMap
+    assert(a.keySet == b.keySet)
+    assert(a.count { case (k, v) => b(k) != v } > 50) // independent draws
+  }
 }
