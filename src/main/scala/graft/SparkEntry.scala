@@ -822,6 +822,15 @@ object SparkEntry {
         .toDF("src_url", "dst_url")
       graft.ops.LinkGraph.degreeHistogram(links, "dst_url")
     }),
+    "q_host_graph" -> ((s, _) => {
+      import s.implicits._
+      // the 10^12-edge → host-graph collapse; oracle re-derives hosts
+      // with the lexical authority regex and the same exact counts
+      val ex = extractedPersisted(s)
+      val links = ex.flatMap(p => p.links.map(l => (p.doc.url, l.dst_url)))
+        .toDF("src_url", "dst_url")
+      graft.ops.LinkGraph.hostGraph(links)
+    }),
     "q_crawl_depth" -> ((s, _) => {
       import s.implicits._
       // BFS hop distance from the root set (src urls that are never link
@@ -2681,6 +2690,23 @@ object SparkEntry {
          |       min(deg) AS min_deg, max(deg) AS max_deg,
          |       CAST(sum(deg) AS BIGINT) AS total_edges
          |FROM d GROUP BY 1""".stripMargin,
+    "q_host_graph" ->
+      // hosts via the established lexical authority regex (≡ Spark's
+      // try_parse_url HOST, proven by q_url_patterns), same exact counts
+      s"""WITH l AS (SELECT src_url, dst_url,
+         |    lower(NULLIF(regexp_extract(src_url,
+         |      '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?(\\[[^\\]/?#]*\\]|[^/?#:]*)',
+         |      1), '')) AS src_host,
+         |    lower(NULLIF(regexp_extract(dst_url,
+         |      '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?(\\[[^\\]/?#]*\\]|[^/?#:]*)',
+         |      1), '')) AS dst_host
+         |  FROM ${side("side_links")})
+         |SELECT src_host, dst_host, CAST(count(*) AS BIGINT) AS n_links,
+         |  CAST(count(DISTINCT src_url) AS BIGINT) AS n_src_pages,
+         |  CAST(count(DISTINCT dst_url) AS BIGINT) AS n_dst_pages,
+         |  src_host = dst_host AS is_internal
+         |FROM l WHERE src_host IS NOT NULL AND dst_host IS NOT NULL
+         |GROUP BY 1, 2""".stripMargin,
     "q_crawl_depth" ->
       // BFS distance as min(depth) over a bounded recursive-CTE expansion
       // of the SAME simple graph (distinct, null-free, self-loop-free)

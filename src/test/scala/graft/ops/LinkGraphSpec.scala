@@ -149,6 +149,31 @@ class LinkGraphSpec extends AnyFunSuite {
     assert(!out.contains("d5"))
   }
 
+  test("hostGraph: collapse, exact counts, internal flag, unparseable drop, " +
+      "and composition with pageRank") {
+    val links = Seq(
+      ("https://a.com/p1", "https://b.com/x"),
+      ("https://a.com/p1", "https://b.com/y"),
+      ("https://a.com/p2", "https://b.com/x"),
+      ("https://a.com/p1", "https://a.com/p2"),   // internal
+      ("https://A.COM/p3", "https://b.com/x"),    // host lowercased
+      ("not a url", "https://b.com/x"),           // unparseable src drops
+      ("https://a.com/p1", "mailto:x@y.z"))       // no authority → drops
+      .toDF("src_url", "dst_url")
+    val out = LinkGraph.hostGraph(links).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5)))).toMap
+    assert(out == Map(
+      ("a.com", "b.com") -> ((4L, 3L, 2L, false)),
+      ("a.com", "a.com") -> ((1L, 1L, 1L, true))))
+    // the collapse feeds the graph ops directly
+    val hr = LinkGraph.pageRank(
+      LinkGraph.hostGraph(links).filter(!col("is_internal"))
+        .select(col("src_host"), col("dst_host")), iterations = 2)
+      .as[(String, Double)].collect().toMap
+    assert(hr.keySet == Set("a.com", "b.com") && hr("b.com") > hr("a.com"))
+  }
+
   test("crawlDepth: null edges dropped, empty seeds -> empty result") {
     val edges = Seq(("a", null.asInstanceOf[String]), (null, "b"), ("a", "b"))
       .toDF("src_url", "dst_url")
