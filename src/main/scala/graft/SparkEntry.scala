@@ -718,6 +718,14 @@ object SparkEntry {
     "q_lm_quality" -> ((s, dir) =>
       graft.ops.QualityLm.scoreSelfFit(t(s, dir, "documents"),
         vocabSize = 1000)),
+    "q_nb_quality" -> ((s, dir) => {
+      // supervised quality gate: train on lang='en' as the positive
+      // class, score the whole corpus; oracle re-trains AND re-scores
+      val d = t(s, dir, "documents")
+      graft.ops.QualityLm.scoreNbQuality(d,
+        graft.ops.QualityLm.trainNbQuality(
+          d.withColumn("label", col("lang") === "en")))
+    }),
     "q_mix_corpus" -> ((s, dir) =>
       graft.ops.TrainingData.mixCorpus(
         t(s, dir, "documents").select(col("doc_id"), col("source")),
@@ -2169,6 +2177,29 @@ object SparkEntry {
          |  coalesce(pd.n_dup_windows, 0) * 5 > coalesce(pd.n_windows, 0) * 1
          |    AS span_flagged
          |FROM d LEFT JOIN pd USING (doc_id)""".stripMargin,
+    "q_nb_quality" ->
+      // train AND score re-derived: per-doc distinct tokens, per-token
+      // doc counts by class (NULL labels train neither side), integer
+      // log-odds via the exact bin()-length floor-log2, left-join scoring
+      """WITH toks AS (SELECT DISTINCT doc_id,
+        |    unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |                       x -> x <> '')) AS token
+        |  FROM documents),
+        |lab AS (SELECT doc_id, lang = 'en' AS pos FROM documents),
+        |m AS (SELECT token,
+        |        CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |        CAST(sum(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS BIGINT) AS n_neg
+        |      FROM toks JOIN lab USING (doc_id) GROUP BY 1),
+        |w AS (SELECT token,
+        |        CAST(length(bin(n_pos + 1)) - length(bin(n_neg + 1)) AS INT) AS w
+        |      FROM m),
+        |sc AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_scored,
+        |         CAST(sum(w.w) AS BIGINT) AS score
+        |       FROM toks t JOIN w ON t.token = w.token GROUP BY 1)
+        |SELECT d.doc_id, coalesce(sc.n_scored, 0) AS n_scored,
+        |       coalesce(sc.score, 0) AS score,
+        |       coalesce(sc.score, 0) > 0 AS predicted
+        |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id""".stripMargin,
     "q_lm_quality" ->
       // the whole fit+score pass re-derived: tokenizer, count ranking with
       // the same tie-break, OOV = V+1, integer rank sums, bucket cuts

@@ -101,4 +101,57 @@ object QualityLm {
                    headDiv: Int = 8, midDiv: Int = 2): DataFrame =
     scoreDocs(docs, fitUnigram(docs, textCol, vocabSize, minCount),
       idCol, textCol, vocabSize, headDiv, midDiv)
+
+  /** Train a supervised quality classifier — the GPT-3/PaLM-style "does
+    * this look like the reference corpus?" gate (Brown et al. 2020 §A
+    * trained logistic regression on hashed features; the engine-exact
+    * equivalent here is Bernoulli Naive Bayes with INTEGER log-odds):
+    * per token, w = floor(log2(n_pos+1)) − floor(log2(n_neg+1)), computed
+    * EXACTLY as length(bin(n+1)) differences — the same no-transcendental
+    * discipline as the rank-sum LM (float log is libm-dependent; bin() is
+    * proven identical cross-engine). Bernoulli (per-doc DISTINCT tokens)
+    * rather than multinomial so token-repetition spam cannot inflate its
+    * own evidence. Rows whose label is NULL train neither side.
+    *
+    * Scale shape: explode→distinct carries (id, bool, token) — partial
+    * dedup map-side, bounded by distinct tokens per doc — then one
+    * map-side-combinable count pair per token. Model size = distinct
+    * corpus tokens. Emits (token, n_pos, n_neg, w). */
+  def trainNbQuality(docs: DataFrame, idCol: String = "doc_id",
+                     textCol: String = "text",
+                     labelCol: String = "label"): DataFrame =
+    docs.select(col(idCol).as("__id"), col(labelCol).as("__pos"),
+        explode(tokens(col(textCol))).as("token"))
+      .distinct()
+      .groupBy(col("token"))
+      .agg(sum(when(col("__pos"), 1L).otherwise(0L)).as("n_pos"),
+        sum(when(!col("__pos"), 1L).otherwise(0L)).as("n_neg"))
+      .withColumn("w",
+        (length(bin(col("n_pos") + lit(1L))) -
+          length(bin(col("n_neg") + lit(1L)))).cast("int"))
+
+  /** Score docs against a [[trainNbQuality]] model: per-doc distinct
+    * tokens join the (token, w) frame — an honest shuffle join, the vocab
+    * is corpus-sized (AQE broadcasts it when a pruned model is small) —
+    * then one map-side-combinable sum per doc; docs with no known token
+    * score 0. The class prior is a constant shift, deliberately omitted:
+    * it cannot change the ORDER of documents, and thresholding is the
+    * caller's policy anyway (`predicted` uses 0, the balanced-prior
+    * fence). Emits (idCol, n_scored, score, predicted). */
+  def scoreNbQuality(docs: DataFrame, model: DataFrame,
+                     idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol).as("__id"),
+        explode(tokens(col(textCol))).as("token"))
+      .distinct()
+    val sc = toks.join(model.select(col("token"), col("w")), "token")
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("__n"), sum(col("w")).as("__score"))
+    docs.select(col(idCol))
+      .join(sc, col(idCol) === col("__id"), "left_outer")
+      .select(col(idCol),
+        coalesce(col("__n"), lit(0L)).as("n_scored"),
+        coalesce(col("__score"), lit(0L)).as("score"))
+      .withColumn("predicted", col("score") > lit(0L))
+  }
 }

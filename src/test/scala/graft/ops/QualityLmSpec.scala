@@ -61,4 +61,52 @@ class QualityLmSpec extends AnyFunSuite {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
   }
+
+  test("trainNbQuality: hand-derived doc counts and integer log-odds; " +
+      "Bernoulli distinct; NULL labels train neither side") {
+    val labeled = Seq(
+      (1L, "good good clean prose", Some(true)),   // 'good' counted ONCE
+      (2L, "clean prose here", Some(true)),
+      (3L, "spam spam buy", Some(false)),
+      (4L, "buy clean", Some(false)),
+      (5L, "unlabeled clean", None))
+      .toDF("doc_id", "text", "label")
+    val m = QualityLm.trainNbQuality(labeled)
+      .as[(String, Long, Long, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    def w(p: Long, n: Long): Int =
+      java.lang.Long.toBinaryString(p + 1).length -
+        java.lang.Long.toBinaryString(n + 1).length
+    assert(m("good") == ((1L, 0L, w(1, 0))))   // repetition did not inflate
+    assert(m("clean") == ((2L, 1L, w(2, 1)))) // doc 5 trained neither side
+    assert(m("prose") == ((2L, 0L, w(2, 0))))
+    assert(m("spam") == ((0L, 1L, w(0, 1))))
+    assert(m("buy") == ((0L, 2L, w(0, 2))))
+    assert(m("unlabeled") == ((0L, 0L, 0)))
+    assert(w(1, 0) == 1 && w(0, 2) == -1)     // the bin-length floor-log2
+  }
+
+  test("scoreNbQuality: planted separable corpus classifies held-out docs; " +
+      "unknown-token docs score 0") {
+    val posV = Seq("alpha", "beta", "gamma", "delta")
+    val negV = Seq("omega", "sigma", "kappa", "theta")
+    val train = ((0 until 40).map(i =>
+      (i.toLong, posV(i % 4) + " " + posV((i + 1) % 4), true)) ++
+      (40 until 80).map(i =>
+        (i.toLong, negV(i % 4) + " " + negV((i + 1) % 4), false)))
+      .toDF("doc_id", "text", "label")
+    val model = QualityLm.trainNbQuality(train)
+    val holdout = Seq(
+      (100L, "alpha gamma delta"), (101L, "omega kappa"),
+      (102L, "beta theta beta"),   // mixed: 1 pos vs 1 neg token → tie = 0
+      (103L, "neverseen tokens"))
+      .toDF("doc_id", "text")
+    val out = QualityLm.scoreNbQuality(holdout, model)
+      .as[(Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(100L)._3 == true && out(100L)._2 > 0)
+    assert(out(101L)._3 == false && out(101L)._2 < 0)
+    assert(out(102L)._2 == 0L && out(102L)._3 == false)
+    assert(out(103L) == ((0L, 0L, false)))
+  }
 }
