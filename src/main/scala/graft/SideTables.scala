@@ -142,6 +142,10 @@ object SideTables {
       "side_frames")
     save(SparkEntry.textstatsFrame(spark, sfDir)
       .select($"doc_id", $"lang_detected"), "side_textstats")
+    // zlib level-6 size per doc: the pinned scalar for
+    // q_compression_ratio (golden-gated vs CPython zlib; DuckDB cannot
+    // deflate) — the oracle re-derives n_bytes/ratio/flags independently
+    save(SparkEntry.zlibFrame(spark, sfDir), "side_zlib")
     // PII / paragraph corpora: the INPUT rows for q_pii_mask and
     // q_paragraph_dedup — DuckDB re-derives both operators from these
     save(SparkEntry.piiCorpus(spark, sfDir), "side_pii_docs")

@@ -180,6 +180,20 @@ object SparkEntry {
       }.toDF("doc_id", "lang", "lang_detected", "bpeish_tokens")
   }
 
+  /** Pinned scalar for q_compression_ratio: zlib level-6 size per doc
+    * (golden-gated vs CPython zlib); the oracle re-derives n_bytes,
+    * ratio, and both flags independently and joins this one column. */
+  private[graft] def zlibFrame(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents").select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val b = if (text == null) Array.emptyByteArray
+          else text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        (id, graft.textstats.TextAnalysis.zlibCompressedSize(b))
+      }.toDF("doc_id", "n_compressed")
+  }
+
   private[graft] def queryVec(s: SparkSession, dir: String): Array[Float] =
     t(s, dir, "embeddings").filter(col("vec_id") === 0)
       .select(col("embedding")).head().getSeq[Float](0).toArray
@@ -718,6 +732,21 @@ object SparkEntry {
     "q_lm_quality" -> ((s, dir) =>
       graft.ops.QualityLm.scoreSelfFit(t(s, dir, "documents"),
         vocabSize = 1000)),
+    "q_compression_ratio" -> ((s, dir) => {
+      // Gopher-style compressibility signal: the deflate size is the
+      // golden-pinned scalar (CPython-zlib-identical); ratio + flags are
+      // exact arithmetic the oracle re-derives from documents + side_zlib
+      t(s, dir, "documents").select(col("doc_id"),
+          length(to_binary(col("text"), lit("utf-8"))).cast("long")
+            .as("n_bytes"))
+        .join(zlibFrame(s, dir), "doc_id")
+        .withColumn("ratio", col("n_compressed").cast("double") /
+          nullif(col("n_bytes"), lit(0L)))
+        .withColumn("repetitive",
+          col("n_compressed") * lit(100L) < col("n_bytes") * lit(30L))
+        .withColumn("noise_like",
+          col("n_compressed") * lit(100L) > col("n_bytes") * lit(80L))
+    }),
     "q_nb_quality" -> ((s, dir) => {
       // supervised quality gate: train on lang='en' as the positive
       // class, score the whole corpus; oracle re-trains AND re-scores
@@ -2177,6 +2206,21 @@ object SparkEntry {
          |  coalesce(pd.n_dup_windows, 0) * 5 > coalesce(pd.n_windows, 0) * 1
          |    AS span_flagged
          |FROM d LEFT JOIN pd USING (doc_id)""".stripMargin,
+    "q_compression_ratio" ->
+      // n_compressed is the pinned scalar (golden-gated vs CPython zlib —
+      // DuckDB cannot deflate); n_bytes, ratio, and both flags are
+      // INDEPENDENTLY re-derived (the q_lang_detect discipline)
+      s"""SELECT d.doc_id,
+         |  CAST(octet_length(encode(d.text)) AS BIGINT) AS n_bytes,
+         |  z.n_compressed,
+         |  CAST(z.n_compressed AS DOUBLE) /
+         |    nullif(CAST(octet_length(encode(d.text)) AS BIGINT), 0) AS ratio,
+         |  z.n_compressed * 100 < CAST(octet_length(encode(d.text)) AS BIGINT) * 30
+         |    AS repetitive,
+         |  z.n_compressed * 100 > CAST(octet_length(encode(d.text)) AS BIGINT) * 80
+         |    AS noise_like
+         |FROM documents d JOIN ${side("side_zlib")} z
+         |  ON d.doc_id = z.doc_id""".stripMargin,
     "q_nb_quality" ->
       // train AND score re-derived: per-doc distinct tokens, per-token
       // doc counts by class (NULL labels train neither side), integer

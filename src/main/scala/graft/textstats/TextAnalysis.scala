@@ -484,4 +484,29 @@ object TextAnalysis {
     }
     out
   }
+
+  /** zlib-compressed size of `bytes` at the given level — the
+    * compression-ratio quality signal (Gopher's repetition family: text
+    * that deflates to almost nothing is template/stuffing spam; text that
+    * barely deflates is encrypted/binary noise — both poor training
+    * text). java.util.zip.Deflater IS zlib (same stream format, same
+    * default strategy); level-6 output was verified BYTE-IDENTICAL to
+    * CPython `zlib.compress(b, 6)` before the golden fixture
+    * (golden/zlib_sizes.json, generator scripts/gen_zlib_golden.py) was
+    * frozen, so the spec gates exact sizes, not a tolerance. Deflate
+    * output is zlib-version-sensitive in principle — the fixture pins the
+    * zlib 1.2/1.3 lineage both runtimes here link. Pure per-row, no
+    * allocation beyond one scratch buffer; at 10^12 docs this runs as a
+    * map with the usual per-row isolation. */
+  def zlibCompressedSize(bytes: Array[Byte], level: Int = 6): Long = {
+    val d = new java.util.zip.Deflater(level)
+    try {
+      d.setInput(bytes)
+      d.finish()
+      val buf = new Array[Byte](8192)
+      var n = 0L
+      while (!d.finished()) n += d.deflate(buf)
+      n
+    } finally d.end()
+  }
 }

@@ -201,4 +201,25 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(TextAnalysis.repetition("").nLines == 0)
     assert(!TextAnalysis.repetition(null).repetitious)
   }
+
+  test("zlibCompressedSize: EXACT CPython zlib.compress(b, 6) sizes on the " +
+      "golden corpus (repetitive / prose / noise regimes)") {
+    val rows = graft.GoldenJson.load("zlib_sizes.json")
+    assert(rows.size >= 12)
+    rows.foreach { r =>
+      val text = r.get("text").asText()
+      val b = text.getBytes("UTF-8")
+      assert(b.length.toLong == r.get("n_bytes").asLong(), r.get("name"))
+      assert(TextAnalysis.zlibCompressedSize(b) ==
+        r.get("n_compressed").asLong(),
+        s"${r.get("name").asText()}: deflate size diverged from CPython zlib")
+    }
+    // the signal separates the regimes the filter exists for
+    val byName = rows.map(r => r.get("name").asText() ->
+      (r.get("n_compressed").asDouble() /
+        math.max(1.0, r.get("n_bytes").asDouble()))).toMap
+    assert(byName("repeat_sentence") < 0.30 && byName("repeat_word") < 0.30)
+    assert(byName("noise") > 0.80)
+    assert(byName("prose") > 0.30 && byName("prose") < 0.80)
+  }
 }
