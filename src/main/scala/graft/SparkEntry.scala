@@ -695,6 +695,15 @@ object SparkEntry {
           "source", valPermille = 100, testPermille = 100)
         .select(col("doc_id"), col("source"), col("split_bucket"),
           col("split"))),
+    "q_split_leakage" -> ((s, dir) => {
+      // the audit closing the splitAssign loop: near-dup pairs counted
+      // per canonical split combination; oracle re-derives fence + rollup
+      val assign = graft.ops.TrainingData.splitAssign(
+          t(s, dir, "documents").select(col("doc_id"), col("source")),
+          "source", valPermille = 100, testPermille = 100)
+        .select(col("doc_id"), col("split"))
+      graft.ops.TrainingData.splitLeakage(dupPairsCorpus(s, dir), assign)
+    }),
     "q_source_quota" -> ((s, dir) =>
       graft.ops.TrainingData.sourceQuota(
         t(s, dir, "documents").select(col("doc_id"), col("source")),
@@ -2403,6 +2412,25 @@ object SparkEntry {
         |       WHEN split_bucket < 200 THEN 'val'
         |       ELSE 'train' END AS split
         |FROM b""".stripMargin,
+    "q_split_leakage" ->
+      // fence re-derived from documents, applied to both pair ends,
+      // canonical least/greatest pair, exact counts
+      s"""WITH a AS (SELECT doc_id,
+         |    CASE WHEN b < 100 THEN 'test'
+         |         WHEN b < 200 THEN 'val'
+         |         ELSE 'train' END AS split
+         |  FROM (SELECT doc_id,
+         |    CAST(CAST('0x' || substr(md5('split:' || source), 1, 8) AS BIGINT)
+         |         % 1000 AS INT) AS b
+         |    FROM documents)),
+         |p AS (SELECT least(x.split, y.split) AS split_a,
+         |        greatest(x.split, y.split) AS split_b
+         |      FROM ${side("side_dup_pairs")} d
+         |      JOIN a x ON d.id_a = x.doc_id
+         |      JOIN a y ON d.id_b = y.doc_id)
+         |SELECT split_a, split_b, CAST(count(*) AS BIGINT) AS n_pairs,
+         |       split_a <> split_b AS leaked
+         |FROM p GROUP BY 1, 2""".stripMargin,
     "q_source_quota" ->
       // the salted two-stage top-k re-derived as a plain window: exactness
       // of the skew-safe form IS the property under test

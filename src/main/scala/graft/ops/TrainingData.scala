@@ -463,6 +463,31 @@ object TrainingData {
         array_join(col("__chunk"), " ").as("chunk_text"))
   }
 
+  /** Split-leakage audit — the check that closes the [[splitAssign]] loop:
+    * given near-duplicate pairs (any Dedup candidate/verified pair frame)
+    * and a (doc, split) assignment, count pairs per split combination.
+    * Cross-split rows (`leaked = true`) are eval contamination: a near-dup
+    * of a training doc sitting in val/test inflates measured quality.
+    * Under a GROUP-keyed [[splitAssign]] the leaked counts are zero
+    * whenever pairs stay within the key (the spec pins both directions).
+    * The split pair is canonicalized (least/greatest) so (train,val) and
+    * (val,train) are one row. Shape: two id-keyed projection joins + one
+    * tiny (≤ |splits|²) aggregate — pair volume never amplifies. */
+  def splitLeakage(pairs: DataFrame, assign: DataFrame): DataFrame = {
+    val a = assign.select(col(assign.columns(0)).as("__ida"),
+      col(assign.columns(1)).as("__sa"))
+    val b = assign.select(col(assign.columns(0)).as("__idb"),
+      col(assign.columns(1)).as("__sb"))
+    pairs.select(col(pairs.columns(0)).as("__ida"),
+        col(pairs.columns(1)).as("__idb"))
+      .join(a, "__ida").join(b, "__idb")
+      .select(least(col("__sa"), col("__sb")).as("split_a"),
+        greatest(col("__sa"), col("__sb")).as("split_b"))
+      .groupBy(col("split_a"), col("split_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("leaked", col("split_a") =!= col("split_b"))
+  }
+
   /** Corpus-level frequent n-gram mining — the boilerplate-phrase auditor
     * ("subscribe to our newsletter", cookie banners, nav crumbs) run before
     * deciding line-level filters: the top-k word `n`-grams by corpus

@@ -432,6 +432,33 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(frac.getOrElse("test", 0.0) > 0.02 && frac("test") < 0.25)
   }
 
+  test("splitLeakage: same-key pairs NEVER leak under a key-based split; " +
+      "cross-key pairs counted canonically") {
+    val docs = (0L until 400L).map(i => (i, s"host${i % 40}"))
+      .toDF("doc_id", "source")
+    val assign = TrainingData.splitAssign(docs, "source",
+        valPermille = 250, testPermille = 250)
+      .select($"doc_id", $"split")
+    // pairs within a key: (i, i+40) shares host(i%40)
+    val sameKey = (0L until 360L).map(i => (i, i + 40L)).toDF("id_a", "id_b")
+    val lk = TrainingData.splitLeakage(sameKey, assign)
+      .as[(String, String, Long, Boolean)].collect()
+    assert(lk.map(_._3).sum == 360L)
+    assert(lk.forall(!_._4), lk.mkString(",")) // zero leaked rows
+    assert(lk.forall(r => r._1 == r._2))
+    // adversarial per-doc split (ignores the key): consecutive-id pairs
+    // cross hosts, so leaks appear — and the pair order is canonical
+    val perDoc = TrainingData.splitAssign(docs, "doc_id",
+        valPermille = 250, testPermille = 250)
+      .select($"doc_id", $"split")
+    val cross = (0L until 399L).map(i => (i + 1L, i)).toDF("id_a", "id_b")
+    val lk2 = TrainingData.splitLeakage(cross, perDoc)
+      .as[(String, String, Long, Boolean)].collect()
+    assert(lk2.map(_._3).sum == 399L)
+    assert(lk2.exists(_._4))
+    assert(lk2.forall(r => r._1 <= r._2)) // least/greatest canonicalization
+  }
+
   test("splitAssign: permille bounds enforced, salt redraws the fence") {
     intercept[IllegalArgumentException] {
       TrainingData.splitAssign(Seq((1L, "a")).toDF("doc_id", "source"),
