@@ -194,6 +194,18 @@ object SparkEntry {
       }.toDF("doc_id", "n_compressed")
   }
 
+  /** Deterministic link-exchange corpus for q_mutual_hosts: page edges
+    * derived from doc_id arithmetic (i%40 → 3i%40), which plants mutual
+    * host pairs exactly at i ≡ 0 (mod 5) — the oracle re-derives the SAME
+    * edges from documents, so the whole pipeline (urls → hosts → collapse
+    * → reciprocal join) is cross-engine-gated with no side table. */
+  private[graft] def linkExchangeCorpus(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      concat(lit("https://h"), (col("doc_id") % 40).cast("string"),
+        lit(".test/p"), col("doc_id").cast("string")).as("src_url"),
+      concat(lit("https://h"), ((col("doc_id") * 3) % 40).cast("string"),
+        lit(".test/q"), (col("doc_id") % 7).cast("string")).as("dst_url"))
+
   private[graft] def queryVec(s: SparkSession, dir: String): Array[Float] =
     t(s, dir, "embeddings").filter(col("vec_id") === 0)
       .select(col("embedding")).head().getSeq[Float](0).toArray
@@ -868,6 +880,23 @@ object SparkEntry {
         .toDF("src_url", "dst_url")
       graft.ops.LinkGraph.degreeHistogram(links, "dst_url")
     }),
+    "q_mutual_hosts" -> ((s, dir) => {
+      // link-exchange detection over the planted reciprocal corpus; the
+      // oracle re-derives edges, hosts, collapse, and reciprocal join
+      graft.ops.LinkGraph.mutualHostLinks(
+        graft.ops.LinkGraph.hostGraph(linkExchangeCorpus(s, dir)))
+    }),
+    "q_crawl_budget" -> ((s, dir) => {
+      // largest-remainder allocation of a 137-page budget across sources;
+      // prime budget forces nonzero remainders and a leftover
+      graft.ops.Frontier.allocateBudget(
+        t(s, dir, "documents").groupBy(col("source"))
+          .agg(count(lit(1)).as("n_pages")),
+        budget = 137L)
+    }),
+    "q_quantize_int8" -> ((s, dir) =>
+      // int8 ANN storage audit; every scalar re-derived from embeddings
+      graft.ops.Similarity.quantizeInt8(t(s, dir, "embeddings"))),
     "q_host_graph" -> ((s, _) => {
       import s.implicits._
       // the 10^12-edge → host-graph collapse; oracle re-derives hosts
@@ -2793,6 +2822,84 @@ object SparkEntry {
          |       min(deg) AS min_deg, max(deg) AS max_deg,
          |       CAST(sum(deg) AS BIGINT) AS total_edges
          |FROM d GROUP BY 1""".stripMargin,
+    "q_mutual_hosts" ->
+      // the WHOLE pipeline re-derived from documents: same doc_id
+      // arithmetic edges, lexical hosts, collapse, reciprocal self-join
+      """WITH ed AS (SELECT
+        |    'https://h' || (doc_id % 40) || '.test/p' || doc_id AS src_url,
+        |    'https://h' || ((doc_id * 3) % 40) || '.test/q' || (doc_id % 7)
+        |      AS dst_url
+        |  FROM documents),
+        |l AS (SELECT
+        |    lower(NULLIF(regexp_extract(src_url,
+        |      '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?(\[[^\]/?#]*\]|[^/?#:]*)',
+        |      1), '')) AS src_host,
+        |    lower(NULLIF(regexp_extract(dst_url,
+        |      '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?(\[[^\]/?#]*\]|[^/?#:]*)',
+        |      1), '')) AS dst_host
+        |  FROM ed),
+        |g AS (SELECT src_host, dst_host, CAST(count(*) AS BIGINT) AS n_links
+        |      FROM l WHERE src_host IS NOT NULL AND dst_host IS NOT NULL
+        |        AND src_host <> dst_host
+        |      GROUP BY 1, 2)
+        |SELECT a.src_host AS host_a, a.dst_host AS host_b,
+        |       a.n_links AS links_ab, b.n_links AS links_ba
+        |FROM g a JOIN g b
+        |  ON a.src_host = b.dst_host AND a.dst_host = b.src_host
+        |WHERE a.src_host < a.dst_host""".stripMargin,
+    "q_crawl_budget" ->
+      // the largest-remainder method re-derived: integer floor + mod,
+      // leftover scalar, distinct-remainder above-counts, per-tie
+      // row_number by host
+      """WITH h AS (SELECT source AS host, CAST(count(*) AS BIGINT) AS n_pages
+        |           FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_pages) AS BIGINT) AS N FROM h),
+        |b AS (SELECT host, n_pages, (137 * n_pages) // N AS fl,
+        |        (137 * n_pages) % N AS rem
+        |      FROM h, t),
+        |lo AS (SELECT 137 - CAST(sum(fl) AS BIGINT) AS L FROM b),
+        |hist AS (SELECT rem, count(*) AS cnt FROM b GROUP BY 1),
+        |ab AS (SELECT rem, coalesce(sum(cnt) OVER (ORDER BY rem DESC
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |         AS above
+        |       FROM hist),
+        |rn AS (SELECT b.host, b.n_pages, b.fl, ab.above,
+        |         row_number() OVER (PARTITION BY b.rem ORDER BY b.host)
+        |           AS rn
+        |       FROM b JOIN ab ON b.rem = ab.rem)
+        |SELECT host, n_pages,
+        |  CAST(fl + CASE WHEN above + rn <= (SELECT L FROM lo)
+        |                 THEN 1 ELSE 0 END AS BIGINT) AS quota
+        |FROM rn""".stripMargin,
+    "q_quantize_int8" ->
+      // symmetric max-abs int8: the same left-associative (x·127)/m floor,
+      // clamp, and integer audit sums re-derived over the raw embeddings
+      """WITH e AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,
+        |             CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |m AS (SELECT vec_id, v, CAST(len(v) AS BIGINT) AS dim,
+        |        coalesce(list_max(list_transform(v, x -> abs(x))),
+        |                 CAST(0.0 AS DOUBLE)) AS max_abs
+        |      FROM e),
+        |raw AS (SELECT vec_id,
+        |          CASE WHEN max_abs = CAST(0.0 AS DOUBLE) THEN 0
+        |               ELSE CAST(floor(v[u.i] * CAST(127.0 AS DOUBLE)
+        |                 / max_abs) AS BIGINT) END AS r
+        |        FROM m, UNNEST(generate_series(1, len(v))) AS u(i)),
+        |q AS (SELECT vec_id,
+        |        greatest(CAST(-128 AS BIGINT),
+        |          least(CAST(127 AS BIGINT), r)) AS qv,
+        |        CASE WHEN r > 127 OR r < -128 THEN 1 ELSE 0 END AS clipped
+        |      FROM raw),
+        |agg AS (SELECT vec_id, CAST(sum(qv) AS BIGINT) AS sum_q,
+        |          CAST(min(qv) AS BIGINT) AS min_q,
+        |          CAST(max(qv) AS BIGINT) AS max_q,
+        |          CAST(sum(clipped) AS BIGINT) AS n_clipped
+        |        FROM q GROUP BY 1)
+        |SELECT m.vec_id, m.dim, m.max_abs,
+        |  coalesce(a.sum_q, 0) AS sum_q, coalesce(a.min_q, 0) AS min_q,
+        |  coalesce(a.max_q, 0) AS max_q,
+        |  coalesce(a.n_clipped, 0) AS n_clipped
+        |FROM m LEFT JOIN agg a ON m.vec_id = a.vec_id""".stripMargin,
     "q_host_graph" ->
       // hosts via the established lexical authority regex (≡ Spark's
       // try_parse_url HOST, proven by q_url_patterns), same exact counts

@@ -357,6 +357,62 @@ object Frontier {
     * Scale: one codegen'd per-row projection, then a
     * map-side-combinable (host, pattern) count — no distinct-URL state
     * anywhere. Emits (host, pattern, n_urls, sample_url, is_trap). */
+  /**
+   * Per-host crawl-budget allocation by the largest-remainder method —
+   * the proportional-fair split of a global fetch budget B across hosts
+   * ("this crawl may fetch 10^9 pages; how many from each host?"),
+   * EXACTLY and deterministically:
+   *
+   *   quota_i = floor(B·n_i / N) + bonus_i, where the L = B − Σfloor
+   *   leftover units go to the hosts with the largest remainders
+   *   (B·n_i mod N), ties broken by host ascending.
+   *
+   * All-integer arithmetic (`B·n_i` is exact BIGINT — guarded against
+   * overflow), so every engine computes the identical allocation and
+   * Σquota = B precisely when B ≤ N (each quota ≤ n_i by construction).
+   *
+   * Scale shape (the [[Stats.exactIntQuantiles]] discipline): the bonus
+   * cut needs the L-th largest remainder — an order statistic — but the
+   * ONLY ordered step runs over the DISTINCT-remainder histogram (≤
+   * distinct remainder values, not hosts), and the within-tie pick is a
+   * per-remainder-group window bounded by the tie size. No global row
+   * sort, no driver-side ranking. Emits (host, n_pages, quota).
+   */
+  def allocateBudget(hostCounts: DataFrame, budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0: $budget")
+    val h = hostCounts.select(
+        col(hostCounts.columns(0)).as("host"),
+        col(hostCounts.columns(1)).cast("long").as("n_pages"))
+      .filter(col("n_pages") > 0L)
+    val totals = h.agg(sum(col("n_pages")).as("__N"))
+    // B·n_i stays in BIGINT; `div` keeps the division integral (Spark's
+    // `/` on longs is fractional). Overflow of B·n_i throws under ANSI —
+    // the loud failure is deliberate (a silently wrong allocation at
+    // 10^12 pages is worse than a dead job; split the budget per shard
+    // if B·max(n_i) can exceed 2^63).
+    val base = h.crossJoin(broadcast(totals))
+      .withColumn("__num", lit(budget) * col("n_pages"))
+      .withColumn("__floor", expr("__num div __N"))
+      .withColumn("__rem", col("__num") % col("__N"))
+    // leftover L = B - sum(floor) — a one-row broadcast frame
+    val leftover = base.agg((lit(budget) - sum(col("__floor"))).as("__L"))
+    // distinct-remainder histogram: hosts with a strictly larger remainder
+    val hist = base.groupBy(col("__rem")).agg(count(lit(1)).as("__cnt"))
+      .withColumn("__above",
+        coalesce(sum(col("__cnt")).over(
+          Window.orderBy(col("__rem").desc)
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    base
+      .join(hist.select(col("__rem"), col("__above")), Seq("__rem"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("__rem")).orderBy(col("host").asc)))
+      .crossJoin(broadcast(leftover))
+      .select(col("host"), col("n_pages"),
+        (col("__floor") +
+          when(col("__above") + col("__rn") <= col("__L"), 1L)
+            .otherwise(0L)).as("quota"))
+  }
+
   def urlPatternFamilies(urls: DataFrame, urlCol: String = "url",
                          trapThreshold: Long = 1000L): DataFrame = {
     require(trapThreshold > 0, s"trapThreshold must be positive")

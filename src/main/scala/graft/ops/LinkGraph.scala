@@ -284,6 +284,25 @@ object LinkGraph {
         count_distinct(col("__d")).as("n_dst_pages"))
       .withColumn("is_internal", col("src_host") === col("dst_host"))
 
+  /** Reciprocal host pairs — the link-exchange signature (two hosts
+    * pointing at each other is the classic manipulation pattern the
+    * page-level [[linkSpamScores]] cannot see): self-join the
+    * [[hostGraph]] inter-host edges against their own reversal, keep each
+    * unordered pair once (host_a < host_b). The join is host-pair-keyed —
+    * on the COLLAPSED graph, so it is ~10^7-host-scale, never page-scale.
+    * Emits (host_a, host_b, links_ab, links_ba). */
+  def mutualHostLinks(hostEdges: DataFrame): DataFrame = {
+    val e = hostEdges
+      .select(col("src_host"), col("dst_host"), col("n_links"))
+      .filter(col("src_host") =!= col("dst_host"))
+    val r = e.select(col("dst_host").as("src_host"),
+      col("src_host").as("dst_host"), col("n_links").as("__rev"))
+    e.join(r, Seq("src_host", "dst_host"))
+      .filter(col("src_host") < col("dst_host"))
+      .select(col("src_host").as("host_a"), col("dst_host").as("host_b"),
+        col("n_links").as("links_ab"), col("__rev").as("links_ba"))
+  }
+
   /**
    * BFS crawl depth from a seed set — the hop-distance signal a frontier
    * scheduler budgets by ("crawl to depth 3 from the seed list") and the

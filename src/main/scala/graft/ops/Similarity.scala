@@ -231,4 +231,44 @@ object Similarity {
       .select(col(idCol)).collect().map(_.get(0)).toSet
     if (exact.isEmpty) 1.0 else exact.intersect(approx).size.toDouble / exact.size
   }
+
+  /** Scalar int8 quantization audit — the storage path a 10^12-vector ANN
+    * index actually ships (4 bytes/dim float → 1 byte/dim int8 is the
+    * difference between an index that fits executor memory and one that
+    * doesn't): per vector, symmetric max-abs scaling
+    * q_j = floor(x_j·127 / max|x|), clamped to [-128, 127]. Emits the
+    * per-vector audit scalars — (id, dim, max_abs, sum_q, min_q, max_q,
+    * n_clipped) — rather than the byte array itself, so the q_quantize_int8
+    * oracle can re-derive every number: the float ops are the pinned
+    * left-associative (x·127)/m with floor, identical correctly-rounded
+    * IEEE steps in both engines, and everything downstream is integer.
+    * Pure per-row typed map — scales as a map, no shuffle. */
+  def quantizeInt8(emb: DataFrame, idCol: String = "vec_id",
+                   embCol: String = "embedding"): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    emb.select(col(idCol).cast("long"), col(embCol))
+      .as[(Long, Array[Float])]
+      .map { case (id, v0) =>
+        val v = if (v0 == null) Array.empty[Float] else v0
+        var m = 0.0
+        v.foreach { x => val a = math.abs(x.toDouble); if (a > m) m = a }
+        var sum = 0L; var mn = 0L; var mx = 0L; var clip = 0L
+        var first = true
+        v.foreach { x =>
+          val raw =
+            if (m == 0.0) 0L
+            else math.floor(x.toDouble * 127.0 / m).toLong
+          val q =
+            if (raw > 127L) { clip += 1; 127L }
+            else if (raw < -128L) { clip += 1; -128L }
+            else raw
+          sum += q
+          if (first) { mn = q; mx = q; first = false }
+          else { if (q < mn) mn = q; if (q > mx) mx = q }
+        }
+        (id, v.length.toLong, m, sum,
+          if (first) 0L else mn, if (first) 0L else mx, clip)
+      }.toDF(idCol, "dim", "max_abs", "sum_q", "min_q", "max_q", "n_clipped")
+  }
 }

@@ -92,4 +92,31 @@ class FrontierSpec extends AnyFunSuite {
       ((2L, "https://b.com/s/cafebabe5678/view", false)))
     assert(out(("b.com", "https://b.com/about"))._1 == 1L)
   }
+
+  test("allocateBudget: largest-remainder — exact sum, proportionality, " +
+      "deterministic remainder/host tie-break") {
+    import spark.implicits._
+    // N = 100, B = 7: floors are 7*n/100; remainders decide the leftover
+    val hosts = Seq(("a", 50L), ("b", 30L), ("c", 15L), ("d", 5L))
+      .toDF("host", "n_pages")
+    val out = Frontier.allocateBudget(hosts, budget = 7L)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    // floors: a=3 (rem 50), b=2 (rem 10), c=1 (rem 5), d=0 (rem 35)
+    // leftover = 7-6 = 1 → goes to the largest remainder: a
+    assert(out == Map("a" -> 4L, "b" -> 2L, "c" -> 1L, "d" -> 0L))
+    // remainder ties break by host ascending: four equal hosts, B=2
+    val eq = Seq(("w", 10L), ("x", 10L), ("y", 10L), ("z", 10L))
+      .toDF("host", "n_pages")
+    val out2 = Frontier.allocateBudget(eq, budget = 2L)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(out2 == Map("w" -> 1L, "x" -> 1L, "y" -> 0L, "z" -> 0L))
+    // invariants on a bigger skewed frame: sum == B, quota <= n_pages
+    val big = (0 until 200).map(i => (s"h$i", (i % 17 + 1).toLong))
+      .toDF("host", "n_pages")
+    val q = Frontier.allocateBudget(big, budget = 137L)
+      .as[(String, Long, Long)].collect()
+    assert(q.map(_._3).sum == 137L)
+    assert(q.forall(r => r._3 <= r._2))
+    assert(q.forall(r => r._3 >= 0L))
+  }
 }

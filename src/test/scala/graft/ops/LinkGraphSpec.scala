@@ -174,6 +174,20 @@ class LinkGraphSpec extends AnyFunSuite {
     assert(hr.keySet == Set("a.com", "b.com") && hr("b.com") > hr("a.com"))
   }
 
+  test("mutualHostLinks: reciprocal pairs once, one-way and internal " +
+      "edges excluded, directional counts kept") {
+    val edges = Seq(
+      ("https://a.com/1", "https://b.com/x"),
+      ("https://a.com/2", "https://b.com/y"),
+      ("https://b.com/z", "https://a.com/1"),   // reciprocal: a<->b
+      ("https://a.com/1", "https://c.com/x"),   // one-way only
+      ("https://d.com/1", "https://d.com/2"))   // internal
+      .toDF("src_url", "dst_url")
+    val out = LinkGraph.mutualHostLinks(LinkGraph.hostGraph(edges))
+      .as[(String, String, Long, Long)].collect()
+    assert(out.toSeq == Seq(("a.com", "b.com", 2L, 1L)))
+  }
+
   test("crawlDepth: null edges dropped, empty seeds -> empty result") {
     val edges = Seq(("a", null.asInstanceOf[String]), (null, "b"), ("a", "b"))
       .toDF("src_url", "dst_url")

@@ -88,4 +88,22 @@ class SimilaritySpec extends AnyFunSuite {
     val qb = graft.textstats.TextAnalysis.rhpBucket(q, 8, 42L)
     assert((1 to 5).count(i => b1(i.toLong) == qb) >= 3)
   }
+
+  test("quantizeInt8: hand-derived audit scalars — max hits 127, symmetric " +
+      "negatives, zero vector, empty vector") {
+    val rows = Seq(
+      (1L, Array(2.0f, -2.0f, 1.0f, 0.0f)),  // m=2: q = 127,-127,63,0
+      (2L, Array(0.0f, 0.0f)),               // zero vector: all q = 0
+      (3L, Array.empty[Float]),
+      (4L, Array(-4.0f)))                    // single negative: q = -127
+      .toDF("vec_id", "embedding")
+    val out = Similarity.quantizeInt8(rows)
+      .as[(Long, Long, Double, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6, r._7))).toMap
+    // floor(1.0*127/2.0) = floor(63.5) = 63; floor(-2*127/2) = -127
+    assert(out(1L) == ((4L, 2.0, 127L - 127L + 63L + 0L, -127L, 127L, 0L)))
+    assert(out(2L) == ((2L, 0.0, 0L, 0L, 0L, 0L)))
+    assert(out(3L) == ((0L, 0.0, 0L, 0L, 0L, 0L)))
+    assert(out(4L) == ((1L, 4.0, -127L, -127L, -127L, 0L)))
+  }
 }
