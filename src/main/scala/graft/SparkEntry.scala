@@ -694,6 +694,16 @@ object SparkEntry {
       // engine-portable HyperLogLog over document texts; the oracle
       // re-derives every register and the fixed-point indicator sum
       graft.ops.Sketch.hllDistinct(t(s, dir, "documents"), "text", p = 8)),
+    "q_hll_merge" -> ((s, dir) => {
+      // distributivity gate: sketch each doc_id-parity half separately,
+      // merge by register max, estimate — must equal q_hll_distinct
+      val d = t(s, dir, "documents")
+      val even = graft.ops.Sketch.hllRegisters(
+        d.filter(col("doc_id") % 2 === 0), "text")
+      val odd = graft.ops.Sketch.hllRegisters(
+        d.filter(col("doc_id") % 2 === 1), "text")
+      graft.ops.Sketch.hllEstimate(graft.ops.Sketch.hllMerge(Seq(even, odd)))
+    }),
     "q_top_ngrams" -> ((s, dir) =>
       // corpus boilerplate-phrase mining: top-20 3-grams by occurrence
       graft.ops.TrainingData.topNgrams(
@@ -1247,6 +1257,34 @@ object SparkEntry {
 
   private def side(name: String): String =
     s"read_parquet('$sideDir/$name/*.parquet')"
+
+  /** Whole-corpus HLL sketch SQL — shared by q_hll_distinct AND
+    * q_hll_merge: merging the two half-corpus register frames must
+    * reproduce this exact table (union-of-sketches ≡ sketch-of-union). */
+  private val hllOracleSql: String =
+    """WITH h AS (SELECT
+      |    CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS v
+      |  FROM documents),
+      |b AS (SELECT v >> 52 AS bucket,
+      |        v & ((CAST(1 AS BIGINT) << 52) - 1) AS w FROM h),
+      |r AS (SELECT bucket,
+      |        max(CASE WHEN w = 0 THEN 53
+      |                 ELSE 53 - length(bin(w)) END) AS reg
+      |      FROM b GROUP BY 1),
+      |s AS (SELECT CAST(count(*) AS BIGINT) AS present,
+      |        CAST(sum(CAST(1 AS BIGINT) << (53 - reg)) AS BIGINT) AS sump
+      |      FROM r),
+      |t AS (SELECT present,
+      |        CAST(sump + (256 - present) * (CAST(1 AS BIGINT) << 53)
+      |          AS BIGINT) AS sum_fp
+      |      FROM s)
+      |SELECT 256 AS m, CAST(256 - present AS INT) AS n_zero_registers,
+      |  sum_fp,
+      |  ((CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE)
+      |      + CAST(1.079 AS DOUBLE) / CAST(256.0 AS DOUBLE)))
+      |    * CAST(65536.0 AS DOUBLE) * CAST(9007199254740992.0 AS DOUBLE))
+      |    / CAST(sum_fp AS DOUBLE) AS estimate
+      |FROM t""".stripMargin
 
   /** Shared BPE-oracle CTE chain: word counts -> symbol strings ->
     * three (pair-count, argmax, recursive-apply) training rounds.
@@ -2390,29 +2428,12 @@ object SparkEntry {
       // registers as max per bucket, indicator sum in FIXED POINT (BIGINT,
       // order-independent), and the estimate with the identical
       // left-associative IEEE op order — doubles match bitwise
-      """WITH h AS (SELECT
-        |    CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS v
-        |  FROM documents),
-        |b AS (SELECT v >> 52 AS bucket,
-        |        v & ((CAST(1 AS BIGINT) << 52) - 1) AS w FROM h),
-        |r AS (SELECT bucket,
-        |        max(CASE WHEN w = 0 THEN 53
-        |                 ELSE 53 - length(bin(w)) END) AS reg
-        |      FROM b GROUP BY 1),
-        |s AS (SELECT CAST(count(*) AS BIGINT) AS present,
-        |        CAST(sum(CAST(1 AS BIGINT) << (53 - reg)) AS BIGINT) AS sump
-        |      FROM r),
-        |t AS (SELECT present,
-        |        CAST(sump + (256 - present) * (CAST(1 AS BIGINT) << 53)
-        |          AS BIGINT) AS sum_fp
-        |      FROM s)
-        |SELECT 256 AS m, CAST(256 - present AS INT) AS n_zero_registers,
-        |  sum_fp,
-        |  ((CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE)
-        |      + CAST(1.079 AS DOUBLE) / CAST(256.0 AS DOUBLE)))
-        |    * CAST(65536.0 AS DOUBLE) * CAST(9007199254740992.0 AS DOUBLE))
-        |    / CAST(sum_fp AS DOUBLE) AS estimate
-        |FROM t""".stripMargin,
+      hllOracleSql,
+    "q_hll_merge" ->
+      // union-of-sketches ≡ sketch-of-union: merging the two half-corpus
+      // register frames MUST reproduce the whole-corpus sketch exactly,
+      // so the oracle is the very same whole-corpus SQL
+      hllOracleSql,
     "q_top_ngrams" ->
       // same normalized 3-grams via zipped unnest + positional self-joins;
       // deterministic cutoff: count DESC then gram ASC

@@ -37,20 +37,43 @@ import org.apache.spark.sql.functions._
  */
 object Sketch {
 
-  /** α_m·m²·2^(f+1) and the fence arithmetic, shared with the oracle. */
-  def hllDistinct(df: DataFrame, keyCol: String, p: Int = 8): DataFrame = {
+  /** The occupied-register frame (bucket, reg) — the sketch's
+    * MATERIALIZED form: m rows max, mergeable by [[hllMerge]], persisted
+    * per shard/snapshot and combined later without re-reading data (the
+    * property that makes HLL the right tool at 10^12 rows: each shard
+    * ships ≤ m ints, and union-of-sketches ≡ sketch-of-union). */
+  def hllRegisters(df: DataFrame, keyCol: String, p: Int = 8): DataFrame = {
     require(p >= 4 && p <= 12, s"p in [4,12]: $p")
-    val m = 1 << p
     val f = 60 - p
     val v = conv(substring(md5(col(keyCol).cast("string")), 1, 15), 16, 10)
       .cast("long")
     val w = v.bitwiseAND(lit((1L << f) - 1L))
     val rho = when(w === 0L, lit(f + 1))
       .otherwise(lit(f + 1) - length(bin(w)))
-    val regs = df
-      .select(shiftright(v, f).cast("int").as("bucket"),
+    df.select(shiftright(v, f).cast("int").as("bucket"),
         rho.cast("int").as("rho"))
       .groupBy(col("bucket")).agg(max(col("rho")).as("reg"))
+  }
+
+  /** Merge partial sketches: per-bucket register MAX — associative,
+    * commutative, idempotent, so any shard/snapshot partition of the
+    * data merges to EXACTLY the whole-corpus sketch (spec + oracle-pinned
+    * by q_hll_merge: two half-corpus sketches re-estimate bitwise-equal
+    * to q_hll_distinct's answer). */
+  def hllMerge(sketches: Seq[DataFrame]): DataFrame = {
+    require(sketches.nonEmpty, "hllMerge needs at least one sketch")
+    sketches.map(_.select(col("bucket"), col("reg")))
+      .reduce(_.unionAll(_))
+      .groupBy(col("bucket")).agg(max(col("reg")).as("reg"))
+  }
+
+  /** Summarize a register frame into (m, n_zero_registers, sum_fp,
+    * estimate) — α_m·m²·2^(f+1) over the fixed-point indicator sum,
+    * arithmetic shared verbatim with the q_hll_distinct oracle. */
+  def hllEstimate(regs: DataFrame, p: Int = 8): DataFrame = {
+    require(p >= 4 && p <= 12, s"p in [4,12]: $p")
+    val m = 1 << p
+    val f = 60 - p
     val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble))
     val num = alpha * lit((m.toLong * m).toDouble) *
       lit(math.pow(2.0, (f + 1).toDouble))
@@ -60,9 +83,13 @@ object Sketch {
           .as("__sump"))
       .select(lit(m).as("m"),
         (lit(m) - col("__present")).cast("int").as("n_zero_registers"),
-        (col("__sump") +
+        (coalesce(col("__sump"), lit(0L)) +
           (lit(m.toLong) - col("__present")) * lit(1L << (f + 1)))
           .cast("long").as("sum_fp"))
       .withColumn("estimate", num / col("sum_fp").cast("double"))
   }
+
+  /** One-shot sketch: registers → estimate. */
+  def hllDistinct(df: DataFrame, keyCol: String, p: Int = 8): DataFrame =
+    hllEstimate(hllRegisters(df, keyCol, p), p)
 }

@@ -73,4 +73,24 @@ class SketchSpec extends AnyFunSuite {
       Sketch.hllDistinct(Seq("x").toDF("k"), "k", p = 13)
     }
   }
+
+  test("hllMerge: union-of-sketches ≡ sketch-of-union, exactly — " +
+      "arbitrary overlapping shards, idempotent, order-insensitive") {
+    val all = (0 until 4000).map(i => s"m$i").toDF("k")
+    val whole = Sketch.hllDistinct(all, "k")
+      .as[(Int, Int, Long, Double)].collect().head
+    // three OVERLAPPING shards covering the corpus
+    val s1 = Sketch.hllRegisters((0 until 2000).map(i => s"m$i").toDF("k"), "k")
+    val s2 = Sketch.hllRegisters((1500 until 3200).map(i => s"m$i").toDF("k"), "k")
+    val s3 = Sketch.hllRegisters((3000 until 4000).map(i => s"m$i").toDF("k"), "k")
+    val merged = Sketch.hllEstimate(Sketch.hllMerge(Seq(s1, s2, s3)))
+      .as[(Int, Int, Long, Double)].collect().head
+    assert(merged == whole)
+    assert(java.lang.Double.doubleToRawLongBits(merged._4) ==
+      java.lang.Double.doubleToRawLongBits(whole._4))
+    // order-insensitive and idempotent (a shard merged twice)
+    val again = Sketch.hllEstimate(Sketch.hllMerge(Seq(s3, s1, s2, s1)))
+      .as[(Int, Int, Long, Double)].collect().head
+    assert(again == whole)
+  }
 }
