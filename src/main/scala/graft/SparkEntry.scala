@@ -677,7 +677,10 @@ object SparkEntry {
       c.select(col("doc_id"),
         graft.ops.Privacy.maskPii(col("text")).as("text_masked"),
         graft.ops.Privacy.emailCount(col("text")).as("n_emails"),
-        graft.ops.Privacy.ipv4Count(col("text")).as("n_ips"))
+        graft.ops.Privacy.ipv4Count(col("text")).as("n_ips"),
+        graft.ops.Privacy.ssnCount(col("text")).as("n_ssns"),
+        graft.ops.Privacy.ccardCount(col("text")).as("n_ccards"),
+        graft.ops.Privacy.phoneCount(col("text")).as("n_phones"))
     }),
     "q_paragraph_dedup" -> ((s, dir) =>
       Dedup.paragraphDedup(paraCorpus(s, dir), "doc_id", "text", maxDocs = 2)),
@@ -1048,8 +1051,15 @@ object SparkEntry {
       .otherwise(concat(lit(" from "), pmod(id, lit(256)).cast("string"),
         lit("."), pmod(id * 7, lit(256)).cast("string"), lit(".0."),
         pmod(id, lit(100)).cast("string")))
+    val d4 = lpad(pmod(id, lit(10000)).cast("string"), 4, "0")
+    val phone = when(pmod(id, lit(6)) === 0,
+        concat(lit(" call +1 202-555-"), d4)).otherwise(lit(""))
+    val ssn = when(pmod(id, lit(5)) === 2,
+        concat(lit(" ssn 123-45-"), d4)).otherwise(lit(""))
+    val ccard = when(pmod(id, lit(8)) === 1,
+        concat(lit(" card 4111 1111 1111 "), d4)).otherwise(lit(""))
     d.select(id, concat(substring(col("text"), 1, 60), email, email2, ip,
-      lit(" "), substring(col("text"), 61, 60)).as("text"))
+      phone, ssn, ccard, lit(" "), substring(col("text"), 61, 60)).as("text"))
   }
 
   /** Deterministic paragraph-structured corpus: every doc opens with a
@@ -2081,13 +2091,25 @@ object SparkEntry {
       // side-table input rows (patterns restricted to RE2∩java.util.regex
       // syntax; DuckDB standard strings pass backslashes through)
       s"""SELECT doc_id,
-         |  regexp_replace(regexp_replace(text,
+         |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+         |    regexp_replace(text,
          |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-         |    '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g') AS text_masked,
+         |    '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g'),
+         |    '\\b\\d{3}-\\d{2}-\\d{4}\\b', '<SSN>', 'g'),
+         |    '\\b\\d{4}[ -]\\d{4}[ -]\\d{4}[ -]\\d{4}\\b', '<CARD>', 'g'),
+         |    '\\+\\d{1,3}[ -]?\\d{2,4}[ -]?\\d{3,4}[ -]?\\d{3,4}\\b',
+         |    '<PHONE>', 'g') AS text_masked,
          |  len(regexp_extract_all(text,
          |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_emails,
          |  len(regexp_extract_all(text,
-         |    '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b')) AS n_ips
+         |    '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b')) AS n_ips,
+         |  len(regexp_extract_all(text,
+         |    '\\b\\d{3}-\\d{2}-\\d{4}\\b')) AS n_ssns,
+         |  len(regexp_extract_all(text,
+         |    '\\b\\d{4}[ -]\\d{4}[ -]\\d{4}[ -]\\d{4}\\b')) AS n_ccards,
+         |  len(regexp_extract_all(text,
+         |    '\\+\\d{1,3}[ -]?\\d{2,4}[ -]?\\d{3,4}[ -]?\\d{3,4}\\b'))
+         |    AS n_phones
          |FROM ${side("side_pii_docs")}""".stripMargin,
     "q_paragraph_dedup" ->
       // whole operator re-derived relationally: split → global distinct-doc

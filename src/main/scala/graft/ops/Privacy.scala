@@ -36,17 +36,53 @@ object Privacy {
     * scrubber where over-masking beats leaking). */
   val Ipv4Pattern: String = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
 
+  /** US SSN shape with dashes — the dashes keep false positives near
+    * zero (bare 9-digit runs are usually ids); disjoint from IPv4 (dots)
+    * and from card groups (a 3-digit run inside 4-digit groups has no
+    * word boundary). */
+  val SsnPattern: String = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+
+  /** 16-digit card number in SEPARATED 4-4-4-4 form only — the grouped
+    * form is the near-zero-FP shape; bare 16-digit runs (which would
+    * need a Luhn check to mask safely) deliberately do not match. */
+  val CcardPattern: String = "\\b\\d{4}[ -]\\d{4}[ -]\\d{4}[ -]\\d{4}\\b"
+
+  /** International phone in +CC form: the leading `+` is the
+    * disambiguator (plain digit runs never match), then 3 groups with
+    * optional space/dash separators — ≥8 digits after the country code
+    * in practice. Leftmost-first with plain greedy quantifiers: Java and
+    * RE2 agree by construction. */
+  val PhonePattern: String =
+    "\\+\\d{1,3}[ -]?\\d{2,4}[ -]?\\d{3,4}[ -]?\\d{3,4}\\b"
+
   val EmailToken = "<EMAIL>"
   val IpToken = "<IP>"
+  val SsnToken = "<SSN>"
+  val CcardToken = "<CARD>"
+  val PhoneToken = "<PHONE>"
 
   def emailCount(text: Column): Column = regexp_count(text, lit(EmailPattern))
 
   def ipv4Count(text: Column): Column = regexp_count(text, lit(Ipv4Pattern))
 
-  /** Emails first, then IPv4 (an email's host part cannot contain a full
-    * dotted quad once the email is collapsed to the token, so the order
-    * only matters for determinism, which is why it is pinned). */
+  def ssnCount(text: Column): Column = regexp_count(text, lit(SsnPattern))
+
+  def ccardCount(text: Column): Column = regexp_count(text, lit(CcardPattern))
+
+  def phoneCount(text: Column): Column = regexp_count(text, lit(PhonePattern))
+
+  /** Fixed masking order — emails, IPv4, SSN, card, phone — pinned for
+    * determinism (the classes are pairwise disjoint on well-formed text:
+    * `+` leads only phones, dots only IPs/emails, the dash/group shapes
+    * cannot overlap across a word boundary). Counts are taken on the
+    * ORIGINAL text, so diagnostics never depend on replacement order. */
   def maskPii(text: Column): Column =
-    regexp_replace(regexp_replace(text, EmailPattern, EmailToken),
-      Ipv4Pattern, IpToken)
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(regexp_replace(text, EmailPattern, EmailToken),
+            Ipv4Pattern, IpToken),
+          SsnPattern, SsnToken),
+        CcardPattern, CcardToken),
+      PhonePattern, PhoneToken)
 }

@@ -46,4 +46,37 @@ class PrivacySpec extends AnyFunSuite {
   test("numeric email hosts are not emails (alpha TLD required) so the quad masks as IP") {
     assert(run("ftp user@10.0.0.1 now") == Seq(("ftp user@<IP> now", 0, 1)))
   }
+
+  private def mask(text: String): String = {
+    import spark.implicits._
+    Seq(text).toDF("t").select(Privacy.maskPii($"t")).as[String].head()
+  }
+
+  test("ssn/card/phone classes: shapes mask, lookalikes survive") {
+    // SSN: dashes required — bare 9 digits and IPs survive
+    assert(mask("ssn 123-45-6789 ok") == "ssn <SSN> ok")
+    assert(mask("id 123456789 ok") == "id 123456789 ok")
+    // card: separated 4-4-4-4 only (space or dash, mixed allowed);
+    // bare 16 digits deliberately survive (Luhn territory)
+    assert(mask("pay 4111 1111 1111 1234 now") == "pay <CARD> now")
+    assert(mask("pay 4111-1111 1111-1234 now") == "pay <CARD> now")
+    assert(mask("pay 4111111111111234 now") == "pay 4111111111111234 now")
+    // phone: leading + required; plain digit runs and dates survive
+    assert(mask("call +1 202-555-0123 today") == "call <PHONE> today")
+    assert(mask("call +44 20 7946 0958") == "call <PHONE>")
+    assert(mask("on 2024-03-12 we shipped") == "on 2024-03-12 we shipped")
+    // disjointness: a card is not three SSN-ish groups, a phone tail is
+    // not an SSN (no boundary splits a digit group)
+    assert(mask("mix +1 303-555-0100 and 987-65-4321 and 1.2.3.4") ==
+      "mix <PHONE> and <SSN> and <IP>")
+  }
+
+  test("new counts are taken on the original text") {
+    import spark.implicits._
+    val out = Seq("s 111-22-3333 c 4111 1111 1111 1111 p +1 404-555-0101")
+      .toDF("t")
+      .select(Privacy.ssnCount($"t"), Privacy.ccardCount($"t"),
+        Privacy.phoneCount($"t")).as[(Int, Int, Int)].head()
+    assert(out == ((1, 1, 1)))
+  }
 }
