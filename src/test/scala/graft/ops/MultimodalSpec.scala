@@ -176,6 +176,19 @@ class MultimodalSpec extends AnyFunSuite {
     javax.imageio.ImageIO.write(img, "gif", bos)
     assert(Multimodal.decodeImage(bos.toByteArray).contains(
       Multimodal.DecodedImage(2, 1, 255L, 0L, 255L)))
+    // JPEG through the same entry point: lossy, so pin dims exactly and
+    // a solid mid-gray (DC-only blocks) to a ±2/pixel channel tolerance
+    val jimg = new java.awt.image.BufferedImage(16, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 16) jimg.setRGB(x, y, 0x808080)
+    val jbos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(jimg, "jpg", jbos)
+    val jd = Multimodal.decodeImage(jbos.toByteArray).get
+    assert(jd.width == 16 && jd.height == 8)
+    val n = 16L * 8L
+    Seq(jd.sum_r, jd.sum_g, jd.sum_b).foreach { s =>
+      assert(math.abs(s - 0x80L * n) <= 2L * n, s"channel sum $s")
+    }
   }
 
   test("resizeDecoded: integer box averages, floor division") {
