@@ -697,6 +697,17 @@ object SparkEntry {
       // engine-portable HyperLogLog over document texts; the oracle
       // re-derives every register and the fixed-point indicator sum
       graft.ops.Sketch.hllDistinct(t(s, dir, "documents"), "text", p = 8)),
+    "q_jsonl_roundtrip" -> ((s, dir) => {
+      // trainer-handoff fidelity: write documents as JSONL, read the
+      // files back through the JSON parser, compare to the source rows —
+      // escaping, nulls, and numeric round-tripping all under the hash
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))
+      val out = "/tmp/graft_jsonl/documents"
+      graft.pipeline.JsonlSink.write(d, out)
+      graft.pipeline.JsonlSink.read(s, out, d.schema)
+    }),
     "q_hll_merge" -> ((s, dir) => {
       // distributivity gate: sketch each doc_id-parity half separately,
       // merge by register max, estimate — must equal q_hll_distinct
@@ -2444,6 +2455,10 @@ object SparkEntry {
       // binary string collation in both engines
       """SELECT doc_id, source FROM documents
         |WHERE md5('s1:' || doc_id) < '4'""".stripMargin,
+    "q_jsonl_roundtrip" ->
+      // the oracle is the SOURCE table: whatever the JSONL files did to
+      // the data must be the identity
+      """SELECT doc_id, text, lang, source, n_chars FROM documents""",
     "q_hll_distinct" ->
       // the whole sketch re-derived: same 60-bit md5 hash ('0x' cast ≡
       // conv(hex)), same bin()-length rho (the degree-histogram trick),
