@@ -194,6 +194,30 @@ object SparkEntry {
       }.toDF("doc_id", "n_compressed")
   }
 
+  /** Deterministic CDX(J) line corpus for q_cdx_parse: well-formed index
+    * lines built from doc_id arithmetic plus planted garbage rows
+    * (doc_id ≡ 0 mod 13); the oracle computes the EXPECTED parse output
+    * directly from documents, so the parser is gated field-by-field. */
+  private[graft] def cdxCorpus(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val h2 = lpad(pmod(id, lit(24)).cast("string"), 2, "0")
+    val line = when(pmod(id, lit(13)) === 0,
+        concat(lit("garbage line nojson"), id.cast("string")))
+      .otherwise(concat(
+        lit("com,h"), pmod(id, lit(40)).cast("string"), lit(")/p"),
+        id.cast("string"),
+        lit(" 20240315"), h2, lit("0000"),
+        lit(" {\"url\":\"https://h"), pmod(id, lit(40)).cast("string"),
+        lit(".test/p"), id.cast("string"),
+        lit("\",\"mime\":\"text/html\",\"status\":\"200\",\"digest\":\"D"),
+        id.cast("string"),
+        lit("\",\"length\":\""), (pmod(id, lit(1000)) + 100).cast("string"),
+        lit("\",\"offset\":\""), (id * 17).cast("string"),
+        lit("\",\"filename\":\"crawl-"), pmod(id, lit(5)).cast("string"),
+        lit(".warc.gz\"}")))
+    t(s, dir, "documents").select(line.as("line"))
+  }
+
   /** Deterministic link-exchange corpus for q_mutual_hosts: page edges
     * derived from doc_id arithmetic (i%40 → 3i%40), which plants mutual
     * host pairs exactly at i ≡ 0 (mod 5) — the oracle re-derives the SAME
@@ -697,6 +721,10 @@ object SparkEntry {
       // engine-portable HyperLogLog over document texts; the oracle
       // re-derives every register and the fixed-point indicator sum
       graft.ops.Sketch.hllDistinct(t(s, dir, "documents"), "text", p = 8)),
+    "q_cdx_parse" -> ((s, dir) =>
+      // CC index-line parsing incl. planted garbage rows; the oracle
+      // computes the expected field values straight from doc_id
+      graft.sources.Cdx.parse(cdxCorpus(s, dir))),
     "q_jsonl_roundtrip" -> ((s, dir) => {
       // trainer-handoff fidelity: write documents as JSONL, read the
       // files back through the JSON parser, compare to the source rows —
@@ -2459,6 +2487,31 @@ object SparkEntry {
       // the oracle is the SOURCE table: whatever the JSONL files did to
       // the data must be the identity
       """SELECT doc_id, text, lang, source, n_chars FROM documents""",
+    "q_cdx_parse" ->
+      // EXPECTED parse output computed directly from doc_id arithmetic —
+      // garbage rows (id ≡ 0 mod 13) must parse to 'garbage' + NULLs;
+      // epoch integers avoid timezone-rendering comparisons
+      """SELECT
+        |  CASE WHEN doc_id % 13 = 0 THEN 'garbage'
+        |       ELSE 'com,h' || (doc_id % 40) || ')/p' || doc_id END AS urlkey,
+        |  CASE WHEN doc_id % 13 = 0 THEN NULL
+        |       ELSE CAST(epoch(strptime(
+        |         '20240315' || lpad(CAST(doc_id % 24 AS VARCHAR), 2, '0')
+        |           || '0000', '%Y%m%d%H%M%S')) AS BIGINT) END AS ts_unix,
+        |  CASE WHEN doc_id % 13 = 0 THEN NULL
+        |       ELSE 'https://h' || (doc_id % 40) || '.test/p' || doc_id
+        |       END AS url,
+        |  CASE WHEN doc_id % 13 = 0 THEN NULL ELSE 'text/html' END AS mime,
+        |  CASE WHEN doc_id % 13 = 0 THEN NULL ELSE 200 END AS status,
+        |  CASE WHEN doc_id % 13 = 0 THEN NULL ELSE 'D' || doc_id
+        |       END AS digest,
+        |  CASE WHEN doc_id % 13 = 0 THEN NULL
+        |       ELSE CAST(doc_id % 1000 + 100 AS BIGINT) END AS "length",
+        |  CASE WHEN doc_id % 13 = 0 THEN NULL
+        |       ELSE CAST(doc_id * 17 AS BIGINT) END AS "offset",
+        |  CASE WHEN doc_id % 13 = 0 THEN NULL
+        |       ELSE 'crawl-' || (doc_id % 5) || '.warc.gz' END AS filename
+        |FROM documents""".stripMargin,
     "q_hll_distinct" ->
       // the whole sketch re-derived: same 60-bit md5 hash ('0x' cast ≡
       // conv(hex)), same bin()-length rho (the degree-histogram trick),
