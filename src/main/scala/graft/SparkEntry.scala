@@ -949,6 +949,11 @@ object SparkEntry {
     "q_quantize_int8" -> ((s, dir) =>
       // int8 ANN storage audit; every scalar re-derived from embeddings
       graft.ops.Similarity.quantizeInt8(t(s, dir, "embeddings"))),
+    "q_int8_topk" -> ((s, dir) =>
+      // search OVER the quantized vectors: integer dot products, bit-exact
+      // ranking; oracle re-quantizes corpus + query and re-ranks
+      graft.ops.Similarity.int8TopK(t(s, dir, "embeddings"),
+        "vec_id", "embedding", queryVec(s, dir), k = 10)),
     "q_host_graph" -> ((s, _) => {
       import s.implicits._
       // the 10^12-edge → host-graph collapse; oracle re-derives hosts
@@ -3011,6 +3016,28 @@ object SparkEntry {
         |  coalesce(a.max_q, 0) AS max_q,
         |  coalesce(a.n_clipped, 0) AS n_clipped
         |FROM m LEFT JOIN agg a ON m.vec_id = a.vec_id""".stripMargin,
+    "q_int8_topk" ->
+      // the whole quantized-search path re-derived: per-vector max-abs
+      // int8 (same floor/clamp), query = vec_id 0, INTEGER dots, rank by
+      // (dot desc, id asc)
+      """WITH e AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,
+        |             CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |m AS (SELECT vec_id, v,
+        |        coalesce(list_max(list_transform(v, x -> abs(x))),
+        |                 CAST(0.0 AS DOUBLE)) AS ma
+        |      FROM e),
+        |q AS (SELECT vec_id, u.i AS pos,
+        |        CASE WHEN ma = CAST(0.0 AS DOUBLE) THEN 0
+        |             ELSE greatest(CAST(-128 AS BIGINT),
+        |               least(CAST(127 AS BIGINT),
+        |                 CAST(floor(v[u.i] * CAST(127.0 AS DOUBLE) / ma)
+        |                   AS BIGINT))) END AS qv
+        |      FROM m, UNNEST(generate_series(1, len(v))) AS u(i)),
+        |qq AS (SELECT pos, qv FROM q WHERE vec_id = 0),
+        |d AS (SELECT q.vec_id, CAST(sum(q.qv * qq.qv) AS BIGINT) AS dot_q
+        |      FROM q JOIN qq ON q.pos = qq.pos GROUP BY 1)
+        |SELECT vec_id, dot_q FROM d
+        |ORDER BY dot_q DESC, vec_id LIMIT 10""".stripMargin,
     "q_host_graph" ->
       // hosts via the established lexical authority regex (≡ Spark's
       // try_parse_url HOST, proven by q_url_patterns), same exact counts

@@ -243,6 +243,43 @@ object Similarity {
     * left-associative (x·127)/m with floor, identical correctly-rounded
     * IEEE steps in both engines, and everything downstream is integer.
     * Pure per-row typed map — scales as a map, no shuffle. */
+  /** Symmetric max-abs int8 of one vector — floor((x·127)/m), clamped:
+    * the same per-element math [[quantizeInt8]] audits (its oracle pins
+    * the shared formula; this helper feeds the search path). */
+  private[graft] def int8Of(v: Array[Float]): Array[Long] = {
+    var m = 0.0
+    v.foreach { x => val a = math.abs(x.toDouble); if (a > m) m = a }
+    v.map { x =>
+      val raw = if (m == 0.0) 0L else math.floor(x.toDouble * 127.0 / m).toLong
+      if (raw > 127L) 127L else if (raw < -128L) -128L else raw
+    }
+  }
+
+  /** Top-k retrieval OVER the int8-quantized vectors — the search the
+    * [[quantizeInt8]] storage path exists for, and the accuracy probe
+    * for the 4× compression: scores are INTEGER dot products of the
+    * quantized corpus row against the quantized query (max |dot| ≤
+    * dim·127·128 — never near overflow), so ranking is bit-exact on
+    * every engine and partitioning, no float anywhere. Per-row typed map
+    * + TakeOrderedAndProject; ties break by id ascending. */
+  def int8TopK(emb: DataFrame, idCol: String, embCol: String,
+               q: Array[Float], k: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val qq = int8Of(q)
+    emb.select(col(idCol).cast("long"), col(embCol))
+      .as[(Long, Array[Float])]
+      .map { case (id, v0) =>
+        val v = int8Of(if (v0 == null) Array.empty[Float] else v0)
+        val n = math.min(v.length, qq.length)
+        var s = 0L; var i = 0
+        while (i < n) { s += v(i) * qq(i); i += 1 }
+        (id, s)
+      }.toDF(idCol, "dot_q")
+      .orderBy(col("dot_q").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   def quantizeInt8(emb: DataFrame, idCol: String = "vec_id",
                    embCol: String = "embedding"): DataFrame = {
     val spark = emb.sparkSession

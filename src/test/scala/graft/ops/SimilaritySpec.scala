@@ -89,6 +89,26 @@ class SimilaritySpec extends AnyFunSuite {
     assert((1 to 5).count(i => b1(i.toLong) == qb) >= 3)
   }
 
+  test("int8TopK: integer dots rank the planted cluster first; " +
+      "deterministic across repartition; ties break by id") {
+    val q = Array(1.0f, 0.0f, 0.0f, 0.0f)
+    val rows = Seq(
+      (1L, Array(0.9f, 0.1f, 0.0f, 0.0f)),   // near q
+      (2L, Array(0.4f, 0.0f, 0.8f, 0.0f)),   // on-axis but max elsewhere:
+                                             // quantizes to 63 on axis 0
+      (3L, Array(0.0f, 1.0f, 0.0f, 0.0f)),   // orthogonal
+      (4L, Array(-1.0f, 0.0f, 0.0f, 0.0f)),  // opposite
+      (5L, Array(0.9f, 0.1f, 0.0f, 0.0f)))   // tie with 1
+    val df = rows.toDF("vec_id", "embedding")
+    val top = Similarity.int8TopK(df, "vec_id", "embedding", q, 3)
+      .as[(Long, Long)].collect().toSeq
+    assert(top.map(_._1) == Seq(1L, 5L, 2L)) // tie 1 vs 5 → id asc
+    assert(top(0)._2 == top(1)._2 && top(0)._2 > top(2)._2)
+    val top2 = Similarity.int8TopK(df.repartition(7), "vec_id", "embedding",
+      q, 3).as[(Long, Long)].collect().toSeq
+    assert(top2 == top)
+  }
+
   test("quantizeInt8: hand-derived audit scalars — max hits 127, symmetric " +
       "negatives, zero vector, empty vector") {
     val rows = Seq(
