@@ -92,4 +92,36 @@ object Sketch {
   /** One-shot sketch: registers → estimate. */
   def hllDistinct(df: DataFrame, keyCol: String, p: Int = 8): DataFrame =
     hllEstimate(hllRegisters(df, keyCol, p), p)
+
+  /** JVM mirror of the column path's (bucket, rho) for one key — the
+    * streaming state function uses this; parity with the Catalyst
+    * expression chain is pinned twice (SketchSpec's independent local
+    * model, StreamingSketchSpec's bitwise batch-identity). */
+  private[graft] def registerOf(key: String, p: Int): (Int, Int) = {
+    val f = 60 - p
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString.take(15)
+    val v = java.lang.Long.parseLong(hex, 16)
+    val w = v & ((1L << f) - 1L)
+    val rho =
+      if (w == 0L) f + 1
+      else f + 1 - (64 - java.lang.Long.numberOfLeadingZeros(w))
+    ((v >>> f).toInt, rho)
+  }
+
+  /** Summary arithmetic over a full register array (zeros included) —
+    * the same pinned left-associative IEEE order as [[hllEstimate]]. */
+  private[graft] def summarize(regs: Array[Int], p: Int)
+      : (Int, Int, Long, Double) = {
+    val m = 1 << p
+    val f = 60 - p
+    var sumFp = 0L
+    var zeros = 0
+    regs.foreach { r => sumFp += 1L << (f + 1 - r); if (r == 0) zeros += 1 }
+    val alpha = 0.7213 / (1.0 + 1.079 / m.toDouble)
+    val num = alpha * (m.toLong * m).toDouble *
+      math.pow(2.0, (f + 1).toDouble)
+    (m, zeros, sumFp, num / sumFp.toDouble)
+  }
 }
