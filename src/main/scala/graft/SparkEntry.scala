@@ -502,6 +502,18 @@ object SparkEntry {
           (p.doc.url, l.dst_url, l.kind, l.src_tag, l.anchor, l.is_internal)))
         .toDF("src_url", "dst_url", "kind", "src_tag", "anchor", "is_internal")
     }),
+    "q_host_demote" -> ((s, _) => {
+      // failure taxonomy → next-plan feedback: the poisoned corpus's
+      // all-failing host must demote, every healthy host must not; the
+      // oracle re-derives failures from the INPUT structure (side_poison)
+      import s.implicits._
+      val docs = Extract.extract(PagesGen.poisonedPages(s, PoisonN))
+        .map(_.doc).toDF()
+        .select(col("url"),
+          col("failure_class").isNotNull.cast("long").as("failed"))
+      graft.ops.Frontier.demoteFailingHosts(docs, "url", "failed",
+        maxFailedNum = 1, maxFailedDen = 5)
+    }),
     "q_extract_meta" -> ((s, _) => {
       import s.implicits._
       extractedPersisted(s)
@@ -735,6 +747,21 @@ object SparkEntry {
       val out = "/tmp/graft_jsonl/documents"
       graft.pipeline.JsonlSink.write(d, out)
       graft.pipeline.JsonlSink.read(s, out, d.schema)
+    }),
+    "q_datasheet" -> ((s, dir) => {
+      // the one-row corpus datasheet a governance snapshot publishes:
+      // exact integer totals + the portable-HLL distinct-text estimate;
+      // the oracle re-derives every scalar including the sketch
+      val d = t(s, dir, "documents")
+      d.agg(
+          count(lit(1)).as("n_docs"),
+          count_distinct(col("source")).as("n_sources"),
+          sum(graft.ops.TrainingData.nTokens(col("text")).cast("long"))
+            .as("total_tokens"),
+          sum(length(col("text")).cast("long")).as("total_chars"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_english"))
+        .crossJoin(broadcast(graft.ops.Sketch.hllDistinct(d, "text")
+          .select(col("estimate").as("distinct_text_estimate"))))
     }),
     "q_hll_merge" -> ((s, dir) => {
       // distributivity gate: sketch each doc_id-parity half separately,
@@ -1634,6 +1661,21 @@ object SparkEntry {
     "q_extract_links" ->
       s"""SELECT src_url, dst_url, kind, src_tag, anchor, is_internal
          |FROM ${side("side_links")}""".stripMargin,
+    "q_host_demote" ->
+      // failures re-derived from input structure (no-payload rows are the
+      // only failures in this corpus — q_failure_classes pins that);
+      // hosts via the lexical authority regex; exact cross-multiply fence
+      s"""WITH p AS (SELECT url,
+         |    CASE WHEN has_payload THEN 0 ELSE 1 END AS f
+         |  FROM ${side("side_poison")} WHERE url IS NOT NULL),
+         |h AS (SELECT lower(NULLIF(regexp_extract(url,
+         |    '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?(\\[[^\\]/?#]*\\]|[^/?#:]*)',
+         |    1), '')) AS host, f
+         |  FROM p)
+         |SELECT host, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(f) AS BIGINT) AS n_failed,
+         |  sum(f) * 5 > count(*) * 1 AS demoted
+         |FROM h WHERE host IS NOT NULL GROUP BY 1""".stripMargin,
     "q_mirror_paths" ->
       // DuckDB re-derives the reference's save path (core/scraper.py:
       // 484-497) from (url, content_kind) with string functions only:
@@ -2524,6 +2566,24 @@ object SparkEntry {
       // order-independent), and the estimate with the identical
       // left-associative IEEE op order — doubles match bitwise
       hllOracleSql,
+    "q_datasheet" ->
+      // every datasheet scalar re-derived: integer totals over documents
+      // + the full HLL chain as a derived table
+      s"""WITH base AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+         |    CAST(sum(len(regexp_split_to_array(trim(text), '\\s+')))
+         |      AS BIGINT) AS total_tokens,
+         |    CAST(sum(length(text)) AS BIGINT) AS total_chars,
+         |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_english
+         |  FROM documents),
+         |est AS (SELECT estimate FROM (
+         |$hllOracleSql
+         |))
+         |SELECT base.n_docs, base.n_sources, base.total_tokens,
+         |  base.total_chars, base.n_english,
+         |  est.estimate AS distinct_text_estimate
+         |FROM base, est""".stripMargin,
     "q_hll_merge" ->
       // union-of-sketches ≡ sketch-of-union: merging the two half-corpus
       // register frames MUST reproduce the whole-corpus sketch exactly,

@@ -413,6 +413,32 @@ object Frontier {
             .otherwise(0L)).as("quota"))
   }
 
+  /** Per-host failure-rate demotion — the feedback edge from the extract
+    * taxonomy (`failure_class`) back into the next crawl plan: a host
+    * whose failure share exceeds `maxFailedNum/maxFailedDen` is flagged
+    * for demotion (skip, or down-prioritize like the reference's
+    * error-class backoff, logging/custom_exceptions.py semantics at
+    * corpus scale). The rate test is an exact integer cross-multiply —
+    * no float thresholds — and the rollup is one map-side-combinable
+    * aggregate over a (host, 0/1) projection. Rows without a parseable
+    * host cannot be demoted and are dropped. Emits (host, n_docs,
+    * n_failed, demoted). */
+  def demoteFailingHosts(docs: DataFrame, urlCol: String, failedCol: String,
+                         maxFailedNum: Int = 1,
+                         maxFailedDen: Int = 5): DataFrame = {
+    require(maxFailedDen > 0 && maxFailedNum >= 0,
+      s"threshold must be a non-negative rational: $maxFailedNum/$maxFailedDen")
+    docs.select(col(urlCol).as("__u"), col(failedCol).cast("long").as("__f"))
+      .select(lower(expr("try_parse_url(__u, 'HOST')")).as("host"),
+        col("__f"))
+      .filter(col("host").isNotNull)
+      .groupBy(col("host"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__f")).as("n_failed"))
+      .withColumn("demoted",
+        col("n_failed") * lit(maxFailedDen.toLong) >
+          col("n_docs") * lit(maxFailedNum.toLong))
+  }
+
   def urlPatternFamilies(urls: DataFrame, urlCol: String = "url",
                          trapThreshold: Long = 1000L): DataFrame = {
     require(trapThreshold > 0, s"trapThreshold must be positive")

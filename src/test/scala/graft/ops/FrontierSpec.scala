@@ -93,6 +93,27 @@ class FrontierSpec extends AnyFunSuite {
     assert(out(("b.com", "https://b.com/about"))._1 == 1L)
   }
 
+  test("demoteFailingHosts: exact cross-multiply fence, strict inequality, " +
+      "unparseable urls dropped") {
+    import spark.implicits._
+    val docs = Seq(
+      ("https://bad.com/1", 1L), ("https://bad.com/2", 1L),
+      ("https://bad.com/3", 0L),                       // 2/3 > 1/5 → demote
+      ("https://edge.com/1", 1L), ("https://edge.com/2", 0L),
+      ("https://edge.com/3", 0L), ("https://edge.com/4", 0L),
+      ("https://edge.com/5", 0L),                      // 1/5 == 1/5 → keep
+      ("https://good.com/1", 0L), ("https://good.com/2", 0L),
+      ("not a url", 1L))
+      .toDF("url", "failed")
+    val out = Frontier.demoteFailingHosts(docs, "url", "failed")
+      .as[(String, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out == Map(
+      "bad.com" -> ((3L, 2L, true)),
+      "edge.com" -> ((5L, 1L, false)),   // strict: exactly at the fence stays
+      "good.com" -> ((2L, 0L, false))))
+  }
+
   test("allocateBudget: largest-remainder — exact sum, proportionality, " +
       "deterministic remainder/host tie-break") {
     import spark.implicits._
