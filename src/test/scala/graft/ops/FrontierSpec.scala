@@ -140,4 +140,26 @@ class FrontierSpec extends AnyFunSuite {
     assert(q.forall(r => r._3 <= r._2))
     assert(q.forall(r => r._3 >= 0L))
   }
+
+  test("allocateBudget property: Σquota == B, 0 ≤ quota ≤ n_pages, and " +
+      "|quota - B·n/N| < 1 fair-share bound (15 seeded random frames)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    (0 until 15).foreach { trial =>
+      val nHosts = 3 + rnd.nextInt(60)
+      val hosts = (0 until nHosts)
+        .map(i => (s"h$i", 1L + rnd.nextInt(500).toLong))
+      val n = hosts.map(_._2).sum
+      val b = 1L + rnd.nextInt(math.min(n, 1000L).toInt).toLong
+      val out = Frontier.allocateBudget(hosts.toDF("host", "n_pages"), b)
+        .as[(String, Long, Long)].collect()
+      assert(out.map(_._3).sum == b, s"trial $trial: sum != B")
+      out.foreach { case (h, np, qt) =>
+        assert(qt >= 0L && qt <= np, s"trial $trial $h")
+        // largest-remainder never strays a full unit from the fair share
+        val fair = b.toDouble * np.toDouble / n.toDouble
+        assert(math.abs(qt - fair) < 1.0 + 1e-9, s"trial $trial $h: $qt vs $fair")
+      }
+    }
+  }
 }

@@ -74,6 +74,23 @@ class SketchSpec extends AnyFunSuite {
     }
   }
 
+  test("hllMerge property: ANY random 4-way sharding merges to the whole " +
+      "sketch (20 seeded trials)") {
+    val all = (0 until 1500).map(i => s"p$i")
+    val whole = Sketch.hllDistinct(all.toDF("k"), "k")
+      .as[(Int, Int, Long, Double)].collect().head
+    val rnd = new scala.util.Random(42)
+    (0 until 20).foreach { trial =>
+      val assign = all.map(k => (k, rnd.nextInt(4)))
+      val shards = (0 until 4).map(s =>
+        Sketch.hllRegisters(
+          assign.filter(_._2 == s).map(_._1).toDF("k"), "k"))
+      val merged = Sketch.hllEstimate(Sketch.hllMerge(shards))
+        .as[(Int, Int, Long, Double)].collect().head
+      assert(merged == whole, s"trial $trial")
+    }
+  }
+
   test("hllMerge: union-of-sketches ≡ sketch-of-union, exactly — " +
       "arbitrary overlapping shards, idempotent, order-insensitive") {
     val all = (0 until 4000).map(i => s"m$i").toDF("k")
