@@ -156,6 +156,12 @@ object SideTables {
     // re-runs the identical damage regexes + flag cross-multiply
     save(SparkEntry.mojiCorpus(spark, sfDir), "side_mojidocs")
     save(SparkEntry.paraCorpus(spark, sfDir), "side_paradocs")
+    // per-doc winnowing fingerprints over the paragraph corpus: the
+    // pinned scalars for q_winnow_overlap (the JVM rolling-hash winnow is
+    // golden/spec-gated); the oracle re-derives the stop-fingerprint
+    // filter, self-join, and pair counts relationally
+    save(graft.ops.Dedup.winnowFingerprints(
+      SparkEntry.paraCorpus(spark, sfDir), "doc_id", "text"), "side_winnow")
     // near-dup pair rows: the INPUT for q_dedup_components — DuckDB
     // re-derives the transitive closure with WITH RECURSIVE
     save(SparkEntry.dupPairsCorpus(spark, sfDir), "side_dup_pairs")

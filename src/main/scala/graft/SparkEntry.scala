@@ -720,6 +720,14 @@ object SparkEntry {
     }),
     "q_paragraph_dedup" -> ((s, dir) =>
       Dedup.paragraphDedup(paraCorpus(s, dir), "doc_id", "text", maxDocs = 2)),
+    "q_winnow_overlap" -> ((s, dir) =>
+      // MOSS copy evidence over the planted shared-paragraph corpus: the
+      // universal boilerplate paragraph must be killed by the
+      // stop-fingerprint filter, the 1/3- and 1/5-shared paragraphs must
+      // surface as pairs; oracle re-derives filter+join+counts from
+      // side_winnow
+      Dedup.winnowOverlap(paraCorpus(s, dir), "doc_id", "text",
+        maxDocFreq = 200L, minShared = 4L)),
     "q_dedup_components" -> ((s, dir) =>
       Dedup.connectedComponents(dupPairsCorpus(s, dir))),
     "q_neardup_drops" -> ((s, dir) =>
@@ -2525,6 +2533,18 @@ object SparkEntry {
          |  SELECT r.u, w.v FROM reach r JOIN und w ON r.v = w.u)
          |SELECT u AS drop_id, min(v) AS keeper FROM reach
          |GROUP BY u HAVING u <> min(v)""".stripMargin,
+    "q_winnow_overlap" ->
+      // stop-fingerprint filter + pairwise self-join + counts re-derived
+      // over the pinned (id, fp) frame
+      s"""WITH df AS (SELECT fp, count(*) AS d FROM ${side("side_winnow")}
+         |            GROUP BY 1),
+         |keep AS (SELECT w.id, w.fp FROM ${side("side_winnow")} w
+         |         JOIN df USING (fp) WHERE df.d <= 200),
+         |p AS (SELECT a.id AS id_a, b.id AS id_b
+         |      FROM keep a JOIN keep b
+         |        ON a.fp = b.fp AND a.id < b.id)
+         |SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS n_shared
+         |FROM p GROUP BY 1, 2 HAVING count(*) >= 4""".stripMargin,
     "q_sample_hash" ->
       // md5-hex lexicographic threshold: identical digests + identical
       // binary string collation in both engines

@@ -828,4 +828,50 @@ object Dedup {
       .select(col("id_b").as("drop_id"), col("id_a").as("trigger_id"),
         col("cos"))
   }
+
+  /** Per-doc winnowing fingerprints (Schleimer-Wilkerson-Aiken 2003, the
+    * MOSS scheme [[graft.textstats.TextAnalysis.winnow]] implements):
+    * one (id, fp) row per DISTINCT fingerprint per doc — the exposed
+    * frame the overlap join and its side-table oracle both consume. */
+  def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
+                         k: Int = 8, w: Int = 4): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .flatMap { case (id, t) =>
+        graft.textstats.TextAnalysis
+          .winnow(if (t == null) "" else t, k, w)
+          .distinct.map(fp => (id, fp))
+      }.toDF("id", "fp")
+  }
+
+  /** MOSS-style pairwise overlap: doc pairs sharing ≥ `minShared`
+    * winnowing fingerprints — the copy-evidence view of near-duplication
+    * (LSH answers "probably similar"; shared winnow prints answer "these
+    * exact k-gram regions match", the plagiarism-detector semantics).
+    *
+    * Scale shape: the classic stop-fingerprint trick bounds the join —
+    * fingerprints present in more than `maxDocFreq` docs (boilerplate:
+    * headers, license blocks, nav text) are dropped BEFORE the self-join,
+    * so per-fingerprint fanout is ≤ maxDocFreq², never corpus². The
+    * shuffles carry (fp, id) pairs only; the pair aggregate is
+    * map-side-combinable. Emits (id_a, id_b, n_shared), id_a < id_b. */
+  def winnowOverlap(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int = 8, w: Int = 4,
+                    maxDocFreq: Long = 1000L,
+                    minShared: Long = 2L): DataFrame = {
+    require(maxDocFreq > 1 && minShared >= 1,
+      s"maxDocFreq > 1 and minShared >= 1: $maxDocFreq/$minShared")
+    val fps = winnowFingerprints(docs, idCol, textCol, k, w)
+    val rare = fps.groupBy(col("fp")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDocFreq).select(col("fp"))
+    val pruned = fps.join(rare, "fp")
+    val a = pruned.select(col("fp"), col("id").as("id_a"))
+    val b = pruned.select(col("fp"), col("id").as("id_b"))
+    a.join(b, Seq("fp")).filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
 }

@@ -497,4 +497,29 @@ class DedupSpec extends AnyFunSuite {
     // the cap — recall loss, not an error
     assert(drops.contains(9L) && drops.contains(5L) && !drops.contains(2L))
   }
+
+  test("winnowOverlap: shared-paragraph pair surfaces, stop-fingerprint " +
+      "filter kills universal boilerplate, unique docs pair with nobody") {
+    import spark.implicits._
+    val boiler = "this exact boilerplate footer appears on every single page"
+    val shared = "a distinctive shared passage about winnowing fingerprints " +
+      "that appears in exactly two documents of this corpus"
+    val docs = Seq(
+      (1L, s"$boiler unique opening words one $shared"),
+      (2L, s"$boiler different middle content here $shared"),
+      (3L, s"$boiler totally unrelated text about gardening and weather"),
+      (4L, s"$boiler another unique document about sailing boats"))
+      .toDF("doc_id", "text")
+    // boiler is in 4/4 docs -> df = 4 > maxDocFreq = 3 -> filtered out
+    val out = Dedup.winnowOverlap(docs, "doc_id", "text",
+        maxDocFreq = 3L, minShared = 2L)
+      .as[(Long, Long, Long)].collect()
+    assert(out.map(p => (p._1, p._2)).toSet == Set((1L, 2L)))
+    assert(out.head._3 >= 2L)
+    // with the stop filter OFF the boilerplate pairs everyone with everyone
+    val all = Dedup.winnowOverlap(docs, "doc_id", "text",
+        maxDocFreq = 100L, minShared = 2L)
+      .as[(Long, Long, Long)].collect()
+    assert(all.map(p => (p._1, p._2)).toSet.size == 6) // C(4,2)
+  }
 }
