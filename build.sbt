@@ -32,3 +32,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 ) ++ sys.env.get("GRAFT_JVM_OPTS").map(_.split("\\s+").toSeq).getOrElse(Seq())
+
+// Keep the bench JSON the LAST stdout line: sbt's trailing
+// "[success] Total time: ..." banner otherwise follows it and trips
+// last-line parsers (VERDICT r05 next #1). Global scope — the banner is
+// printed by sbt's command loop, not the project.
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess // used by the command loop, not a task

@@ -578,9 +578,14 @@ object SparkEntry {
       val frontier = extractedPersisted(s)
         .flatMap(p => p.links.map(_.dst_url))
         .toDF("url").distinct()
-      val robots = graft.ops.Frontier.syntheticRobots(
-        graft.ops.Frontier.frontierPaths(frontier), "host")
-      graft.ops.Frontier.robotsFilter(frontier, robots, RobotsAgent)
+      // ONE frontierPaths pass feeds both the robots-corpus host set and
+      // the filter itself (persisted: the two consumers are separate plan
+      // branches; r6 — the convenience overload re-ran the typed
+      // match-path map and the frontier distinct per branch)
+      val paths = graft.ops.Frontier.frontierPaths(frontier)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val robots = graft.ops.Frontier.syntheticRobots(paths, "host")
+      graft.ops.Frontier.robotsFilterOn(paths, robots, RobotsAgent)
     }),
     "q_crawl_plan" -> ((s, _) => {
       // the composed pre-fetch plan: robots gate -> per-host clamped
@@ -588,15 +593,21 @@ object SparkEntry {
       // frontier; the oracle composes the q_robots_filter and
       // q_frontier_schedule derivations end-to-end
       import s.implicits._
+      // persisted: consumed by the match-path map, the robots host set,
+      // and crawlPlan's priority join-back — three plan branches that
+      // each re-ran the flatMap+distinct before (r6)
       val frontier = extractedPersisted(s)
         .flatMap(p => p.links.map(_.dst_url))
         .toDF("url").distinct()
         .withColumn("priority_score",
           pmod(conv(substring(md5(col("url")), 1, 8), 16, 10).cast("long"),
             lit(1000L)).cast("int"))
-      val robots = graft.ops.Frontier.syntheticRobots(
-        graft.ops.Frontier.frontierPaths(frontier), "host")
-      graft.ops.Frontier.crawlPlan(frontier, robots, RobotsAgent)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val paths = graft.ops.Frontier.frontierPaths(frontier)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val robots = graft.ops.Frontier.syntheticRobots(paths, "host")
+      graft.ops.Frontier.crawlPlan(frontier, robots, RobotsAgent,
+        paths = Some(paths))
     }),
     "q_warc_records" -> ((s, _) => {
       // raw Common-Crawl-shaped ingestion: the synthetic WARC archive
@@ -752,7 +763,11 @@ object SparkEntry {
       val d = t(s, dir, "documents")
         .select(col("doc_id"), col("text"), col("lang"), col("source"),
           col("n_chars"))
-      val out = "/tmp/graft_jsonl/documents"
+      // per-sfDir output path (+ env override): two concurrent runs over
+      // different sf dirs must not race on one fixed /tmp dir — one run's
+      // overwrite could delete files the other is reading back (ADVICE r5)
+      val out = sys.env.getOrElse("GRAFT_JSONL_DIR",
+        s"/tmp/graft_jsonl_${Integer.toHexString(dir.hashCode)}") + "/documents"
       graft.pipeline.JsonlSink.write(d, out)
       graft.pipeline.JsonlSink.read(s, out, d.schema)
     }),
@@ -1006,8 +1021,14 @@ object SparkEntry {
       val ex = extractedPersisted(s)
       val links = ex.flatMap(p => p.links.map(l => (p.doc.url, l.dst_url)))
         .toDF("src_url", "dst_url")
-      val seeds = links.select(col("src_url").as("url")).distinct()
-        .join(links.select(col("dst_url").as("url")).distinct(),
+      // seeds from the FILTERED edge set — the same (non-null, src<>dst)
+      // frame crawlDepth iterates over and the DuckDB oracle derives its
+      // seed set from; the raw table would count a self-loop's dst into
+      // the anti-join and silently drop self-linking seeds (ADVICE r5 #1)
+      val e = links.filter(col("src_url").isNotNull &&
+        col("dst_url").isNotNull && col("src_url") =!= col("dst_url"))
+      val seeds = e.select(col("src_url").as("url")).distinct()
+        .join(e.select(col("dst_url").as("url")).distinct(),
           Seq("url"), "left_anti")
       graft.ops.LinkGraph.crawlDepth(links, seeds, maxDepth = 4)
     }),

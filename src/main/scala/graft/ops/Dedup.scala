@@ -89,7 +89,10 @@ object Dedup {
           .cast("int").as("n_removed"))
   }
 
-  /** Per-doc MinHash signature + SimHash (typed map; one pass per doc). */
+  /** Per-doc MinHash signature + SimHash (typed map; one pass per doc —
+    * the doc is SHINGLED ONCE and all three fingerprints derive from that
+    * one token sequence; the previous per-component tokenization shingled
+    * every doc three times, r6 guide §1.2 "per-task work"). */
   def fingerprints(docs: DataFrame, idCol: String, textCol: String,
                    numPerm: Int = 64, shingleN: Int = 3): DataFrame = {
     val spark = docs.sparkSession
@@ -97,11 +100,38 @@ object Dedup {
     docs.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
       .as[(Long, String)]
       .mapPartitions(_.map { case (id, text) =>
-        val sig = TextAnalysis.minhash(text, shingleN, numPerm)
-        (id, sig, TextAnalysis.simhash(text, shingleN),
-          TextAnalysis.shingles(text, shingleN).distinct.size)
+        val sh = TextAnalysis.shingles(text, shingleN)
+        (id, TextAnalysis.minhashFromShingles(sh, numPerm),
+          TextAnalysis.simhashFromShingles(sh),
+          sh.distinct.size)
       })
       .toDF("id", "minhash", "simhash", "n_shingles")
+  }
+
+  /** MinHash-only fingerprints (id, minhash), persisted MEMORY_AND_DISK —
+    * the slim frame the LSH candidate paths reuse across their band and
+    * signature-join branches. Without the persist each branch re-evaluates
+    * the typed map (Catalyst cannot dedupe per-call closure plans), so one
+    * [[lshCandidatePairs]] used to shingle+hash the corpus THREE times
+    * (bands + both sides of the signature join — measured 3.1 s of the
+    * r5 sweep's q_minhash_lsh_pairs); [[fingerprints]]' simhash and
+    * n_shingles columns are dead weight here and are never computed. At
+    * the 10^12-doc design point the persisted frame is ~(8 + 8·numPerm) B
+    * per doc and spills to disk — the [[writeBandIndex]] precedent, far
+    * cheaper than re-shingling 100 TB of text per branch. The cache entry
+    * lives until the session drops it (the frame is returned inside a lazy
+    * plan, so there is no post-action hook to unpersist on). */
+  private def minhashSigs(docs: DataFrame, idCol: String, textCol: String,
+                          numPerm: Int, shingleN: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        (id, TextAnalysis.minhash(text, shingleN, numPerm))
+      })
+      .toDF("id", "minhash")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   /** LSH band rows (id, band_key) for a fingerprints frame — the ONLY
@@ -219,7 +249,9 @@ object Dedup {
                           metrics: Option[LshMetrics] = None): DataFrame = {
     val spark = newDocs.sparkSession
     val m = metrics.getOrElse(new LshMetrics(spark))
-    val newFps = fingerprints(newDocs, idCol, textCol, numPerm, shingleN)
+    // minhash-only + persisted: the band branch and the signature union
+    // both read it (see [[minhashSigs]])
+    val newFps = minhashSigs(newDocs, idCol, textCol, numPerm, shingleN)
     val tagged = indexBands
       .select(col("band_key"), col("id"), lit(false).as("is_new"))
       .unionByName(minhashBands(newFps, bands)
@@ -277,7 +309,9 @@ object Dedup {
     val spark = docs.sparkSession
     import spark.implicits._
     val m = metrics.getOrElse(new LshMetrics(spark))
-    val fps = fingerprints(docs, idCol, textCol, numPerm, shingleN)
+    // minhash-only frame, computed ONCE and persisted (see [[minhashSigs]]
+    // — the band branch and both signature-join branches all read it)
+    val fps = minhashSigs(docs, idCol, textCol, numPerm, shingleN)
     // per-bucket pair generation over (band_key, id) rows only
     val pairs = bucketPairs(minhashBands(fps, bands), maxBucket, m)
     // signatures join back onto the candidate set (small vs corpus; AQE
@@ -331,8 +365,22 @@ object Dedup {
     val blocks = blockCount(maxHamming)
     val w = 64 / blocks
     val mask = if (w == 64) -1L else (1L << w) - 1L
-    val fps = fingerprints(docs, idCol, textCol, 16, shingleN)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // simhash-only typed map (minhash/n_shingles are dead weight on this
+    // path), persisted: the block self-join scans `blocked` from BOTH
+    // sides — without the persist each side re-shingles and re-hashes the
+    // whole corpus (per-call closure plans never dedupe; the
+    // [[minhashSigs]] rationale)
+    val fps = docs
+      .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        (id, TextAnalysis.simhash(text, shingleN))
+      })
+      .toDF("id", "simhash")
     val blocked = simhashBlocks(fps, maxHamming)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val joined = blocked.as("a").join(blocked.as("b"),
         col("a.block_key") === col("b.block_key") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
@@ -801,11 +849,16 @@ object Dedup {
                        maxCluster: Int = 10000): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.graftbridge.ColumnBridge
+    // persisted: the a/b pair sides below both scan the ranked frame, and
+    // without the persist each side re-runs the centroid-assignment typed
+    // map over every vector (the [[minhashSigs]] rationale); (cell, id,
+    // rnk) is 20 B/row — negligible next to the vectors themselves
     val ranked = semanticClusters(emb, idCol, embCol, centroids)
       .withColumn("rnk", row_number().over(
         Window.partitionBy(col("cell")).orderBy(desc("cent_cos"), col("id"))))
       .filter(col("rnk") <= maxCluster)
       .select(col("cell"), col("id"), col("rnk"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val vecs = emb.select(col(idCol).cast("long").as("id"), col(embCol).as("v"))
     val a = ranked.join(vecs, "id")
       .select(col("cell"), col("id").as("id_a"), col("rnk").as("rnk_a"),
@@ -863,13 +916,32 @@ object Dedup {
                     minShared: Long = 2L): DataFrame = {
     require(maxDocFreq > 1 && minShared >= 1,
       s"maxDocFreq > 1 and minShared >= 1: $maxDocFreq/$minShared")
+    import org.apache.spark.sql.expressions.Window
     val fps = winnowFingerprints(docs, idCol, textCol, k, w)
-    val rare = fps.groupBy(col("fp")).agg(count(lit(1)).as("__df"))
-      .filter(col("__df") <= maxDocFreq).select(col("fp"))
-    val pruned = fps.join(rare, "fp")
-    val a = pruned.select(col("fp"), col("id").as("id_a"))
-    val b = pruned.select(col("fp"), col("id").as("id_b"))
-    a.join(b, Seq("fp")).filter(col("id_a") < col("id_b"))
+    // ONE fp-keyed exchange: the doc-frequency stop filter is a window
+    // count over the fp partition (WindowExec buffers one fp group at a
+    // time and spills, so a 10^9-df boilerplate print costs disk, never
+    // heap) and the per-print id list GROUPs ON THE SAME KEY — Spark
+    // reuses the window's hash partitioning, no second exchange. The list
+    // is collected only AFTER the stop filter, so it is bounded by
+    // maxDocFreq. Pairs then come from two codegen'd explodes over the
+    // bounded array — the previous shape (count-aggregate + filter join +
+    // fp self-join) evaluated the winnow flatMap FOUR times (each
+    // self-join side re-derived fps AND the rare set; Catalyst cannot
+    // dedupe per-call typed-map closures) and shuffled fps five times:
+    // 21.6 s of the r5 driver sweep for q_winnow_overlap alone.
+    val groups = fps
+      .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("fp"))))
+      .filter(col("__df") <= maxDocFreq)
+      .groupBy(col("fp"))
+      .agg(collect_list(col("id")).as("__ids"))
+    // all unordered pairs per print: for every member x, every member
+    // y > x — each pair exactly once (ids are distinct within a print),
+    // no sort needed, id_a < id_b by construction
+    groups
+      .select(explode(col("__ids")).as("id_a"), col("__ids"))
+      .select(col("id_a"),
+        explode(filter(col("__ids"), y => y > col("id_a"))).as("id_b"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)

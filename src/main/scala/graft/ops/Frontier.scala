@@ -85,11 +85,16 @@ object Frontier {
   def crawlPlan(frontier: DataFrame, robots: DataFrame, userAgent: String,
                 numWorkers: Int = 5, defaultDelayMs: Long = 3000L,
                 urlCol: String = "url",
-                priorityCol: String = "priority_score"): DataFrame = {
+                priorityCol: String = "priority_score",
+                paths: Option[DataFrame] = None): DataFrame = {
     require(numWorkers > 0, s"numWorkers must be positive: $numWorkers")
     val dflt = math.min(math.max(defaultDelayMs, 500L), 5000L)
-    val allowed = robotsFilter(
-      frontier.select(col(urlCol).as("url")), robots, userAgent)
+    // `paths`: a precomputed [[frontierPaths]] frame for this frontier —
+    // shares the typed match-path map with the caller's robots-corpus
+    // derivation instead of recomputing it here (see [[robotsFilterOn]])
+    val slim = paths.getOrElse(
+      frontierPaths(frontier.select(col(urlCol).as("url"))))
+    val allowed = robotsFilterOn(slim, robots, userAgent)
       .filter(col("allowed"))
       .join(frontier.select(col(urlCol).as("url"),
         col(priorityCol).as("__p")), Seq("url"))
@@ -270,10 +275,17 @@ object Frontier {
   }
 
   def robotsFilter(frontier: DataFrame, robots: DataFrame, userAgent: String,
-                   urlCol: String = "url"): DataFrame = {
-    val spark = frontier.sparkSession
-    import spark.implicits._
-    val slim = frontierPaths(frontier, urlCol)
+                   urlCol: String = "url"): DataFrame =
+    robotsFilterOn(frontierPaths(frontier, urlCol), robots, userAgent)
+
+  /** [[robotsFilter]] over an ALREADY-normalized (url, match_path, host)
+    * probe frame — callers that also feed the same frame to
+    * [[syntheticRobots]] (or any per-host derivation) compute the typed
+    * match-path map once and pass it here instead of re-deriving it
+    * per consumer (r6: q_crawl_plan evaluated frontierPaths twice and the
+    * frontier distinct three times through the convenience overload). */
+  def robotsFilterOn(slim: DataFrame, robots: DataFrame,
+                     userAgent: String): DataFrame = {
     val joined = slim.join(
       hostPolicies(robots, userAgent).withColumnRenamed("host", "__rh"),
       col("host") === col("__rh"), "left")

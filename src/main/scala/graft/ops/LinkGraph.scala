@@ -102,26 +102,41 @@ object LinkGraph {
     val deg = e.groupBy(col("src"))
       .agg(count(lit(1)).cast("double").as("outdeg"))
       .persist(MEMORY_AND_DISK)
+    // iteration-invariant frames, joined ONCE instead of per round (r6):
+    //  - ew: edges with the source's out-degree attached — the old loop
+    //    re-ran the e⋈deg join every iteration (3 extra shuffles per
+    //    pagerank call for identical output);
+    //  - nodesD: every node with its (nullable) out-degree. Carrying
+    //    outdeg on the rank frame makes the dangling-mass term a plain
+    //    filter+aggregate over the checkpointed ranks — the old
+    //    per-iteration ranks⋈deg LEFT ANTI join (one more shuffle per
+    //    round) is gone.
+    val ew = e.join(deg, "src")
+      .select(col("src"), col("dst"), col("outdeg"))
+      .persist(MEMORY_AND_DISK)
+    val nodesD = nodes
+      .join(deg, nodes("url") === deg("src"), "left_outer")
+      .select(col("url"), col("outdeg"))
+      .persist(MEMORY_AND_DISK)
     // eager localCheckpoint: materializes AND truncates the plan to the
     // stored RDD, so each iteration's frame is a leaf, not a growing tree
     var ranks = Checkpoints.truncate(
-      nodes.select(col("url"), lit(1.0 / n).as("rank")))
+      nodesD.select(col("url"), col("outdeg"), lit(1.0 / n).as("rank")))
     for (_ <- 1 to iterations) {
       // total rank sitting on dangling nodes this iteration — kept IN the
       // plan as a broadcast one-row frame (a driver-side first() here
       // would cost a second action per iteration; the arithmetic is the
       // same double division either way)
-      val dangling = ranks.join(deg, ranks("url") === deg("src"), "left_anti")
+      val dangling = ranks.filter(col("outdeg").isNull)
         .agg(coalesce(sum(col("rank")), lit(0.0)).as("__dang"))
-      val contrib = e
-        .join(deg, "src")
-        .join(ranks, col("src") === ranks("url"))
+      val contrib = ew
+        .join(ranks.select(col("url"), col("rank")), col("src") === col("url"))
         .select(col("dst").as("url"), (col("rank") / col("outdeg")).as("w"))
-      ranks = Checkpoints.truncate(nodes
+      ranks = Checkpoints.truncate(nodesD
         .join(contrib.groupBy(col("url")).agg(sum(col("w")).as("c")),
           Seq("url"), "left_outer")
         .crossJoin(broadcast(dangling))
-        .select(col("url"),
+        .select(col("url"), col("outdeg"),
           (lit((1.0 - damping) / n) +
             lit(damping) * (coalesce(col("c"), lit(0.0)) +
               col("__dang") / lit(n)))
@@ -131,8 +146,9 @@ object LinkGraph {
     }
     // the returned frame is a materialized leaf, so its building blocks
     // can drop out of the cache now
-    e.unpersist(); deg.unpersist(); nodes.unpersist()
-    ranks
+    e.unpersist(); deg.unpersist(); ew.unpersist(); nodesD.unpersist()
+    nodes.unpersist()
+    ranks.select(col("url"), col("rank"))
   }
 
   /**
@@ -348,7 +364,12 @@ object LinkGraph {
           .select(col("url"), lit(d).cast("int").as("depth")))
       grew = !next.isEmpty
       if (grew) {
-        settled = Checkpoints.truncate(settled.union(next))
+        // no truncate on the union: every wave frame is already a
+        // materialized leaf, so `settled` is a flat union of ≤ maxDepth
+        // leaves — lineage cannot compound, and skipping the extra
+        // localCheckpoint saves one materialization job per wave (r6;
+        // maxDepth bounds the plan width by construction)
+        settled = settled.union(next)
         frontier = next
       }
       d += 1

@@ -143,6 +143,11 @@ object TrainingData {
         val grams = graft.textstats.TextAnalysis.wordGrams(t, n).distinct
         (id, grams.length, grams.filter(bloomB.value.mightContainString))
       }.toDF("id", "n_grams", "cand")
+      // persisted: the hit-verify branch and the final (id, n_grams)
+      // projection both consume this frame — without it the 13-gram typed
+      // map runs over the whole corpus twice (r6; the Bloom prefilter
+      // keeps `cand` tiny, so the cached frame is ~id+count+few grams/doc)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val hits = perDoc.select(col("id"), explode(col("cand")).as("gram"))
       .join(benchGrams, "gram") // exact verify: bloom false positives drop out
       .groupBy(col("id")).agg(count(lit(1)).as("n_hits"))

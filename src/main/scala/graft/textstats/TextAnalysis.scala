@@ -391,8 +391,14 @@ object TextAnalysis {
 
   /** MinHash signature over shingles: numPerm independent permutations via
     * seeded affine rehash of one base hash (standard 1-hash trick). */
-  def minhash(text: String, n: Int = 3, numPerm: Int = 64): Array[Long] = {
-    val sh = shingles(text, n)
+  def minhash(text: String, n: Int = 3, numPerm: Int = 64): Array[Long] =
+    minhashFromShingles(shingles(text, n), numPerm)
+
+  /** [[minhash]] over an already-tokenized shingle sequence — the shared
+    * core, so a caller needing several fingerprints of one doc tokenizes
+    * ONCE (shingling dominates the per-doc cost; r6 guide §1.2 "per-task
+    * work"). Bitwise-identical to the text overload by construction. */
+  def minhashFromShingles(sh: Seq[String], numPerm: Int): Array[Long] = {
     val sig = Array.fill(numPerm)(Long.MaxValue)
     sh.foreach { s =>
       val base = hash64(s)
@@ -418,9 +424,13 @@ object TextAnalysis {
   }
 
   /** 64-bit SimHash over shingle hashes. */
-  def simhash(text: String, n: Int = 3): Long = {
+  def simhash(text: String, n: Int = 3): Long =
+    simhashFromShingles(shingles(text, n))
+
+  /** [[simhash]] over pre-tokenized shingles (see [[minhashFromShingles]]). */
+  def simhashFromShingles(sh: Seq[String]): Long = {
     val counts = new Array[Int](64)
-    shingles(text, n).foreach { s =>
+    sh.foreach { s =>
       val h = hash64(s)
       var b = 0
       while (b < 64) {
