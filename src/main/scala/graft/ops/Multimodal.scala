@@ -6,16 +6,19 @@ import org.apache.spark.sql.types._
 
 /**
  * Multimodal-column operators: image/audio/video payloads ride as opaque
- * `binary` columns with typed metadata structs. PNG pixel decode and
- * area-average resize are REAL (JDK javax.imageio — lossless, therefore
- * bit-deterministic; see decodeImage/resizeDecoded below, oracle-pinned
- * by q_media_decode's closed-form corpus). JPEG/audio/video decode stays
- * a deterministic stub (their codecs are lossy/implementation-defined or
- * absent from this container); everything Spark-side — schema, batch
- * shape, partitioning, the mapPartitions plumbing a Pandas-UDF/
- * `mapInPandas` stage would occupy — is real and tested. Swapping a stub
- * for a real decoder changes ONE function (the PNG path IS that swap,
- * executed).
+ * `binary` columns with typed metadata structs. PNG and JPEG pixel
+ * decode and area-average resize are REAL (`decodeImage` routes BOTH
+ * through JDK javax.imageio; 16-bit PCM audio decode is real too). PNG
+ * is lossless and therefore bit-deterministic — oracle-pinned by
+ * q_media_decode's closed-form corpus. JPEG decode is real but its IDCT
+ * output is implementation-defined, so its pixel sums are pinned as a
+ * SAME-JVM spec (MultimodalSpec's JPEG case: exact dims + decoded sums
+ * from this JDK's codec), not a cross-engine golden — a different JVM
+ * vendor may legally produce off-by-one pixel values. Video decode
+ * stays a deterministic stub (no codec in this container); everything
+ * Spark-side — schema, batch shape, partitioning, the mapPartitions
+ * plumbing a Pandas-UDF/`mapInPandas` stage would occupy — is real and
+ * tested.
  */
 object Multimodal {
 
@@ -220,10 +223,12 @@ object Multimodal {
     out
   }
 
-  // ---------- REAL pixel decode (PNG via the JDK's javax.imageio —
-  // no external library; PNG decode is lossless and therefore
-  // bit-deterministic, unlike JPEG whose IDCT is implementation-defined,
-  // which stays on the header-parse/stub path) ----------
+  // ---------- REAL pixel decode (PNG *and* JPEG via the JDK's
+  // javax.imageio — no external library). PNG decode is lossless and
+  // therefore bit-deterministic (cross-engine oracle-pinned); JPEG
+  // decodes through the same entry point but its IDCT is
+  // implementation-defined, so JPEG pixel output is pinned same-JVM only
+  // (MultimodalSpec) — see the object scaladoc. ----------
 
   /** Decoded-raster summary: dims + per-channel pixel-value SUMS as exact
     * BIGINTs (sums, not float means — order-independent, oracle-exact). */

@@ -55,8 +55,13 @@ object Retrieval {
     val tfdl = tf.withColumn("dl",
       sum(col("tf")).over(Window.partitionBy(col("doc_id"))))
     val dfq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val g = toks.agg(countDistinct(col("doc_id")).as("n"),
-      count(lit(1)).as("tt"))
+    // global scalar DERIVED FROM tf (n = docs with ≥1 token, tt = Σtf =
+    // total tokens — arithmetically identical to aggregating the raw
+    // token explode): all three branches now share the one tf exchange
+    // subtree, which AQE's stage reuse materializes once — the previous
+    // toks-level aggregate re-tokenized the whole corpus for two numbers
+    val g = tf.agg(countDistinct(col("doc_id")).as("n"),
+      sum(col("tf")).as("tt"))
     (tfdl, dfq, g)
   }
 

@@ -57,6 +57,59 @@ object Skew {
       .drop("__salt", "__r1")
   }
 
+  /** EXACT global running total (inclusive) of `valueCol` in `order` —
+    * the scalable replacement for `Window.orderBy(...)` with no
+    * partition key, whose WindowExec funnels EVERY row through one task
+    * (the "No Partition Defined" warning; fine for a bounded histogram,
+    * a silent scale killer anywhere else). Two-stage:
+    *
+    *   1. range-repartition by `order` into P partitions (P = the
+    *      session's shuffle parallelism — scale-adaptive, never a local
+    *      constant) and compute the running total WITHIN each partition
+    *      (partitions are disjoint ordered ranges, so local order is
+    *      global order);
+    *   2. per-partition totals (≤ P tiny rows) get their own running
+    *      offset — the only single-partition window left is over P rows,
+    *      bounded by cluster configuration, not data — and broadcast-join
+    *      back.
+    *
+    * Exact for any row set: range partitions are disjoint and ordered,
+    * equal keys land in one partition, and AQE coalescing merges only
+    * ADJACENT ranges, so partition ids stay monotone in `order`. Adds
+    * `outCol`; `order` columns must be deterministic row expressions.
+    *
+    * Ties: rows with EQUAL `order` values get row-order-dependent
+    * running totals (same as the window it replaces when peers are
+    * distinct); callers needing peer-aggregated semantics (RANGE frames)
+    * must make `order` unique. */
+  def rangedRunningSum(df: DataFrame, order: Column, valueCol: Column,
+                       outCol: String): DataFrame = {
+    val p = math.max(1, df.sparkSession.sessionState.conf.numShufflePartitions)
+    // persisted: the running-total branch and the offsets branch must see
+    // the SAME range boundaries and partition ids — two independent
+    // physical plans would each sample their own boundaries (ReuseExchange
+    // usually dedupes the identical exchange, but correctness must not
+    // hang on an optimizer rule firing)
+    val local = df.repartitionByRange(p, order)
+      .withColumn("__rrs_pid", spark_partition_id())
+      .withColumn("__rrs_val", valueCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cum = local.withColumn("__rrs_cum",
+      sum(col("__rrs_val")).over(
+        Window.partitionBy(col("__rrs_pid")).orderBy(order)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val offsets = local.groupBy(col("__rrs_pid"))
+      .agg(sum(col("__rrs_val")).as("__rrs_pt"))
+      .withColumn("__rrs_off",
+        coalesce(sum(col("__rrs_pt")).over(
+          Window.orderBy(col("__rrs_pid"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__rrs_pid"), col("__rrs_off"))
+    cum.join(broadcast(offsets), Seq("__rrs_pid"))
+      .withColumn(outCol, col("__rrs_off") + col("__rrs_cum"))
+      .drop("__rrs_pid", "__rrs_val", "__rrs_cum", "__rrs_off")
+  }
+
   /** Skew join for when the small side cannot broadcast: the small side
     * is replicated S× (one copy per salt value) and the big side salted
     * deterministically, so a hot key's probe rows spread over S reducers

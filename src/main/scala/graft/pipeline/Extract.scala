@@ -359,22 +359,6 @@ object Extract {
     // rewrites every sidecar partition in the dir)
     val writtenRun = written.filter(
       $"url_bucket".isin(processedBuckets.toSeq: _*))
-    // all sidecars partitioned by url_bucket so a resume run's dynamic
-    // overwrite only touches the buckets it processed
-    writtenRun.select($"meta.*", $"url_bucket")
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic").partitionBy("url_bucket")
-      .parquet(s"$outDir/doc_meta")
-    writtenRun.select($"url".as("src_url"), explode($"links").as("l"), $"url_bucket")
-      .select($"src_url", $"l.*", $"url_bucket")
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic").partitionBy("url_bucket")
-      .parquet(s"$outDir/links")
-    writtenRun.select($"url", explode($"anchors").as("anchor_id"), $"url_bucket")
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic").partitionBy("url_bucket")
-      .parquet(s"$outDir/anchors")
-
     // metrics from the WRITTEN columnar output (no recompute of the
     // extraction; scans 4 narrow columns). Scoped to the buckets this run
     // actually processed (accumulator set above — stale/done buckets'
@@ -388,13 +372,53 @@ object Extract {
       sum(coalesce(length($"text").cast("long"), lit(0L))).as("output_chars"))
       .withColumn("bytes_stripped", $"input_bytes" - $"output_chars")
       .withColumn("run_id", lit(runId))
-    // partitioned + dynamic overwrite (like the other sidecars): a resume
-    // run only replaces the buckets it processed — a full overwrite here
-    // would wipe completed buckets' metrics (and an all-done idempotent
-    // rerun would empty the whole sidecar the BASELINE metric reads).
-    metrics.write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic").partitionBy("url_bucket")
-      .parquet(s"$outDir/metrics")
+
+    // all sidecars partitioned by url_bucket so a resume run's dynamic
+    // overwrite only touches the buckets it processed. The three sidecar
+    // writes and the metrics rollup are INDEPENDENT jobs over the
+    // just-written docs_clean (disjoint output dirs), so they are
+    // submitted concurrently from a small driver pool — the scheduler
+    // back-fills executors freed by one job's write tail with the next
+    // job's scan tasks instead of serializing four tails (guide §2.6;
+    // job descriptions are thread-local, failures rethrow via Await).
+    // metrics is partitioned + dynamic overwrite like the others: a full
+    // overwrite would wipe completed buckets' metrics on resume (and an
+    // all-done idempotent rerun would empty the whole sidecar the
+    // BASELINE metric reads).
+    val sidecarJobs: Seq[(String, () => Unit)] = Seq(
+      "doc_meta" -> (() =>
+        writtenRun.select($"meta.*", $"url_bucket")
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic").partitionBy("url_bucket")
+          .parquet(s"$outDir/doc_meta")),
+      "links" -> (() =>
+        writtenRun.select($"url".as("src_url"), explode($"links").as("l"), $"url_bucket")
+          .select($"src_url", $"l.*", $"url_bucket")
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic").partitionBy("url_bucket")
+          .parquet(s"$outDir/links")),
+      "anchors" -> (() =>
+        writtenRun.select($"url", explode($"anchors").as("anchor_id"), $"url_bucket")
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic").partitionBy("url_bucket")
+          .parquet(s"$outDir/anchors")),
+      "metrics" -> (() =>
+        metrics.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic").partitionBy("url_bucket")
+          .parquet(s"$outDir/metrics")))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(sidecarJobs.size)
+    try {
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      val fs = sidecarJobs.map { case (nm, job) =>
+        scala.concurrent.Future {
+          spark.sparkContext.setJobDescription(s"extract.run sidecar: $nm")
+          job()
+        }
+      }
+      fs.foreach(f =>
+        scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf))
+    } finally pool.shutdown()
 
     // ledger append: every processed bucket marked done for this run.
     // Derived from the just-WRITTEN metrics parquet (tiny — one row per

@@ -141,6 +141,30 @@ class FrontierSpec extends AnyFunSuite {
     assert(q.forall(r => r._3 >= 0L))
   }
 
+  test("allocateBudget: uniform host counts — every host in ONE remainder " +
+      "class (the VERDICT r5 degenerate-window case) still allocates " +
+      "exactly, with the boundary group ranked range-partitioned") {
+    import spark.implicits._
+    // 500 equal hosts, prime budget: N = 5000, B·n = 1370 for every host
+    // → floor 0 rem 1370 → one tie class holding ALL hosts; L = 137
+    // bonuses go to the 137 lexicographically smallest host names
+    val hosts = (0 until 500).map(i => (f"h$i%03d", 10L))
+      .toDF("host", "n_pages")
+    val out = Frontier.allocateBudget(hosts, budget = 137L)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(out.size == 500)
+    assert(out.values.sum == 137L)
+    val expectPlusOne = (0 until 500).map(i => f"h$i%03d").sorted.take(137).toSet
+    out.foreach { case (h, q) =>
+      assert(q == (if (expectPlusOne(h)) 1L else 0L), s"host $h quota $q")
+    }
+    // force the over-gate plan (range-partitioned histogram cumsum AND
+    // boundary-group rank): bit-identical allocation to the gated path
+    val outBig = Frontier.allocateBudget(hosts, budget = 137L, windowGate = 0L)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(outBig == out)
+  }
+
   test("allocateBudget property: Σquota == B, 0 ≤ quota ≤ n_pages, and " +
       "|quota - B·n/N| < 1 fair-share bound (15 seeded random frames)") {
     import spark.implicits._

@@ -95,4 +95,31 @@ class SkewSpec extends AnyFunSuite {
       .select(Skew.saltCol("dst_url", 8).as("s")).as[Int].head()
     assert(nullSalt >= 0 && nullSalt < 8)
   }
+
+  test("rangedRunningSum equals the single-partition window cumsum " +
+      "exactly, and its plan range-partitions the ordered step") {
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 5000).map(i => (rnd.nextLong(), 1L + rnd.nextInt(9)))
+      .distinctBy(_._1) // unique order keys (the documented tie contract)
+    val df = rows.toDF("k", "c")
+    val got = Skew.rangedRunningSum(df, $"k".asc, $"c", "cum")
+      .select($"k", $"cum").as[(Long, Long)].collect().toMap
+    // local model: cumsum over the sorted keys
+    var acc = 0L
+    val want = rows.sortBy(_._1).map { case (k, c) => acc += c; (k, acc) }.toMap
+    assert(got == want)
+    // descending order flavor (the allocateBudget histogram shape)
+    val gotD = Skew.rangedRunningSum(df, $"k".desc, $"c", "cum")
+      .select($"k", $"cum").as[(Long, Long)].collect().toMap
+    var accD = 0L
+    val wantD = rows.sortBy(-_._1).map { case (k, c) => accD += c; (k, accD) }.toMap
+    assert(gotD == wantD)
+    // the ordered step is range-partitioned, not a global no-partition
+    // window over the data (only the P-row offset frame may window
+    // globally)
+    val plan = Skew.rangedRunningSum(df, $"k".asc, $"c", "cum")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning"),
+      s"expected a range exchange in:\n$plan")
+  }
 }
