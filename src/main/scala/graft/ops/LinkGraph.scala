@@ -118,10 +118,14 @@ object LinkGraph {
       .join(deg, nodes("url") === deg("src"), "left_outer")
       .select(col("url"), col("outdeg"))
       .persist(MEMORY_AND_DISK)
-    // eager localCheckpoint: materializes AND truncates the plan to the
-    // stored RDD, so each iteration's frame is a leaf, not a growing tree
-    var ranks = Checkpoints.truncate(
-      nodesD.select(col("url"), col("outdeg"), lit(1.0 / n).as("rank")))
+    // the initial rank frame is a cheap projection over the persisted
+    // nodesD — no truncate needed (iteration 1's checkpoint cuts whatever
+    // lineage it has; eagerly materializing it was one more full job per
+    // pagerank call for nothing). Iteration frames ARE truncated below:
+    // eager localCheckpoint materializes AND truncates the plan to the
+    // stored RDD, so each iteration's frame is a leaf, not a growing tree.
+    var ranks = nodesD.select(col("url"), col("outdeg"),
+      lit(1.0 / n).as("rank"))
     for (_ <- 1 to iterations) {
       // total rank sitting on dangling nodes this iteration — kept IN the
       // plan as a broadcast one-row frame (a driver-side first() here

@@ -40,6 +40,38 @@ object Extract {
     * one relaxed increment per row — noise next to a ~100µs parse. */
   val extractCalls = new java.util.concurrent.atomic.LongAdder()
 
+  /** Injective bucket→shuffle-key remap: value `remap(b)` Murmur3-hashes
+    * (seed 42 — Spark's `HashPartitioning` for an int column) into a
+    * DISTINCT partition under `pmod(hash, numBuckets)` for every bucket.
+    * `repartition(n, col("url_bucket"))` alone hashes n small ints into n
+    * slots — a birthday-collision layout (measured at n=64: 37 non-empty
+    * partitions, the worst task carrying 4 buckets while 27 slots idle —
+    * guide §2.5's "synthetic partitioning keys with too few distinct
+    * values"), which makes the docs_clean write stage run at the speed of
+    * its most-collided task. Greedy search: for bucket b try b, b+n,
+    * b+2n, … until an unused partition is hit — O(n·H(n)) hashes total,
+    * microseconds up to the 10^4-bucket cluster design point, computed
+    * per call (numBuckets is a parameter, not a constant). */
+  private[pipeline] def bijectiveBucketRemap(numBuckets: Int): Array[Int] = {
+    import org.apache.spark.sql.catalyst.expressions.Murmur3HashFunction
+    import org.apache.spark.sql.types.IntegerType
+    val used = new Array[Boolean](numBuckets)
+    val out = new Array[Int](numBuckets)
+    var b = 0
+    while (b < numBuckets) {
+      var cand = b
+      var placed = false
+      while (!placed) {
+        val h = Murmur3HashFunction.hash(cand, IntegerType, 42L)
+        val p = (((h % numBuckets) + numBuckets) % numBuckets).toInt
+        if (!used(p)) { used(p) = true; out(b) = cand; placed = true }
+        else cand += numBuckets
+      }
+      b += 1
+    }
+    out
+  }
+
   /** url-hash bucket — EXACT parity with the SQL `pmod(xxhash64(url), n)`
     * (same XxHash64, seed 42, over UTF-8 bytes), so typed-map outputs and
     * relational bucket filters never disagree. */
@@ -344,9 +376,17 @@ object Extract {
     val extracted = extract(current, numBuckets, pivotYear)
       .map { p => bucketAcc.add(p.doc.url_bucket); p }
       .select(col("doc.*"), col("meta"), col("links"), col("anchors"))
+    // repartition on the REMAPPED bucket key ([[bijectiveBucketRemap]]):
+    // plain hash-repartition on url_bucket collides n small ints into n
+    // slots and the write stage then runs at its most-collided task's
+    // speed; the remap puts exactly one bucket in each write task (same
+    // rows, same bucket dirs — only the task assignment changes)
     val toWrite =
-      if (repartitionForWrite) extracted.repartition(numBuckets, col("url_bucket"))
-      else extracted
+      if (repartitionForWrite) {
+        val remap = bijectiveBucketRemap(numBuckets)
+        extracted.repartition(numBuckets,
+          element_at(typedLit(remap.toSeq), col("url_bucket") + 1))
+      } else extracted
     toWrite
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic").partitionBy("url_bucket")

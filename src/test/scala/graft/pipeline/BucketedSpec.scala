@@ -49,6 +49,25 @@ class BucketedSpec extends AnyFunSuite {
     assert(changed.count() > 0)
   }
 
+  test("bijectiveBucketRemap: one bucket per shuffle partition for every " +
+      "bucket count (the write-stage straggler fix)") {
+    import org.apache.spark.sql.catalyst.expressions.Murmur3HashFunction
+    import org.apache.spark.sql.types.IntegerType
+    Seq(4, 16, 64, 1000).foreach { n =>
+      val remap = Extract.bijectiveBucketRemap(n)
+      assert(remap.length == n)
+      // candidates step by n, so the remapped value still identifies its
+      // bucket by residue
+      (0 until n).foreach(b => assert(((remap(b) % n) + n) % n == b))
+      val parts = remap.map { v =>
+        val h = Murmur3HashFunction.hash(v, IntegerType, 42L)
+        (((h % n) + n) % n).toInt
+      }
+      assert(parts.toSet.size == n,
+        s"n=$n: remap is not injective into partitions")
+    }
+  }
+
   test("bucketed self-join on url avoids both exchanges") {
     val t = spark.table("pages_bucketed")
     val a = t.select($"url", $"warc_ts")
