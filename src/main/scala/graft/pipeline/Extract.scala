@@ -390,6 +390,18 @@ object Extract {
     toWrite
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic").partitionBy("url_bucket")
+      // row-group buffer cap: every concurrent writer task holds up to
+      // parquet.block.size of encoder buffers, so local[32] with the
+      // default 128 MB peaks at ~4 GB of the 8 GB driver heap — the
+      // measured transient-OOM mode of this box's write stage. 64 MB
+      // halves the peak for negligible read cost at the ≤64 MB bucket
+      // files this run size produces; cluster deployments writing
+      // 512 MB–1 GB files restore the default via
+      // SPARK_GRAFT_PARQUET_BLOCK (scale-dependent setting, env-
+      // parameterised per the local-vs-cluster config rule).
+      .option("parquet.block.size",
+        sys.env.getOrElse("SPARK_GRAFT_PARQUET_BLOCK",
+          (64L * 1024 * 1024).toString))
       .parquet(s"$outDir/docs_clean")
 
     val processedBuckets = bucketAcc.value
