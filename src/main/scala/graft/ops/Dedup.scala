@@ -935,19 +935,26 @@ object Dedup {
       .filter(col("__df") <= maxDocFreq)
       .groupBy(col("fp"))
       .agg(collect_list(col("id")).as("__ids"))
-    // all unordered pairs per print: for every member x, every member
-    // y > x — each pair exactly once (ids are distinct within a print),
-    // no sort needed, id_a < id_b by construction. (A single-generator
-    // variant building the whole per-print pair-struct array via
-    // flatten(transform(..., slice(...))) was A/B'd at 1.3× SLOWER —
-    // materializing df²/2 structs per group up front loses to the
-    // pipelined two-explode even though the latter copies the id array
-    // into each first-explode row; measured 8.45 s vs 6.53 s noop
-    // min-of-3 at sf0.1.)
+    // all unordered pairs per print: sort the (distinct) member ids once
+    // per group, then pair position i with the suffix i+1.. — id_a < id_b
+    // by construction, each pair exactly once. The suffix comes from
+    // `slice` (codegen'd arraycopy) rather than the earlier
+    // `filter(__ids, y -> y > id_a)`: higher-order functions are
+    // CodegenFallback, so the filter ran an interpreted lambda over every
+    // element of every first-explode row — O(Σdf²) interpreted calls on
+    // the hottest path of the query. sort_array is O(df log df) ONCE per
+    // group. (A single-generator variant building the whole per-print
+    // pair-struct array via flatten(transform(..., slice(...))) was
+    // A/B'd at 1.3× SLOWER — materializing df²/2 structs per group up
+    // front loses to the pipelined two-explode even though the latter
+    // copies the id array into each first-explode row; measured 8.45 s
+    // vs 6.53 s noop min-of-3 at sf0.1.)
     groups
-      .select(explode(col("__ids")).as("id_a"), col("__ids"))
-      .select(col("id_a"),
-        explode(filter(col("__ids"), y => y > col("id_a"))).as("id_b"))
+      .select(sort_array(col("__ids")).as("__ids"))
+      .select(col("__ids"), posexplode(col("__ids")))
+      .select(col("col").as("id_a"),
+        explode(slice(col("__ids"), col("pos") + lit(2),
+          size(col("__ids")) - col("pos") - lit(1))).as("id_b"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)

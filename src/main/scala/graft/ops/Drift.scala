@@ -34,10 +34,15 @@ object Drift {
     * Deterministic under any partitioning (integer sums). */
   def groupCentroids(emb: DataFrame, groupCol: String,
                      vecCol: String): DataFrame = {
-    val comp = emb.select(col(groupCol).as("grp"),
-        posexplode(transform(col(vecCol),
-          x => floor(x.cast("double") * lit(1048576.0)).cast("long"))))
-      .toDF("grp", "pos", "q")
+    // explode the raw vector and quantize AFTER the explode: the scalar
+    // floor/cast chain is whole-stage-codegen'd per element, where the
+    // earlier transform(vec, x -> floor(..)) HOF was CodegenFallback —
+    // an interpreted lambda per component per vector. Same values
+    // (identical double multiply + floor per element, just relocated).
+    val comp = emb.select(col(groupCol).as("grp"), posexplode(col(vecCol)))
+      .toDF("grp", "pos", "x")
+      .select(col("grp"), col("pos"),
+        floor(col("x").cast("double") * lit(1048576.0)).cast("long").as("q"))
     comp.groupBy(col("grp"), col("pos"))
       .agg(sum(col("q")).as("sq"), count(lit(1)).as("cnt"))
       .withColumn("c",
@@ -63,8 +68,9 @@ object Drift {
       .join(cents, col(groupCol) === col("__grp"))
       .withColumn("cent_cos", round(ColumnBridge.column(
         graft.functions.CosinePair(
-          ColumnBridge.expression(transform(col(vecCol),
-            x => x.cast("double"))),
+          // array<float> → array<double> via Cast (codegen'd, exact
+          // widening) instead of a transform(x -> cast) HOF lambda
+          ColumnBridge.expression(col(vecCol).cast("array<double>")),
           ColumnBridge.expression(col("centroid")))), 6))
       // negate so the shared top-k helper's (ord DESC, tie ASC) order
       // yields ascending affinity — most-drifted first
