@@ -32,9 +32,13 @@ import org.apache.spark.sql.functions._
 object QualityLm {
 
   /** The shared tokenizer (fit + score + the DuckDB oracle re-derivation):
-    * lowercase, split on runs outside [a-z0-9], drop empties. */
+    * lowercase, split on runs outside [a-z0-9], drop empties.
+    * `array_remove(.., "")` rather than `filter(.., t -> t != "")`:
+    * identical result (split yields no NULL elements), but ArrayRemove is
+    * codegen'd while the HOF filter is CodegenFallback — an interpreted
+    * lambda per token per doc (guide §4). */
   def tokens(text: Column): Column =
-    filter(split(lower(text), "[^a-z0-9]+"), t => t =!= "")
+    array_remove(split(lower(text), "[^a-z0-9]+"), "")
 
   /** Fit the unigram vocab: top `vocabSize` tokens by (count desc, token
     * asc — deterministic tie-break), ranked 1..V. `minCount` drops the

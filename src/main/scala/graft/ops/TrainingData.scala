@@ -447,8 +447,11 @@ object TrainingData {
     require(overlap >= 0 && overlap < maxTokens,
       s"overlap must be in [0, maxTokens): $overlap")
     val step = maxTokens - overlap
-    val toks = filter(split(coalesce(col(textCol), lit("")), "\\s+"),
-      t => length(t) > 0)
+    // array_remove ≡ the old filter(.., t -> length(t) > 0) on split
+    // output (no NULL elements possible) but codegen'd, not an
+    // interpreted per-token HOF lambda (guide §4)
+    val toks = array_remove(
+      split(coalesce(col(textCol), lit("")), "\\s+"), "")
     docs.select(col(idCol), toks.as("__toks"))
       .withColumn("__n", size(col("__toks")))
       .filter(col("__n") > 0)
@@ -511,8 +514,10 @@ object TrainingData {
   def topNgrams(docs: DataFrame, idCol: String, textCol: String,
                 n: Int, k: Int): DataFrame = {
     require(n >= 1 && k >= 1, s"n and k must be positive: $n/$k")
-    val toks = filter(split(lower(coalesce(col(textCol), lit(""))),
-      "[^a-z0-9]+"), t => length(t) > 0)
+    // array_remove ≡ filter(.., length > 0) here, minus the interpreted
+    // per-token HOF lambda (guide §4; the QualityLm.tokens rationale)
+    val toks = array_remove(
+      split(lower(coalesce(col(textCol), lit(""))), "[^a-z0-9]+"), "")
     docs.select(col(idCol).as("__id"), toks.as("__toks"))
       .withColumn("__n", size(col("__toks")))
       .filter(col("__n") >= n)
